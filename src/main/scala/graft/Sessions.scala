@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session construction so Verify / Bench / tests agree on the
+  * configs that change semantics:
+  *  - UTC session time zone,
+  *  - shuffle partitions sized to local cores (AQE coalesces on a real
+  *    cluster; 200 default partitions would just fragment local runs),
+  *  - nanosAsLong so parquet TIMESTAMP(NANOS) columns (events.ts) are
+  *    readable (Spark has no nanos timestamp type),
+  *  - AQE on, matching what a production cluster would run.
+  */
+object Sessions {
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics operators: scan-heavy aggregation, multi-way joins,
+  * window ranking, sessionization, tumbling-window aggregation.
+  *
+  * These exercise the engine's generic query surface and serve as the
+  * benchmark headliners. Numeric discipline: per-row arithmetic stays in
+  * doubles (bit-identical across engines), while SUMs go through
+  * DECIMAL(30,6) so the result is exact and independent of aggregation
+  * order — at 100 TB a double sum's value depends on partitioning, which
+  * would make results non-reproducible run to run.
+  */
+object Analytics {
+
+  /** Exact, order-independent sum of a double expression. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  /** Pricing summary aggregate (TPC-H Q1 shape): single scan, map-side
+    * partial aggregation, tiny result. Filter + 7 needed columns reach
+    * the parquet scan (pushdown + pruning).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** Shipping-priority top-N (TPC-H Q3 shape): two selective joins then
+    * agg + top-k. customer and orders are far smaller than lineitem, so
+    * on a cluster the planner broadcast-joins the filtered dimensions;
+    * the explicit hint keeps that true regardless of stats. Unique-key
+    * tiebreak (o_orderkey) makes the top-10 deterministic.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val c = customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = orders.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem.filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Selective filter + global aggregate (TPC-H Q6 shape): the pushdown
+    * showcase — every predicate is a parquet-level filter, projection is
+    * two columns, result is one row.
+    */
+  def revenueDelta(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+
+  /** Top-3 customers by order revenue within each nation: broadcast the
+    * 25-row nation dim, aggregate orders per customer (shuffle on
+    * custkey), then a nation-partitioned rank window. Unique-key
+    * tiebreak for determinism.
+    */
+  def topCustomersByNation(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("c_custkey"))
+    customer.join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("revenue"))
+      .withColumn("rank", rank().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap) of the event
+    * stream per user: classic lag + cumulative-sum session ids, one
+    * shuffle on user_id. Micros arithmetic keeps both engines exact.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val flagged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapMicros, 1)
+          .otherwise(0)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("session_value")
+      )
+  }
+
+  /** 1-hour tumbling-window aggregation per event type — the batch twin
+    * of the streaming job (graft.streaming). date_trunc keeps the bucket
+    * function portable across engines.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Signal preparation: the Spark-native equivalent of the reference's
+  * `Trade_Mtm_Runner._prepare_df_for_analysis`
+  * (reference: runner_mtm.py:100-117) — merge buy/sell signal frames with
+  * the close-price timeline and derive the per-bar price movement
+  * `close(t) - close(t-1)`.
+  *
+  * The canonical bar view maps the synthetic `events` table onto the
+  * reference's input contract: one time series per symbol with
+  * (ts, close, buy, sell). `user_id` plays the symbol, `value` the close
+  * price, `event_type='purchase'` a buy signal, `'click'` a sell signal.
+  * `event_id` breaks timestamp ties so ordering is total and
+  * deterministic.
+  *
+  * Scale notes: the only wide operation is the lag window, which
+  * shuffle-partitions by symbol — the same partitioning the downstream
+  * MTM engine needs, so Catalyst reuses the exchange. No row explosion,
+  * column-pruned scan.
+  */
+object SignalPrep {
+
+  /** Per-symbol ordered window; event_id tiebreaks equal timestamps. */
+  val barWindow = Window.partitionBy("symbol").orderBy("ts", "event_id")
+
+  /** events → (symbol, ts, event_id, close, buy, sell). */
+  def bars(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").as("symbol"),
+      col("ts"),
+      col("event_id"),
+      col("value").as("close"),
+      when(col("event_type") === "purchase", 1).otherwise(0).as("buy"),
+      when(col("event_type") === "click", 1).otherwise(0).as("sell")
+    )
+
+  /** bars + price_movement (close diff within symbol, null on first bar —
+    * the reference's `close.diff(1)` NaN semantics: a NaN diff contributes
+    * zero MTM, models.py:92-104).
+    */
+  def withPriceMovement(bars: DataFrame): DataFrame =
+    bars.withColumn(
+      "price_movement",
+      col("close") - lag("close", 1).over(barWindow)
+    )
+
+  /** Full prepared view straight from the raw events table. */
+  def prepared(events: DataFrame): DataFrame = withPriceMovement(bars(events))
+}
