@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.PnlConfig
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -10,9 +11,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
 
+  /** Engine configs exercised by the wired queries. */
+  private val feesCfg = PnlConfig(feeRate = 0.001, laidBackTax = 0.0001)
+  private val longShortCfg = PnlConfig(enableShortPosition = true)
+
+  private def bars(s: SparkSession, dir: String): DataFrame =
+    MtmEngine.barsFromEvents(Tables.events(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- core MTM engine (reference surface) --
     "q_signals_prep" -> ((s, dir) => SignalPrep.prepared(Tables.events(s, dir))),
+    "q_trades_long_only" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), PnlConfig.default)),
+    "q_trades_long_short" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), longShortCfg)),
+    "q_mtm_timeline" -> ((s, dir) => MtmEngine.timelineQuery(bars(s, dir), PnlConfig.default)),
+    "q_mtm_timeline_fees" -> ((s, dir) => MtmEngine.timelineQuery(bars(s, dir), feesCfg)),
+    "q_max_drawdown" -> ((s, dir) => MtmEngine.maxDrawdown(bars(s, dir), PnlConfig.default)),
+    "q_sharpe_ratio" -> ((s, dir) => MtmEngine.sharpeRatio(bars(s, dir), PnlConfig.default)),
+    "q_pnl_summary" -> ((s, dir) => MtmEngine.pnlSummary(bars(s, dir), PnlConfig.default)),
+    // -- generic analytics --
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_shipping_priority" -> ((s, dir) =>
       Analytics.shippingPriority(
@@ -25,16 +42,143 @@ object SparkEntry {
     "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir)))
   )
 
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared CTE fragments keep the engine oracles in
+  // lock-step: `SIG_TRADES` is the closed-form blotter for max_position=1
+  // long-only configs (run-length compression of the signal stream —
+  // consecutive duplicate signals are no-ops, so trades are exactly the
+  // B→S pairs of the compressed alternating sequence). `BARS_PM` is the
+  // canonical bar view with per-symbol price movement.
+  // Every double expression mirrors the Scala shape token-for-token so
+  // results are bit-identical (the driver compares check_exact).
+  // ------------------------------------------------------------------
+
+  private val BARS_PM =
+    """bars AS (
+      |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
+      |    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS buy,
+      |    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS sell,
+      |    value - lag(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pm
+      |  FROM events)""".stripMargin
+
+  private val SIG_TRADES =
+    """sig AS (
+      |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
+      |    CASE WHEN event_type='purchase' THEN 'B' ELSE 'S' END AS action
+      |  FROM events WHERE event_type IN ('purchase','click')),
+      |runs AS (
+      |  SELECT symbol, ts, event_id, close, action,
+      |    row_number() OVER (PARTITION BY symbol ORDER BY ts, event_id) AS rn
+      |  FROM (SELECT *, lag(action) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS pa FROM sig)
+      |  WHERE pa IS NULL OR action <> pa),
+      |fb AS (SELECT symbol, min(rn) AS rn0 FROM runs WHERE action='B' GROUP BY symbol),
+      |seq AS (SELECT runs.* FROM runs JOIN fb ON runs.symbol=fb.symbol AND runs.rn >= fb.rn0),
+      |trades AS (
+      |  SELECT symbol, ts AS entry_ts, event_id AS entry_eid, close AS entry_price,
+      |    lead(ts) OVER w AS exit_ts, lead(event_id) OVER w AS exit_eid,
+      |    lead(close) OVER w AS exit_price
+      |  FROM seq WINDOW w AS (PARTITION BY symbol ORDER BY rn)
+      |  QUALIFY action='B')""".stripMargin
+
+  /** Per-bar mtm accrual for max_position=1: at most one trade is active
+    * per bar, active = entered strictly before the bar's timestamp and
+    * not yet removed (removal happens after accrual on the exit bar, so
+    * the exit bar itself still accrues — ties broken by event_id).
+    */
+  private val ACC_DEFAULT =
+    """acc AS (
+      |  SELECT b.symbol, b.ts, b.event_id, b.close, b.buy, b.sell,
+      |    CASE WHEN t.entry_price IS NOT NULL AND b.pm IS NOT NULL
+      |         THEN b.pm / t.entry_price ELSE 0.0 END AS mtm_ratio
+      |  FROM bars b LEFT JOIN trades t
+      |    ON t.symbol = b.symbol AND t.entry_ts < b.ts
+      |    AND (t.exit_ts IS NULL OR b.ts < t.exit_ts
+      |         OR (b.ts = t.exit_ts AND b.event_id <= t.exit_eid)))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
     "q_signals_prep" ->
-      """SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type FROM events)
+        |SELECT user_id AS symbol, ts, event_id, value AS close,
         |  CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS buy,
         |  CASE WHEN event_type='click' THEN 1 ELSE 0 END AS sell,
         |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS price_movement
-        |FROM events""".stripMargin,
+        |FROM e""".stripMargin,
+    "q_trades_long_only" ->
+      s"""WITH $SIG_TRADES
+        |SELECT symbol, 'LONG' AS direction, entry_ts, entry_price, exit_ts, exit_price,
+        |  CASE WHEN exit_ts IS NOT NULL
+        |       THEN (exit_price - entry_price - 0.0*entry_price - 0.0*entry_price)/entry_price END AS pnl_norm,
+        |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
+        |  exit_ts IS NOT NULL AS is_closed
+        |FROM trades""".stripMargin,
+    "q_mtm_timeline" ->
+      s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT
+        |SELECT symbol, ts, event_id, close, buy, sell, mtm_ratio,
+        |  CAST(SUM(CAST(mtm_ratio AS DECIMAL(38,9))) OVER (
+        |    PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS pnl_ratio
+        |FROM acc""".stripMargin,
+    "q_mtm_timeline_fees" ->
+      s"""WITH $SIG_TRADES, $BARS_PM,
+        |acc AS (
+        |  SELECT b.symbol, b.ts, b.event_id, b.close, b.buy, b.sell,
+        |    CASE WHEN t.entry_price IS NOT NULL AND b.pm IS NOT NULL
+        |         THEN b.pm / t.entry_price ELSE 0.0 END
+        |    - (CASE WHEN EXISTS (SELECT 1 FROM trades x WHERE x.symbol = b.symbol
+        |              AND ((x.entry_ts = b.ts AND x.entry_eid = b.event_id)
+        |                   OR (x.exit_ts = b.ts AND x.exit_eid = b.event_id)))
+        |            THEN 0.001 ELSE 0.0 END
+        |       + CASE WHEN NOT EXISTS (SELECT 1 FROM trades o WHERE o.symbol = b.symbol
+        |              AND (o.entry_ts < b.ts OR (o.entry_ts = b.ts AND o.entry_eid <= b.event_id))
+        |              AND (o.exit_ts IS NULL OR b.ts < o.exit_ts
+        |                   OR (b.ts = o.exit_ts AND b.event_id < o.exit_eid)))
+        |            THEN 0.0001 ELSE 0.0 END) AS mtm_ratio
+        |  FROM bars b LEFT JOIN trades t
+        |    ON t.symbol = b.symbol AND t.entry_ts < b.ts
+        |    AND (t.exit_ts IS NULL OR b.ts < t.exit_ts
+        |         OR (b.ts = t.exit_ts AND b.event_id <= t.exit_eid)))
+        |SELECT symbol, ts, event_id, close, buy, sell, mtm_ratio,
+        |  CAST(SUM(CAST(mtm_ratio AS DECIMAL(38,9))) OVER (
+        |    PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS pnl_ratio
+        |FROM acc""".stripMargin,
+    "q_max_drawdown" ->
+      s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
+        |c AS (
+        |  SELECT symbol, ts, event_id,
+        |    SUM(CAST(mtm_ratio AS DECIMAL(38,9))) OVER (
+        |      PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM acc),
+        |r AS (
+        |  SELECT symbol, cum,
+        |    MAX(cum) OVER (PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS runmax
+        |  FROM c)
+        |SELECT symbol,
+        |  MAX(CAST(GREATEST(runmax, CAST(0 AS DECIMAL(38,9))) AS DOUBLE) - CAST(cum AS DOUBLE)) AS max_drawdown
+        |FROM r GROUP BY symbol""".stripMargin,
+    "q_sharpe_ratio" ->
+      s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
+        |x AS (SELECT symbol, epoch_ms(ts) AS ms, mtm_ratio - 0.000001 AS xs FROM acc)
+        |SELECT symbol,
+        |  CASE WHEN stddev_pop(xs) IS NULL OR stddev_pop(xs) = 0.0 THEN -1e50
+        |       ELSE round(CAST(SUM(CAST(xs AS DECIMAL(38,12))) AS DOUBLE)
+        |                  / (CAST(max(ms) - min(ms) AS DOUBLE) / 1000.0 / 3600.0)
+        |                  / stddev_pop(xs) * sqrt(8760.0), 4)
+        |  END AS sharpe_ratio
+        |FROM x GROUP BY symbol""".stripMargin,
+    "q_pnl_summary" ->
+      s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
+        |p AS (SELECT symbol, CAST(SUM(CAST(mtm_ratio AS DECIMAL(38,9))) AS DOUBLE) AS pnl
+        |      FROM acc GROUP BY symbol),
+        |ct AS (SELECT symbol, COUNT(*) AS n_trades,
+        |         COUNT(*) FILTER (WHERE (exit_price - entry_price - 0.0*entry_price - 0.0*entry_price)/entry_price > 0.0) AS n_wins,
+        |         SUM(epoch_us(exit_ts) - epoch_us(entry_ts)) AS hold_us
+        |       FROM trades WHERE exit_ts IS NOT NULL GROUP BY symbol)
+        |SELECT p.symbol, p.pnl, COALESCE(ct.n_trades, 0) AS n_trades,
+        |  CAST(ct.n_wins AS DOUBLE) / CAST(ct.n_trades AS DOUBLE) AS win_rate,
+        |  CAST(ct.hold_us AS DOUBLE) / CAST(ct.n_trades AS DOUBLE) / 1000000.0 AS avg_holding_secs
+        |FROM p LEFT JOIN ct ON p.symbol = ct.symbol""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

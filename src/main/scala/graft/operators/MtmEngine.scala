@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.core.{BookTrade, PnlConfig, TradeBook}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed mark-to-market engine — the Spark-native re-expression of
+  * the reference's `Trade_Mtm_Runner.calculate` → `Mtm_Result` pipeline
+  * (reference: runner_mtm.py:71-205, trade_reward.py:81-170).
+  *
+  * Plan shape (SURVEY.md §4): canonical bars → `repartition($"symbol")` →
+  * `sortWithinPartitions(symbol, ts, event_id)` → `mapPartitions` running
+  * the [[graft.core.TradeBook]] state machine per symbol-run. ONE shuffle
+  * total; parallelism = #symbols spread by hash; per-task state is
+  * O(open positions) and rows stream through an iterator, so a skewed
+  * mega-symbol is wall-clock-bound but never OOMs. At 100 TB the symbol
+  * count vastly exceeds core count, so the hash spread stays even.
+  *
+  * Numeric discipline: per-bar mtm is pure double arithmetic (replicated
+  * bit-for-bit by the DuckDB oracle); every cumulative/aggregated series
+  * (pnl_ratio, drawdown, sharpe sums) routes through DECIMAL(38,9|12) so
+  * results are exact and independent of partitioning/aggregation order —
+  * the property that keeps 100 TB runs reproducible.
+  */
+object MtmEngine {
+
+  /** Input bar (μs epoch; event_id tiebreaks equal timestamps). */
+  private[graft] final case class EngineBar(
+      symbol: Long, ts_us: Long, event_id: Long, close: Double, buy: Int, sell: Int)
+
+  private[graft] final case class TimelinePoint(
+      symbol: Long, ts_us: Long, event_id: Long, close: Double,
+      buy: Int, sell: Int, mtm_ratio: Double)
+
+  private[graft] final case class BlotterRec(
+      symbol: Long, direction: String, entry_ts_us: Long, entry_price: Double,
+      exit_ts_us: Option[Long], exit_price: Option[Double],
+      pnl_norm: Option[Double], close_reason: Option[String], is_closed: Boolean)
+
+  /** events → canonical bar view (SURVEY §2): user_id plays the symbol,
+    * value the close price, purchase/click the buy/sell signals; every
+    * event row is a bar (non-signal types are hold bars).
+    */
+  def barsFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").as("symbol"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_id"),
+      col("value").as("close"),
+      when(col("event_type") === "purchase", 1).otherwise(0).as("buy"),
+      when(col("event_type") === "click", 1).otherwise(0).as("sell"))
+
+  /** The engine's only shuffle: co-locate each symbol's bars and order
+    * them totally within the partition (secondary sort). AQE partition
+    * coalescing is safe: symbol runs stay contiguous because a symbol
+    * hashes to exactly one pre-coalesce partition.
+    */
+  private def sortedBars(bars: DataFrame): Dataset[EngineBar] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .select(
+        col("symbol").cast("long"), col("ts_us").cast("long"),
+        col("event_id").cast("long"), col("close").cast("double"),
+        col("buy").cast("int"), col("sell").cast("int"))
+      .repartition(col("symbol"))
+      .sortWithinPartitions("symbol", "ts_us", "event_id")
+      .as[EngineBar]
+  }
+
+  /** Per-partition driver: a fresh TradeBook per symbol-run, price_diff
+    * derived from the previous bar in-stream (no window needed — the
+    * partition is already symbol-ordered).
+    */
+  private final class SymbolRunner(cfg: PnlConfig) extends Serializable {
+    var book: TradeBook = null
+    var symbol: Long = 0L
+    private var prevClose: Double = Double.NaN
+
+    /** Open positions of the PREVIOUS symbol, flushed when `b` starts a
+      * new run (empty otherwise). Must be consumed before stepping `b`.
+      */
+    def beginBar(b: EngineBar): Seq[(Long, BookTrade)] = {
+      if (book == null) {
+        book = new TradeBook(cfg); symbol = b.symbol; prevClose = Double.NaN
+        Nil
+      } else if (b.symbol != symbol) {
+        val flushed = book.flushOpen().map(t => (symbol, t))
+        book = new TradeBook(cfg); symbol = b.symbol; prevClose = Double.NaN
+        flushed
+      } else Nil
+    }
+
+    /** Run one bar; returns its final mtm (accrual − fees). */
+    def stepBar(b: EngineBar): Double = {
+      val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
+      prevClose = b.close
+      book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
+    }
+
+    def endOfPartition(): Seq[(Long, BookTrade)] =
+      if (book == null) Nil else book.flushOpen().map(t => (symbol, t))
+  }
+
+  /** Per-bar mtm timeline: (symbol, ts_us, event_id, close, buy, sell,
+    * mtm_ratio) — the reference's `mtm_history` (trade_reward.py:109,166),
+    * one row per input bar.
+    */
+  def timeline(bars: DataFrame, cfg: PnlConfig): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    sortedBars(bars).mapPartitions { it =>
+      val r = new SymbolRunner(cfg)
+      it.map { b =>
+        r.beginBar(b) // timeline ignores blotter flushes; resets state
+        TimelinePoint(b.symbol, b.ts_us, b.event_id, b.close, b.buy, b.sell, r.stepBar(b))
+      }
+    }.toDF()
+  }
+
+  /** Trade blotter: closed trades (reference `archive_*_positions_list`)
+    * plus still-open positions flushed as OPEN rows (reference
+    * `outstanding_*` in Mtm_Result, runner_mtm.py:191-203).
+    * pnl_norm is the reference's fee-included `pnl_normalized`
+    * (models.py:60-91): ((±(exit−entry)) − fee·entry − fee·entry)/entry.
+    */
+  def blotter(bars: DataFrame, cfg: PnlConfig): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val fee = math.abs(cfg.feeRate)
+    sortedBars(bars).mapPartitions { it =>
+      val r = new SymbolRunner(cfg)
+      def toRec(sym: Long, t: BookTrade): BlotterRec =
+        if (t.isClosed) {
+          val raw = if (t.isLong) t.exitPrice - t.entryPrice else t.entryPrice - t.exitPrice
+          val pnl = (raw - fee * t.entryPrice - fee * t.entryPrice) / t.entryPrice
+          BlotterRec(sym, if (t.isLong) "LONG" else "SHORT", t.entryUs, t.entryPrice,
+            Some(t.exitUs), Some(t.exitPrice), Some(pnl), Some(t.reason), is_closed = true)
+        } else {
+          BlotterRec(sym, if (t.isLong) "LONG" else "SHORT", t.entryUs, t.entryPrice,
+            None, None, None, None, is_closed = false)
+        }
+      val perBar = it.flatMap { b =>
+        val flushed = r.beginBar(b)
+        r.stepBar(b)
+        val closed = r.book.drainTrades().map(t => (r.symbol, t))
+        (flushed.iterator ++ closed.iterator).map { case (s, t) => toRec(s, t) }
+      }
+      // Lazy suffix: evaluated only once perBar is exhausted.
+      val tail = new Iterator[BlotterRec] {
+        private var flushIt: Iterator[BlotterRec] = null
+        private def underlying: Iterator[BlotterRec] = {
+          if (flushIt == null)
+            flushIt = r.endOfPartition().iterator.map { case (s, t) => toRec(s, t) }
+          flushIt
+        }
+        def hasNext: Boolean = underlying.hasNext
+        def next(): BlotterRec = underlying.next()
+      }
+      perBar ++ tail
+    }.toDF()
+  }
+
+  // ---- query-surface wrappers (timestamps restored to TIMESTAMP μs) ----
+
+  /** Ordered per-symbol bar window over the engine timeline. */
+  private def seqWindow =
+    Window.partitionBy("symbol").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Exact cumulative sum of a double column (order-independent): route
+    * through DECIMAL(38,9). Scaled magnitudes stay far below 2^53 so the
+    * final double conversion is a single correct rounding in both Spark
+    * and DuckDB.
+    */
+  private def cumDec(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,9)")).over(seqWindow)
+
+  /** SURVEY #4/#5: per-bar mtm_ratio + cumulative pnl_ratio
+    * (reference pnl_timeline: runner_mtm.py:136-183).
+    */
+  def timelineQuery(bars: DataFrame, cfg: PnlConfig): DataFrame =
+    timeline(bars, cfg)
+      .withColumn("pnl_ratio", cumDec(col("mtm_ratio")).cast("double"))
+      .select(
+        col("symbol"), timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
+        col("close"), col("buy"), col("sell"), col("mtm_ratio"), col("pnl_ratio"))
+
+  /** SURVEY #2/#3: the trade blotter as a query. */
+  def blotterQuery(bars: DataFrame, cfg: PnlConfig): DataFrame =
+    blotter(bars, cfg).select(
+      col("symbol"), col("direction"),
+      timestamp_micros(col("entry_ts_us")).as("entry_ts"), col("entry_price"),
+      timestamp_micros(col("exit_ts_us")).as("exit_ts"), col("exit_price"),
+      col("pnl_norm"), col("close_reason"), col("is_closed"))
+
+  /** SURVEY #6: per-symbol max drawdown — running peak of cum-pnl floored
+    * at 0, minus current, maxed (reference runner_mtm.py:144,168-172).
+    * All-decimal arithmetic end to end, one double conversion at the end.
+    */
+  def maxDrawdown(bars: DataFrame, cfg: PnlConfig): DataFrame =
+    timeline(bars, cfg)
+      // Narrow to (20,9) before subtracting: (38,9)−(38,9) would overflow
+      // precision 38 and silently drop to scale 8 (precision-loss
+      // rounding), diverging from the oracle's exact scale-9 arithmetic.
+      .withColumn("cum", cumDec(col("mtm_ratio")).cast("decimal(20,9)"))
+      .withColumn("runmax", max(col("cum")).over(seqWindow))
+      .groupBy("symbol")
+      .agg(
+        max(
+          greatest(col("runmax"), lit(0).cast("decimal(20,9)")).cast("double")
+            - col("cum").cast("double"))
+          .as("max_drawdown"))
+
+  /** SURVEY #7: per-symbol Sharpe, reference formula
+    * (trade_reward.py:423-450): ms-resolution period, slippage 1e-6,
+    * population std, √(365·24) annualization, −1e50 when σ=0. The sum
+    * routes through decimal; σ uses each engine's stddev_pop and the
+    * final value is rounded to 4 dp, hiding sub-1e-12 algorithmic
+    * differences between engines.
+    */
+  def sharpeRatio(bars: DataFrame, cfg: PnlConfig): DataFrame = {
+    val xs = col("mtm_ratio") - lit(0.000001)
+    timeline(bars, cfg)
+      .withColumn("ms", expr("ts_us div 1000"))
+      .groupBy("symbol")
+      .agg(
+        sum(xs.cast("decimal(38,12)")).cast("double").as("sum_x"),
+        (max(col("ms")) - min(col("ms"))).cast("double").as("span_ms"),
+        stddev_pop(xs).as("sigma"))
+      .select(
+        col("symbol"),
+        when(col("sigma").isNull || col("sigma") === 0.0, lit(-1e50))
+          .otherwise(
+            round(
+              col("sum_x") / (col("span_ms") / lit(1000.0) / lit(3600.0))
+                / col("sigma") * lit(math.sqrt(8760.0)),
+              4))
+          .as("sharpe_ratio"))
+  }
+
+  /** SURVEY #8: per-symbol summary — total pnl (Σ mtm,
+    * trade_reward.py:413-421), closed-trade count, win rate, average
+    * holding seconds (reference Mtm_Result surface).
+    */
+  def pnlSummary(bars: DataFrame, cfg: PnlConfig): DataFrame = {
+    val pnlAgg = timeline(bars, cfg)
+      .groupBy("symbol")
+      .agg(sum(col("mtm_ratio").cast("decimal(38,9)")).cast("double").as("pnl"))
+    val tradeAgg = blotter(bars, cfg)
+      .filter(col("is_closed"))
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_trades"),
+        count(when(col("pnl_norm") > 0.0, 1)).as("n_wins"),
+        sum(col("exit_ts_us") - col("entry_ts_us")).as("hold_us"))
+    pnlAgg.join(tradeAgg, Seq("symbol"), "left").select(
+      col("symbol"), col("pnl"),
+      coalesce(col("n_trades"), lit(0L)).as("n_trades"),
+      (col("n_wins").cast("double") / col("n_trades").cast("double")).as("win_rate"),
+      (col("hold_us").cast("double") / col("n_trades").cast("double") / lit(1000000.0))
+        .as("avg_holding_secs"))
+  }
+}
