@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{Sessions, Tables}
+import graft.core.{PnlConfig, RefSim}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed-vs-sequential parity: the MtmEngine mapPartitions operator
+  * must reproduce, per symbol, exactly what the scalar reference replica
+  * (RefSim) computes over that symbol's time-ordered bars — across
+  * configs including ROI ladders, stop-loss, fees and max-position (the
+  * SURVEY §2 #9/#10 spec-level correctness gate).
+  */
+class MtmEngineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = Sessions.local("4")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (symbol → time-ordered bars (tsUs, close, diff, buy, sell)). */
+  private lazy val barsBySymbol: Map[Long, Seq[(Long, Double, Double, Boolean, Boolean)]] = {
+    val rows = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+      .orderBy("symbol", "ts_us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4) == 1, r.getInt(5) == 1))
+    rows.groupBy(_._1).map { case (sym, rs) =>
+      sym -> rs.toSeq.sortBy(_._2).foldLeft((List.empty[(Long, Double, Double, Boolean, Boolean)], Double.NaN)) {
+        case ((acc, prev), (_, ts, close, b, s)) =>
+          val diff = if (prev.isNaN) Double.NaN else close - prev
+          ((ts, close, diff, b, s) :: acc, close)
+      }._1.reverse
+    }
+  }
+
+  private val configs: Seq[(String, PnlConfig)] = Seq(
+    "default" -> PnlConfig.default,
+    "long_short" -> PnlConfig(enableShortPosition = true),
+    "fees_tax" -> PnlConfig(feeRate = 0.001, laidBackTax = 0.0001),
+    "roi_stoploss" -> PnlConfig(
+      roi = Map(0 -> 0.2, 60 -> 0.1, 1440 -> 0.02),
+      stoploss = -0.15, enableShortPosition = true),
+    "max_position_3" -> PnlConfig(maxPositionPerSymbol = 3, enableShortPosition = true)
+  )
+
+  for ((name, cfg) <- configs) {
+    test(s"timeline parity vs scalar replica: $name") {
+      val got = MtmEngine.timeline(
+          MtmEngine.barsFromEvents(Tables.events(spark, sfDir)), cfg)
+        .select("symbol", "ts_us", "mtm_ratio")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      var checked = 0
+      for ((sym, bars) <- barsBySymbol) {
+        val exp = RefSim.run(cfg, bars).mtm
+        bars.zip(exp).foreach { case ((ts, _, _, _, _), e) =>
+          val g = got((sym, ts))
+          // addition order across open positions may differ → 1e-12 tol
+          assert(math.abs(g - e) <= 1e-12 * math.max(1.0, math.abs(e)),
+            s"symbol $sym ts $ts: engine $g vs replica $e")
+          checked += 1
+        }
+      }
+      assert(checked == got.size && checked > 0)
+    }
+
+    test(s"blotter parity vs scalar replica: $name") {
+      val got = MtmEngine.blotter(
+          MtmEngine.barsFromEvents(Tables.events(spark, sfDir)), cfg)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(7)) "OPEN" else r.getString(7)))
+        .toSet
+      val exp = barsBySymbol.flatMap { case (sym, bars) =>
+        val r = RefSim.run(cfg, bars)
+        r.closed.map(t => (sym, if (t.long) "LONG" else "SHORT", t.entryUs, t.exitUs, t.reason)) ++
+          r.open.map(t => (sym, if (t.long) "LONG" else "SHORT", t.entryUs, -1L, "OPEN"))
+      }.toSet
+      assert(got == exp)
+    }
+  }
+
+  test("engine is insensitive to input row order") {
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+    val scrambled = bars.orderBy(rand(seed = 7))
+    val a = MtmEngine.timelineQuery(bars, PnlConfig.default)
+      .orderBy("symbol", "ts", "event_id").collect().toSeq
+    val b = MtmEngine.timelineQuery(scrambled, PnlConfig.default)
+      .orderBy("symbol", "ts", "event_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("timeline row count equals bar count; one row per bar") {
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+    val n = bars.count()
+    assert(MtmEngine.timeline(bars, PnlConfig.default).count() == n)
+  }
+}
