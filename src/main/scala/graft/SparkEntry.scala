@@ -14,6 +14,10 @@ object SparkEntry {
   /** Engine configs exercised by the wired queries. */
   private val feesCfg = PnlConfig(feeRate = 0.001, laidBackTax = 0.0001)
   private val longShortCfg = PnlConfig(enableShortPosition = true)
+  private val roiSlCfg = PnlConfig(
+    roi = Map(0 -> 0.2, 60 -> 0.1, 1440 -> 0.02),
+    stoploss = -0.15, enableShortPosition = true)
+  private val maxPosCfg = PnlConfig(maxPositionPerSymbol = 3, enableShortPosition = true)
 
   private def bars(s: SparkSession, dir: String): DataFrame =
     MtmEngine.barsFromEvents(Tables.events(s, dir))
@@ -29,6 +33,8 @@ object SparkEntry {
     "q_max_drawdown" -> ((s, dir) => MtmEngine.maxDrawdown(bars(s, dir), PnlConfig.default)),
     "q_sharpe_ratio" -> ((s, dir) => MtmEngine.sharpeRatio(bars(s, dir), PnlConfig.default)),
     "q_pnl_summary" -> ((s, dir) => MtmEngine.pnlSummary(bars(s, dir), PnlConfig.default)),
+    "q_trades_roi_stoploss" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), roiSlCfg)),
+    "q_trades_max_position" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), maxPosCfg)),
     // -- generic analytics --
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_shipping_priority" -> ((s, dir) =>
@@ -114,6 +120,131 @@ object SparkEntry {
         |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
         |  exit_ts IS NOT NULL AS is_closed
         |FROM trades""".stripMargin,
+    // Three-state (long/flat/short) machine walked row-by-row with a
+    // recursive CTE over the per-symbol signal sequence. State before row
+    // rn determines the transition; closes are emitted inline. Engine
+    // semantics (trade_reward.py:257-378): BUY closes an outstanding
+    // short else opens a long (blocked at max position); SELL mirrored.
+    "q_trades_long_short" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
+        |    CASE WHEN event_type='purchase' THEN 'B' ELSE 'S' END AS action,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE event_type IN ('purchase','click')),
+        |walk AS (
+        |  SELECT symbol, 0 AS rn, 'F' AS st,
+        |    CAST(NULL AS TIMESTAMP) AS ets, CAST(NULL AS DOUBLE) AS epx,
+        |    CAST(NULL AS VARCHAR) AS c_dir, CAST(NULL AS TIMESTAMP) AS c_ets,
+        |    CAST(NULL AS DOUBLE) AS c_epx, CAST(NULL AS TIMESTAMP) AS c_xts,
+        |    CAST(NULL AS DOUBLE) AS c_xpx
+        |  FROM (SELECT DISTINCT user_id AS symbol FROM events WHERE event_type IN ('purchase','click'))
+        |  UNION ALL
+        |  SELECT w.symbol, w.rn + 1,
+        |    CASE WHEN b.action = 'B' THEN (CASE w.st WHEN 'S' THEN 'F' ELSE 'L' END)
+        |         ELSE (CASE w.st WHEN 'L' THEN 'F' ELSE 'S' END) END,
+        |    CASE WHEN w.st = 'F' THEN b.ts
+        |         WHEN (b.action='B' AND w.st='L') OR (b.action='S' AND w.st='S') THEN w.ets
+        |         ELSE NULL END,
+        |    CASE WHEN w.st = 'F' THEN b.close
+        |         WHEN (b.action='B' AND w.st='L') OR (b.action='S' AND w.st='S') THEN w.epx
+        |         ELSE NULL END,
+        |    CASE WHEN b.action='B' AND w.st='S' THEN 'SHORT'
+        |         WHEN b.action='S' AND w.st='L' THEN 'LONG' END,
+        |    CASE WHEN (b.action='B' AND w.st='S') OR (b.action='S' AND w.st='L') THEN w.ets END,
+        |    CASE WHEN (b.action='B' AND w.st='S') OR (b.action='S' AND w.st='L') THEN w.epx END,
+        |    CASE WHEN (b.action='B' AND w.st='S') OR (b.action='S' AND w.st='L') THEN b.ts END,
+        |    CASE WHEN (b.action='B' AND w.st='S') OR (b.action='S' AND w.st='L') THEN b.close END
+        |  FROM walk w JOIN b ON b.symbol = w.symbol AND b.rn = w.rn + 1),
+        |closed AS (
+        |  SELECT symbol, c_dir AS direction, c_ets AS entry_ts, c_epx AS entry_price,
+        |    c_xts AS exit_ts, c_xpx AS exit_price FROM walk WHERE c_dir IS NOT NULL),
+        |final_state AS (
+        |  SELECT w.symbol, CASE w.st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END AS direction,
+        |    w.ets AS entry_ts, w.epx AS entry_price,
+        |    CAST(NULL AS TIMESTAMP) AS exit_ts, CAST(NULL AS DOUBLE) AS exit_price
+        |  FROM walk w JOIN (SELECT symbol, max(rn) AS mr FROM walk GROUP BY symbol) m
+        |    ON w.symbol = m.symbol AND w.rn = m.mr
+        |  WHERE w.st <> 'F'),
+        |allt AS (SELECT * FROM closed UNION ALL SELECT * FROM final_state)
+        |SELECT symbol, direction, entry_ts, entry_price, exit_ts, exit_price,
+        |  CASE WHEN exit_ts IS NOT NULL THEN
+        |    (CASE WHEN direction = 'LONG' THEN exit_price - entry_price ELSE entry_price - exit_price END
+        |     - 0.0*entry_price - 0.0*entry_price) / entry_price END AS pnl_norm,
+        |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
+        |  exit_ts IS NOT NULL AS is_closed
+        |FROM allt""".stripMargin,
+    // Same recursive walk, extended with per-bar ROI/stop-loss closes
+    // (checked BEFORE the bar's signal, reference trade_reward.py:111-141):
+    // max_position=1 keeps the state single-slot, so the ladder
+    // {0m:0.2, 60m:0.1, 1440m:0.02} + stoploss −0.15 stays SQL-expressible.
+    // The walk must visit EVERY bar (holds included) — ROI/SL can fire on
+    // any bar, not just signal bars.
+    "q_trades_roi_stoploss" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
+        |    CASE WHEN event_type='purchase' THEN 'B' WHEN event_type='click' THEN 'S' END AS action,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT symbol, 0 AS rn, 'F' AS st,
+        |    CAST(NULL AS TIMESTAMP) AS ets, CAST(NULL AS DOUBLE) AS epx,
+        |    CAST(NULL AS VARCHAR) AS c_dir, CAST(NULL AS TIMESTAMP) AS c_ets,
+        |    CAST(NULL AS DOUBLE) AS c_epx, CAST(NULL AS TIMESTAMP) AS c_xts,
+        |    CAST(NULL AS DOUBLE) AS c_xpx, CAST(NULL AS VARCHAR) AS c_reason
+        |  FROM (SELECT DISTINCT user_id AS symbol FROM events)
+        |  UNION ALL
+        |  SELECT w.symbol, w.rn + 1,
+        |    CASE WHEN t.action = 'B' THEN (CASE t.m WHEN 'S' THEN 'F' ELSE 'L' END)
+        |         WHEN t.action = 'S' THEN (CASE t.m WHEN 'L' THEN 'F' ELSE 'S' END)
+        |         ELSE t.m END,
+        |    CASE WHEN (t.action='B' AND t.m='F') OR (t.action='S' AND t.m='F') THEN t.bts
+        |         WHEN (t.action='B' AND t.m='L') OR (t.action='S' AND t.m='S')
+        |              OR (t.action IS NULL AND t.m <> 'F') THEN w.ets END,
+        |    CASE WHEN (t.action='B' AND t.m='F') OR (t.action='S' AND t.m='F') THEN t.bclose
+        |         WHEN (t.action='B' AND t.m='L') OR (t.action='S' AND t.m='S')
+        |              OR (t.action IS NULL AND t.m <> 'F') THEN w.epx END,
+        |    CASE WHEN t.closed_rsl OR (t.action='B' AND t.m='S') OR (t.action='S' AND t.m='L')
+        |         THEN (CASE w.st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END) END,
+        |    CASE WHEN t.closed_rsl OR (t.action='B' AND t.m='S') OR (t.action='S' AND t.m='L') THEN w.ets END,
+        |    CASE WHEN t.closed_rsl OR (t.action='B' AND t.m='S') OR (t.action='S' AND t.m='L') THEN w.epx END,
+        |    CASE WHEN t.closed_rsl OR (t.action='B' AND t.m='S') OR (t.action='S' AND t.m='L') THEN t.bts END,
+        |    CASE WHEN t.closed_rsl OR (t.action='B' AND t.m='S') OR (t.action='S' AND t.m='L') THEN t.bclose END,
+        |    CASE WHEN t.closed_rsl THEN (CASE WHEN t.pnl > t.thr THEN 'ROI' ELSE 'STOP_LOSS' END)
+        |         WHEN (t.action='B' AND t.m='S') OR (t.action='S' AND t.m='L') THEN 'SIGNAL' END
+        |  FROM walk w
+        |  JOIN b ON b.symbol = w.symbol AND b.rn = w.rn + 1,
+        |  LATERAL (
+        |    SELECT b.action AS action, b.ts AS bts, b.close AS bclose,
+        |      CASE WHEN w.st = 'L' THEN (b.close - w.epx) / w.epx
+        |           WHEN w.st = 'S' THEN (w.epx - b.close) / w.epx END AS pnl,
+        |      CASE WHEN (epoch_us(b.ts) - epoch_us(w.ets)) // 1000000 >= 86400 THEN 0.02
+        |           WHEN (epoch_us(b.ts) - epoch_us(w.ets)) // 1000000 >= 3600 THEN 0.1
+        |           ELSE 0.2 END AS thr
+        |  ) p,
+        |  LATERAL (
+        |    SELECT p.action, p.bts, p.bclose, p.pnl, p.thr,
+        |      w.st <> 'F' AND (p.pnl > p.thr OR p.pnl < -0.15) AS closed_rsl,
+        |      CASE WHEN w.st <> 'F' AND (p.pnl > p.thr OR p.pnl < -0.15) THEN 'F' ELSE w.st END AS m
+        |  ) t),
+        |closed AS (
+        |  SELECT symbol, c_dir AS direction, c_ets AS entry_ts, c_epx AS entry_price,
+        |    c_xts AS exit_ts, c_xpx AS exit_price, c_reason AS close_reason FROM walk WHERE c_dir IS NOT NULL),
+        |final_state AS (
+        |  SELECT w.symbol, CASE w.st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END AS direction,
+        |    w.ets AS entry_ts, w.epx AS entry_price,
+        |    CAST(NULL AS TIMESTAMP) AS exit_ts, CAST(NULL AS DOUBLE) AS exit_price,
+        |    CAST(NULL AS VARCHAR) AS close_reason
+        |  FROM walk w JOIN (SELECT symbol, max(rn) AS mr FROM walk GROUP BY symbol) m
+        |    ON w.symbol = m.symbol AND w.rn = m.mr
+        |  WHERE w.st <> 'F'),
+        |allt AS (SELECT * FROM closed UNION ALL SELECT * FROM final_state)
+        |SELECT symbol, direction, entry_ts, entry_price, exit_ts, exit_price,
+        |  CASE WHEN exit_ts IS NOT NULL THEN
+        |    (CASE WHEN direction = 'LONG' THEN exit_price - entry_price ELSE entry_price - exit_price END
+        |     - 0.0*entry_price - 0.0*entry_price) / entry_price END AS pnl_norm,
+        |  close_reason,
+        |  exit_ts IS NOT NULL AS is_closed
+        |FROM allt""".stripMargin,
     "q_mtm_timeline" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT
         |SELECT symbol, ts, event_id, close, buy, sell, mtm_ratio,
