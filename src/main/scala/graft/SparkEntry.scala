@@ -45,7 +45,13 @@ object SparkEntry {
       Analytics.topCustomersByNation(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
     "q_events_sessionize" -> ((s, dir) => Analytics.sessionize(Tables.events(s, dir))),
-    "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir)))
+    "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir))),
+    // -- text analysis (LLM pipeline) --
+    "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
+    "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "q_doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
+    "q_doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprint(Tables.documents(s, dir)))
   )
 
   // ------------------------------------------------------------------
@@ -366,6 +372,47 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        |    len(regexp_extract_all(text, '\S+')) AS n_ws,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in|that|it|on)\b')) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN n_ws = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_ws AS DOUBLE) END AS stop_ratio,
+        |    LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS len_score
+        |  FROM m)
+        |SELECT doc_id, n_chars, punct_ratio, stop_ratio,
+        |  0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * LEAST(1.0, stop_ratio * 5.0) AS quality_score
+        |FROM r""".stripMargin,
+    "q_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|mit|den|ein|eine)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in|that|it|on)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|una|los|las)\b')) AS h_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|un|une|du|dans)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '(的|是|不|了|在)')) AS h_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+        |       WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |       WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |       WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM h""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents""".stripMargin
   )
 }
