@@ -51,7 +51,13 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
-    "q_doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprint(Tables.documents(s, dir)))
+    "q_doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprint(Tables.documents(s, dir))),
+    // -- deduplication (LLM pipeline) --
+    "q_dedup_exact" -> ((s, dir) => Dedup.exactDups(Tables.documents(s, dir))),
+    "q_dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    "q_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupsExact(Tables.embeddings(s, dir)))
   )
 
   // ------------------------------------------------------------------
@@ -413,6 +419,34 @@ object SparkEntry {
         |FROM h""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |  FROM documents)
+        |SELECT doc_id, fp_md5,
+        |  count(*) OVER (PARTITION BY fp_md5) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY fp_md5) AS canonical_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY fp_md5) AS is_canonical
+        |FROM f""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s)-1)]) AS gs
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)),
+        |inv AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb, count(*) AS c
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1,2,3,4)
+        |SELECT doc_id_a, doc_id_b, CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) AS jaccard
+        |FROM p WHERE CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) >= 0.8""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum([v[i]*v[i] FOR i IN range(1, len(v)+1)]) AS norm FROM e),
+        |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |        list_sum([a.v[i]*b.v[i] FOR i IN range(1, len(a.v)+1)]) / sqrt(a.norm) / sqrt(b.norm) AS cosine
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
   )
 }

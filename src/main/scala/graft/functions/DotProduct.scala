@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Sequential dot product of two double arrays as a native Catalyst
+  * expression with `doGenCode`: a tight generated loop instead of the
+  * interpreted `zip_with`+`aggregate` higher-order functions (which are
+  * CodegenFallback and ~20× slower on vector kernels). The accumulation
+  * order is ascending-index left fold — the same order DuckDB's
+  * list_sum uses — so cosine results stay bit-identical across engines.
+  *
+  * Backs the embedding similarity operators (SURVEY §2 #25-27): cosine =
+  * dot(a,b)/sqrt(dot(a,a))/sqrt(dot(b,b)) stays fully inside
+  * whole-stage codegen.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_product requires two array<double> arguments, got $l and $r")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int dpN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dpAcc = 0.0;
+         |for (int dpI = 0; dpI < dpN; dpI++) {
+         |  dpAcc += $a.getDouble(dpI) * $b.getDouble(dpI);
+         |}
+         |${ev.value} = dpAcc;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}
+
+object DotProduct {
+  /** Register `dot_product(a, b)` as a SQL/`expr` function on a session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+}

@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings`
+  * (SURVEY §2 #21-25), built from codegen'd expressions plus two native
+  * Catalyst expressions (RollingHash, DotProduct) — no UDFs.
+  *
+  * 100 TB shuffle discipline (SURVEY §4): the only wide exchanges move
+  * (key, doc_id) pairs — the shingle inverted index, LSH band buckets,
+  * or SimHash chunks — never full document text. Every signature
+  * (MinHash, SimHash) is computed by partial-aggregated columns over the
+  * ONE shared inverted-index exchange (Spark reuses it across consumers),
+  * not by per-row array lambdas: higher-order functions are interpreted
+  * (CodegenFallback), and Catalyst's project collapsing re-evaluates an
+  * array-producing expression inside every consumer lambda — measured
+  * ~100× slower at equal semantics. All-pairs work exists only in
+  * `embeddingNearDupsExact`, the oracle/verify path; the scale path for
+  * embeddings is LSH bucketing (see Similarity).
+  */
+object Dedup {
+
+  /** Word-3-gram shingle list of normalized text, duplicates included —
+    * set semantics come from the downstream `distinct()` shuffle, which
+    * is where dedup belongs at scale (per-row array_distinct is an
+    * interpreted O(n²) per document).
+    */
+  private def shingles3Raw(text: Column): Column = {
+    val tokens = split(TextOps.normalized(text), " ")
+    val n = size(tokens)
+    when(n >= 3,
+      transform(sequence(lit(0), n - 3), i =>
+        concat_ws(" ",
+          element_at(tokens, i + 1),
+          element_at(tokens, i + 2),
+          element_at(tokens, i + 3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word-3-gram shingle set as a per-row array (API surface /
+    * small-data convenience; the operators below use [[shingleIndex]]).
+    */
+  def shingles3(text: Column): Column = array_distinct(shingles3Raw(text))
+
+  /** The shared backbone: distinct (doc_id, shingle) inverted index,
+    * built RELATIONALLY — posexplode the token stream once, then window
+    * `lead` to assemble 3-grams — rather than with array lambdas. The
+    * lambda formulation is a measured ~10× slower: higher-order
+    * functions are interpreted, and without codegen subexpression
+    * elimination every `element_at(tokens, …)` re-evaluates the full
+    * regex-normalize+split of the document. Here the normalize+split
+    * runs once per doc (generator input), and everything downstream
+    * (window, concat, distinct) is codegen'd.
+    */
+  private[graft] def shingleIndex(documents: DataFrame): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"),
+      posexplode(split(TextOps.normalized(col("text")), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  /** SURVEY #21: exact duplicate groups by md5 of normalized text. One
+    * shuffle (hash by fingerprint); emits every doc with its group size
+    * and canonical (min doc_id) representative so downstream `keep
+    * canonical` filters are one predicate away.
+    */
+  def exactDups(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp_md5")
+    documents
+      .select(col("doc_id"), md5(TextOps.normalized(col("text")).cast("binary")).as("fp_md5"))
+      .withColumn("group_size", count(lit(1)).over(w).cast("bigint"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+  }
+
+  /** SURVEY #22: word-3-gram Jaccard ≥ threshold pairs via the inverted
+    * index: self-join on the shingle (reused exchange), count common
+    * shingles per ordered pair, then Jaccard from per-doc set sizes
+    * (joined unhinted — AQE broadcasts while sizes fit, falls back to
+    * shuffle join at corpus scale). Shuffles carry (shingle, doc_id) and
+    * (pair, count) only.
+    */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val inv = shingleIndex(documents)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = inv.select(col("shingle"), col("doc_id").as("doc_id_a"))
+      .join(inv.select(col("shingle"), col("doc_id").as("doc_id_b")), Seq("shingle"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n").as("na")), "doc_id_a")
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), "doc_id_b")
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Per-doc MinHash signatures: `perms` partial-aggregated
+    * `min(xxhash64(shingle, seed))` columns over the inverted index,
+    * assembled into one array. Map-side combined, fully codegen'd; the
+    * shuffle moves (doc_id, perms longs).
+    */
+  private[graft] def minhashSignatures(inv: DataFrame, perms: Int): DataFrame = {
+    val aggs = (0 until perms).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"mh$s"))
+    inv.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(i => col(s"mh$i")): _*).as("mh"))
+  }
+
+  /** SURVEY #23: MinHash + banded LSH near-dup pairs. Signatures band
+    * into `bands` groups of perms/bands rows; docs sharing any band
+    * bucket become candidates (shuffle carries (band, bucket_hash,
+    * doc_id) only); candidates are verified with exact Jaccard ≥
+    * threshold against collect_set shingle sets (candidate set is tiny
+    * relative to the corpus, so the verify join is cheap). Precision is
+    * exact post-verify; recall is the LSH probability curve (spec'd
+    * against #22 in DedupSpec).
+    */
+  def minhashLshPairs(
+      documents: DataFrame,
+      threshold: Double = 0.8,
+      perms: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(perms % bands == 0, "bands must divide perms")
+    val rows = perms / bands
+    val inv = shingleIndex(documents)
+    val sig = minhashSignatures(inv, perms)
+    val buckets = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+        xxhash64(slice(col("mh"), bnd * rows + 1, lit(rows))))))
+      .toDF("doc_id", "band", "bucket")
+    // Group-then-pair instead of a bucket self-join: one linear pipeline
+    // (no second evaluation of the signature branch), shuffling only
+    // (band, bucket, doc_id); pair expansion happens inside each bucket.
+    val cands = buckets
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      .distinct()
+    val gsets = inv.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("gs"), count(lit(1)).as("n"))
+    cands
+      .join(gsets.select(col("doc_id").as("doc_id_a"), col("gs").as("ga"), col("n").as("na")), "doc_id_a")
+      .join(gsets.select(col("doc_id").as("doc_id_b"), col("gs").as("gb"), col("n").as("nb")), "doc_id_b")
+      .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("bigint"))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Per-doc 64-bit SimHash: per bit, the sign of the ±1 vote sum across
+    * shingle hashes — 64 partial-aggregated sums over the inverted index;
+    * the shingle hash is projected once and every vote reuses it.
+    */
+  private[graft] def simhashes(inv: DataFrame): DataFrame = {
+    val hashed = inv.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(b => when(col(s"v$b") > 0L, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SURVEY #24: SimHash near-dups with Hamming distance ≤ maxHamming.
+    * Pigeonhole banding: with 4 chunks of 16 bits, any pair within
+    * Hamming ≤ 3 shares at least one exact chunk, so the chunk join is a
+    * lossless candidate generator (recall 1.0 — spec'd vs brute force);
+    * the shuffle carries (chunk_idx, chunk_value, doc_id) only.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding is lossless only up to Hamming 3")
+    val sh = simhashes(shingleIndex(documents))
+    val chunks = sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)), c =>
+        call_function("shiftright", col("simhash"), c * 16).bitwiseAND(lit(0xffffL)))))
+      .toDF("doc_id", "simhash", "chunk", "ck")
+    // Group-then-pair (see minhashLshPairs) with the simhash riding along
+    // in the member struct so Hamming verification needs no extra join.
+    chunks
+      .groupBy("chunk", "ck")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairCombos(col("ms"))).as("p"))
+      .select(
+        col("p.a.doc_id").as("doc_id_a"), col("p.b.doc_id").as("doc_id_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** All ordered element pairs (a before b in the sorted input array) as
+    * an array of (a, b) structs — the in-bucket pair expansion for LSH
+    * candidate generation. Bucket membership lists are small by design;
+    * a pathologically hot bucket is the standard LSH skew case (cap or
+    * salt upstream).
+    */
+  private def pairCombos(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b")))))
+
+  /** SURVEY #25 (oracle path): exact embedding-cosine near-dup pairs.
+    * O(n²) by definition — valid for oracle-scale corpora and as the
+    * verify stage after LSH bucketing; at 100 TB generate candidates
+    * with Similarity's hyperplane-LSH buckets instead. The cosine kernel
+    * is the DotProduct native expression (codegen'd tight loop whose
+    * ascending-index fold matches DuckDB's list_sum bit-for-bit).
+    */
+  def embeddingNearDupsExact(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    DotProduct.register(embeddings.sparkSession)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", call_function("dot_product", col("v"), col("v")))
+    val a = e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .withColumn(
+        "cosine",
+        call_function("dot_product", col("va"), col("vb")) / sqrt(col("na")) / sqrt(col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cosine")
+  }
+}
