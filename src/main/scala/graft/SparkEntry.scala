@@ -57,7 +57,10 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "q_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
-    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupsExact(Tables.embeddings(s, dir)))
+    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupsExact(Tables.embeddings(s, dir))),
+    // -- similarity search (LLM pipeline) --
+    "q_ann_bruteforce_topk" -> ((s, dir) => Similarity.annBruteForceTopK(Tables.embeddings(s, dir))),
+    "q_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables.embeddings(s, dir)))
   )
 
   // ------------------------------------------------------------------
@@ -447,6 +450,17 @@ object SparkEntry {
         |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |        list_sum([a.v[i]*b.v[i] FOR i IN range(1, len(a.v)+1)]) / sqrt(a.norm) / sqrt(b.norm) AS cosine
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
+        |SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin,
+    "q_ann_bruteforce_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum([v[i]*v[i] FOR i IN range(1, len(v)+1)]) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id,
+        |        list_sum([q.qv[i]*n.v[i] FOR i IN range(1, len(q.qv)+1)]) / sqrt(q.qn) / sqrt(n.norm) AS cos
+        |      FROM n JOIN q ON n.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id AS neighbor_id, cos AS cosine
+        |FROM s WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+        |QUALIFY row_number() OVER w <= 10""".stripMargin
   )
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.functions.{DotProduct, TopKByScore}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2 #26-27):
+  * exact brute-force top-k cosine neighbors and a random-hyperplane-LSH
+  * approximate variant.
+  *
+  * 100 TB shape: the query set is small and BROADCAST; the corpus is
+  * scanned exactly once; per-query top-k runs through the bounded-heap
+  * [[graft.functions.TopKByScore]] aggregate, so each task ships one
+  * k-entry heap per query and the only shuffle is Q heap buffers — no
+  * crossJoin materialization, no N·Q-row exchange. The LSH variant
+  * additionally prunes the scan to bucket-colliding candidates.
+  */
+object Similarity {
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    call_function("dot_product", va, vb) / sqrt(na) / sqrt(nb)
+
+  private def withNorm(embeddings: DataFrame): DataFrame = {
+    DotProduct.register(embeddings.sparkSession)
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", call_function("dot_product", col("v"), col("v")))
+  }
+
+  /** SURVEY #26: exact top-k cosine neighbors (self excluded) for the
+    * query set `vec_id < nQueries`. Deterministic ordering: score DESC,
+    * neighbor id ASC.
+    */
+  def annBruteForceTopK(embeddings: DataFrame, k: Int = 10, nQueries: Int = 10): DataFrame = {
+    TopKByScore.register(embeddings.sparkSession)
+    val e = withNorm(embeddings)
+    val queries = e.select(
+      col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+      .filter(col("query_id") < nQueries)
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
+    scored
+      .groupBy("query_id")
+      .agg(expr(s"topk_by_score(cos, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: `tables`·`bits` unit-free normal
+    * vectors from a fixed seed (no runtime randomness — plans must be
+    * reproducible run-to-run).
+    */
+  private[graft] def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Per-row LSH bucket ids: for each table, the `bits` sign bits of the
+    * hyperplane dot products packed into a long.
+    */
+  private def bucketsFor(v: Column, planes: Seq[Seq[Double]], tables: Int, bits: Int): Column = {
+    val signs: Seq[Column] = planes.map(p =>
+      when(call_function("dot_product", v, typedlit(p)) >= 0.0, 1L).otherwise(0L))
+    val tableBuckets = (0 until tables).map { t =>
+      (0 until bits)
+        .map(b => signs(t * bits + b) * lit(1L << b))
+        .reduce(_ + _)
+    }
+    array(tableBuckets: _*)
+  }
+
+  /** SURVEY #27: hyperplane-LSH approximate top-k. Corpus and queries
+    * hash into `tables` independent `bits`-bit sign buckets; candidates
+    * are corpus vectors sharing any bucket with a query (bucket join on
+    * (table, bucket) with the tiny query side broadcast), then exact
+    * cosine + bounded-heap top-k on the candidate set only. Recall vs
+    * the exact #26 is spec'd in SimilaritySpec; on uniform data recall
+    * rises with `tables` and falls with `bits` (the standard LSH curve).
+    */
+  def annLshTopK(
+      embeddings: DataFrame,
+      k: Int = 10,
+      nQueries: Int = 10,
+      tables: Int = 8,
+      bits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    TopKByScore.register(embeddings.sparkSession)
+    val planes = hyperplanes(dim, tables, bits)
+    val e = withNorm(embeddings)
+      .withColumn("bkts", bucketsFor(col("v"), planes, tables, bits))
+    val corpus = e.select(
+      col("vec_id"), col("v"), col("norm"),
+      posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+    val queries = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
+      posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+    corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
+      .distinct()
+      .groupBy("query_id")
+      .agg(expr(s"topk_by_score(cos, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"))
+  }
+}
