@@ -1,27 +1,46 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric","value","unit","queries","sf"} for the
-  * driver's BENCH_r{N}.json.
+  * prints one JSON line {"metric","value","unit","queries","sf","errors"}
+  * for the driver's BENCH_r{N}.json.
+  *
+  * Measurement discipline:
+  *  - every plan is materialized through the `noop` sink — `count()`
+  *    would let Catalyst prune computed columns (a projection-only query
+  *    could degenerate to a scan);
+  *  - each query gets one untimed warm-up run AT THE TARGET SCALE before
+  *    the timed run — AQE picks different physical plans at different
+  *    data sizes, so warming at a smaller sf compiles the wrong codegen
+  *    and the timed run pays janino/JIT (~7 s noise on heavy plans);
+  *  - a query that throws is reported as -1 with its name in `errors`,
+  *    never silently folded into the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
-    // JVM + codegen warm-up on the smallest sf so per-query numbers
-    // measure the plan, not first-call JIT/classload noise.
-    SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
-    }
+
+    def materialize(fn: (SparkSession, String) => DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val warmOk =
+        try { materialize(fn); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      if (!warmOk) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        try { materialize(fn); name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => name -> -1.0 }
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors}""")
     spark.stop()
   }
 }

@@ -60,7 +60,12 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupsExact(Tables.embeddings(s, dir))),
     // -- similarity search (LLM pipeline) --
     "q_ann_bruteforce_topk" -> ((s, dir) => Similarity.annBruteForceTopK(Tables.embeddings(s, dir))),
-    "q_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables.embeddings(s, dir)))
+    "q_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables.embeddings(s, dir))),
+    // -- multimodal plumbing (LLM pipeline) --
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metaExtract(Multimodal.withPayload(Tables.documents(s, dir)))),
+    "q_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir))))
   )
 
   // ------------------------------------------------------------------
@@ -461,6 +466,19 @@ object SparkEntry {
         |      FROM n JOIN q ON n.vec_id <> q.query_id)
         |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id AS neighbor_id, cos AS cosine
         |FROM s WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
-        |QUALIFY row_number() OVER w <= 10""".stripMargin
+        |QUALIFY row_number() OVER w <= 10""".stripMargin,
+    "q_multimodal_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB
+        |          WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+        |          ELSE '\x52\x49\x46\x46'::BLOB END) || encode(text) AS payload
+        |  FROM documents)
+        |SELECT doc_id, octet_length(payload) AS n_bytes,
+        |  left(hex(payload), 8) AS magic_hex,
+        |  CASE left(hex(payload), 8)
+        |    WHEN '89504E47' THEN 'png' WHEN 'FFD8FFE0' THEN 'jpeg'
+        |    WHEN '52494646' THEN 'riff' ELSE 'unknown' END AS kind
+        |FROM p""".stripMargin
   )
 }

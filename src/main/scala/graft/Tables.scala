@@ -23,8 +23,10 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw nanos LongType (spark.sql.legacy.parquet.nanosAsLong=true — set
     * by [[Sessions]]); convert to a microsecond TIMESTAMP here via
-    * integer division (floor, matching DuckDB's ns→us cast) so every
-    * consumer sees a normal timestamp column.
+    * `div 1000`. NOTE: `div` truncates toward zero, which equals floor
+    * only for post-epoch (non-negative) timestamps — DuckDB's ns→us cast
+    * floors, so pre-1970 nanos would land 1 µs apart across engines. The
+    * driver's synthetic data is post-epoch; revisit if that changes.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

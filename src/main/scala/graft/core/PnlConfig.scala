@@ -1,7 +1,10 @@
 package graft.core
 
 /** PnL-run configuration, mirroring the reference's `PnlCalcConfig`
-  * (reference: config.py:5-74).
+  * (reference: config.py:5-74). Defaults mirror `PnlCalcConfig
+  * .get_default()` (config.py:44-46), NOT the pydantic field defaults —
+  * notably laidBackTax defaults to 0.0 here (get_default) while the
+  * reference's raw field default is 0.0001 (config.py:39).
   *
   * @param roi take-profit ladder: holding-minutes → normalized-profit
   *            threshold; a position closes once its normalized pnl is

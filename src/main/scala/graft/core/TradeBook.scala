@@ -142,4 +142,18 @@ final class TradeBook(cfg: PnlConfig) extends Serializable {
   }
 
   def openCount: Int = longs.length + shorts.length
+
+  /** Current open positions (longs, shorts) — for checkpointing the book
+    * across streaming micro-batches (graft.streaming).
+    */
+  def snapshotOpen(): (Seq[OpenPos], Seq[OpenPos]) = (longs.toSeq, shorts.toSeq)
+
+  /** Restore open positions saved by [[snapshotOpen]] (insertion order
+    * preserved so FIFO selection is unchanged). Only valid on a fresh book.
+    */
+  def restoreOpen(openLongs: Seq[OpenPos], openShorts: Seq[OpenPos]): Unit = {
+    require(longs.isEmpty && shorts.isEmpty && drained.isEmpty, "restore requires a fresh book")
+    longs ++= openLongs
+    shorts ++= openShorts
+  }
 }

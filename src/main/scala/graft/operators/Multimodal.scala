@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2 #28): media as opaque binary
+  * columns with typed metadata, processed batched-partition-wise. The
+  * container has no image/audio codecs, so the decode step is a clearly
+  * marked DETERMINISTIC STUB — the real parts are the Spark-side
+  * plumbing: binary schema, magic sniffing, batch shape, and the
+  * mapPartitions pipeline that a codec (JNI/FFI or vectorized reader)
+  * would slot into.
+  *
+  * Scale: payloads stay opaque bytes end-to-end (no row explosion, no
+  * driver collect); decode batches bound memory per task; metadata
+  * extraction is a codegen'd projection over prefixes, so the parquet
+  * scan can prune to (doc_id, payload) and nothing shuffles.
+  */
+object Multimodal {
+
+  private val PngMagic: Array[Byte] = Array(0x89.toByte, 0x50, 0x4e, 0x47)
+  private val JpegMagic: Array[Byte] = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+  private val RiffMagic: Array[Byte] = Array(0x52, 0x49, 0x46, 0x46)
+
+  /** documents → (doc_id, payload): a synthetic media payload — one of
+    * three magic headers (by doc_id mod 3) followed by the utf-8 text
+    * bytes. Stands in for a real media column; everything downstream
+    * treats it as opaque bytes.
+    */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit(PngMagic))
+          .when(col("doc_id") % 3 === 1, lit(JpegMagic))
+          .otherwise(lit(RiffMagic)),
+        encode(col("text"), "utf-8")).as("payload"))
+
+  /** SURVEY #28: typed metadata from the binary column — byte length,
+    * 4-byte magic (hex), sniffed container kind. Pure projection.
+    */
+  def metaExtract(payloads: DataFrame): DataFrame = {
+    val magicHex = hex(substring(col("payload"), 1, 4))
+    payloads.select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("bigint").as("n_bytes"),
+      magicHex.as("magic_hex"),
+      when(magicHex === "89504E47", "png")
+        .when(magicHex === "FFD8FFE0", "jpeg")
+        .when(magicHex === "52494646", "riff")
+        .otherwise("unknown").as("kind"))
+  }
+
+  /** Decoded-media metadata row (what a real decoder would emit). */
+  final case class DecodedMeta(
+      doc_id: Long, kind: String, width: Int, height: Int,
+      duration_ms: Long, batch_size: Int)
+
+  /** The batched partition-wise decode pipeline. Batches of `batchSize`
+    * payloads are handed to [[decodeBatchStub]] — the seam where a real
+    * codec (libjpeg/ffmpeg via FFI, or an Arrow-vectorized reader) would
+    * plug in. Batch shape, schema, and per-task memory bounds are real;
+    * only the pixel math is fake.
+    */
+  def decodeMeta(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+        .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => decodeBatchStub(batch, batch.size))
+    }.toDF()
+  }
+
+  /** DETERMINISTIC FAKE DECODE — ??? in spirit: derives "dimensions"
+    * from payload bytes so tests are reproducible. A real implementation
+    * decodes the batch with a native codec and returns true dimensions.
+    */
+  private def decodeBatchStub(
+      batch: Seq[(Long, Array[Byte])], batchSize: Int): Seq[DecodedMeta] =
+    batch.map { case (id, bytes) =>
+      val kind = bytes.take(4) match {
+        case b if b.sameElements(PngMagic) => "png"
+        case b if b.sameElements(JpegMagic) => "jpeg"
+        case b if b.sameElements(RiffMagic) => "riff"
+        case _ => "unknown"
+      }
+      val h = graft.functions.RollingHash.hashBytes(bytes)
+      DecodedMeta(
+        doc_id = id, kind = kind,
+        width = (math.abs(h) % 1920 + 1).toInt,
+        height = (math.abs(h / 7) % 1080 + 1).toInt,
+        duration_ms = if (kind == "riff") math.abs(h % 60000L) else 0L,
+        batch_size = batchSize)
+    }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.core.{OpenPos, PnlConfig, TradeBook}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs (SURVEY §2 #29-30): the streaming twins of
+  * the batch tumbling aggregation and of the MTM engine. Both run on any
+  * DataFrame — batch or streaming — so batch/stream parity is a direct
+  * spec assertion (StreamingSpec).
+  */
+object StreamingJobs {
+
+  /** SURVEY #29: 1-hour tumbling-window counts/sums per event type with
+    * a 2-hour watermark. In append mode a window emits once the
+    * watermark passes its end — the standard bounded-state streaming
+    * aggregation (state size = open windows × event types).
+    */
+  def tumblingAgg(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Engine input bar (same canonical view as the batch engine). */
+  final case class StreamBar(
+      symbol: Long, ts_us: Long, event_id: Long, close: Double, buy: Int, sell: Int)
+
+  /** Streamed timeline point. */
+  final case class StreamPoint(symbol: Long, ts_us: Long, event_id: Long, mtm_ratio: Double)
+
+  /** Serializable checkpoint of one symbol's book between micro-batches. */
+  final case class BookState(
+      prevClose: Double, hasPrev: Boolean,
+      longs: Seq[(Long, Double)], shorts: Seq[(Long, Double)])
+
+  /** SURVEY #30: the SAME TradeBook core as the batch engine, run
+    * incrementally under `flatMapGroupsWithState`. Each micro-batch
+    * restores the symbol's open positions + previous close from
+    * GroupState, steps the batch's bars in time order, and checkpoints
+    * back — state is O(open positions) per symbol, exactly like the
+    * batch operator's iterator state. Contract: bars must arrive in
+    * non-decreasing event-time order across batches for a symbol
+    * (in-order source or upstream watermark+sort); intra-batch order is
+    * restored by sorting the group.
+    */
+  def mtmTimelineStream(bars: Dataset[StreamBar], cfg: PnlConfig): Dataset[StreamPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[BookState, StreamPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (symbol, it, state: GroupState[BookState]) =>
+          val book = new TradeBook(cfg)
+          var prevClose = Double.NaN
+          if (state.exists) {
+            val s = state.get
+            if (s.hasPrev) prevClose = s.prevClose
+            book.restoreOpen(
+              s.longs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
+              s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
+          }
+          val out = it.toSeq.sortBy(b => (b.ts_us, b.event_id)).map { b =>
+            val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
+            prevClose = b.close
+            StreamPoint(symbol, b.ts_us, b.event_id,
+              book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1))
+          }
+          val (ol, os) = book.snapshotOpen()
+          state.update(BookState(
+            prevClose, !prevClose.isNaN,
+            ol.map(p => (p.entryUs, p.entryPrice)),
+            os.map(p => (p.entryUs, p.entryPrice))))
+          out.iterator
+      }
+  }
+}

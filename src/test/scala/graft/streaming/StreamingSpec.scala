@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.{Sessions, Tables}
+import graft.core.PnlConfig
+import graft.operators.{Analytics, MtmEngine}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming parity specs (SURVEY §2 #29-30): MemoryStream
+  * feeds real sf0.001 rows in chronological chunks; the streaming
+  * results must equal their batch twins.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.local("4")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("#29 watermarked tumbling agg matches the batch twin on closed windows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    final case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .orderBy("ts")
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect()
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamingJobs.tumblingAgg(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Append).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      stream.addData(h1.toSeq); q.processAllAvailable()
+      stream.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tumbling")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // batch twin, restricted to windows closed by the final watermark
+    val maxTs = rows.map(_._1.getTime).max
+    val watermarkMs = maxTs - 2L * 3600 * 1000
+    val exp = Analytics.tumblingAgg(Tables.events(spark, sfDir))
+      .filter(unix_millis(col("wstart")) + 3600000L <= watermarkMs)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(exp.nonEmpty)
+    exp.foreach { case (k, (n, total)) =>
+      assert(got.contains(k), s"missing closed window $k")
+      assert(got(k)._1 == n && math.abs(got(k)._2 - total) < 1e-9, s"window $k mismatch")
+    }
+  }
+
+  test("#30 flatMapGroupsWithState MTM engine matches the batch engine") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+      .select("symbol", "ts_us", "event_id", "close", "buy", "sell")
+      .orderBy("ts_us", "event_id")
+      .collect()
+      .map(r => StreamingJobs.StreamBar(
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+    val cfg = PnlConfig(
+      roi = Map(0 -> 0.2, 60 -> 0.1), stoploss = -0.15, enableShortPosition = true)
+    val stream = MemoryStream[StreamingJobs.StreamBar]
+    val q = StreamingJobs.mtmTimelineStream(stream.toDS(), cfg)
+      .writeStream.format("memory").queryName("mtmstream").outputMode(OutputMode.Append).start()
+    try {
+      // three chronological chunks — state must carry across micro-batches
+      bars.grouped(math.max(1, bars.length / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("mtmstream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exp = MtmEngine.timeline(
+        MtmEngine.barsFromEvents(Tables.events(spark, sfDir)), cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(6)).toMap
+    assert(exp.nonEmpty && got.size == exp.size)
+    exp.foreach { case (k, v) =>
+      assert(got.contains(k) && math.abs(got(k) - v) <= 1e-12 * math.max(1.0, math.abs(v)),
+        s"bar $k: stream ${got.get(k)} vs batch $v")
+    }
+  }
+}
