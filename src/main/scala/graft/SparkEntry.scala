@@ -33,6 +33,8 @@ object SparkEntry {
     "q_max_drawdown" -> ((s, dir) => MtmEngine.maxDrawdown(bars(s, dir), PnlConfig.default)),
     "q_sharpe_ratio" -> ((s, dir) => MtmEngine.sharpeRatio(bars(s, dir), PnlConfig.default)),
     "q_pnl_summary" -> ((s, dir) => MtmEngine.pnlSummary(bars(s, dir), PnlConfig.default)),
+    "q_pnl_summary_hyperopt" -> ((s, dir) =>
+      MtmRunner.hyperOptAdapter(MtmEngine.pnlSummary(bars(s, dir), PnlConfig.default))),
     "q_trades_roi_stoploss" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), roiSlCfg)),
     "q_trades_max_position" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), maxPosCfg)),
     // -- generic analytics --
@@ -330,6 +332,22 @@ object SparkEntry {
         |  CAST(ct.n_wins AS DOUBLE) / CAST(ct.n_trades AS DOUBLE) AS win_rate,
         |  CAST(ct.hold_us AS DOUBLE) / CAST(ct.n_trades AS DOUBLE) / 1000000.0 AS avg_holding_secs
         |FROM p LEFT JOIN ct ON p.symbol = ct.symbol""".stripMargin,
+    "q_pnl_summary_hyperopt" ->
+      s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
+        |p AS (SELECT symbol, CAST(SUM(CAST(mtm_ratio AS DECIMAL(38,9))) AS DOUBLE) AS pnl
+        |      FROM acc GROUP BY symbol),
+        |ct AS (SELECT symbol, COUNT(*) AS n_trades,
+        |         COUNT(*) FILTER (WHERE (exit_price - entry_price - 0.0*entry_price - 0.0*entry_price)/entry_price > 0.0) AS n_wins,
+        |         SUM(epoch_us(exit_ts) - epoch_us(entry_ts)) AS hold_us
+        |       FROM trades WHERE exit_ts IS NOT NULL GROUP BY symbol),
+        |s AS (SELECT p.symbol, p.pnl, COALESCE(ct.n_trades, 0) AS n_trades,
+        |        CAST(ct.n_wins AS DOUBLE) / CAST(ct.n_trades AS DOUBLE) AS win_rate,
+        |        CAST(ct.hold_us AS DOUBLE) / CAST(ct.n_trades AS DOUBLE) / 1000000.0 AS avg_holding_secs
+        |      FROM p LEFT JOIN ct ON p.symbol = ct.symbol)
+        |SELECT symbol,
+        |  CASE WHEN abs(pnl) < 1e-12 THEN -1e50 ELSE pnl END AS pnl,
+        |  n_trades, win_rate, avg_holding_secs
+        |FROM s""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

@@ -131,4 +131,20 @@ object Analytics {
         dsum(col("value")).as("total_value"),
         countDistinct(col("user_id")).as("n_users")
       )
+
+  /** The 100 TB variant of [[tumblingAgg]]: exact `countDistinct` plans
+    * an Expand (one row copy per aggregate) plus a distinct shuffle —
+    * at corpus scale that multiplies the exchange by the distinct-column
+    * count. HyperLogLog++ keeps the plan a single pass with fixed-size
+    * sketch buffers (mergeable map-side), trading ≤`rsd` relative error
+    * on the distinct count.
+    */
+  def tumblingAggApprox(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        approx_count_distinct(col("user_id"), rsd).as("n_users_approx")
+      )
 }
