@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.{Sessions, Tables}
+import graft.core.PnlConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The closed-form window plans must reproduce the state-machine engine
+  * exactly for the default config — two independent formulations of the
+  * same semantics (SURVEY §4: SignalCompression is the preferred
+  * physical strategy when the config allows it).
+  */
+class SignalCompressionSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.local("4")
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("closed-form blotter equals the MtmEngine blotter (default config)") {
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+    val engine = rows(MtmEngine.blotterQuery(bars, PnlConfig.default))
+    val closed = rows(SignalCompression.blotterQuery(bars))
+    assert(engine == closed,
+      s"only-engine: ${(engine -- closed).take(3)}, only-closed: ${(closed -- engine).take(3)}")
+    assert(engine.nonEmpty)
+  }
+
+  test("closed-form timeline equals the MtmEngine timeline (default config)") {
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+    val engine = rows(MtmEngine.timelineQuery(bars, PnlConfig.default))
+    val closed = rows(SignalCompression.timeline(bars))
+    assert(engine == closed,
+      s"only-engine: ${(engine -- closed).take(3)}, only-closed: ${(closed -- engine).take(3)}")
+    assert(engine.size == bars.count())
+  }
+
+  test("closed-form plans are fully codegen'd (no object state machine)") {
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val p = SignalCompression.blotterQuery(bars).queryExecution.executedPlan.toString
+    assert(!p.contains("SerializeFromObject"), "closed form must not use mapPartitions")
+    // AQE hides codegen markers until execution; window + project plans
+    // are codegen-eligible, the object-state-machine path is what we bar
+    assert(p.contains("Window"), "expected window-function plan")
+  }
+}
