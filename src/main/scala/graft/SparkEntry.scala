@@ -7,9 +7,13 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The engine's reason to exist: full per-symbol Mtm_Result summary
+    * (pnl, drawdown, sharpe) from the distributed state machine.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    MtmRunner.calculate(
+      MtmEngine.barsFromEvents(Tables.events(spark, "/root/testdata/sf0.001"))).summary
 
   /** Engine configs exercised by the wired queries. */
   private val feesCfg = PnlConfig(feeRate = 0.001, laidBackTax = 0.0001)

@@ -89,13 +89,30 @@ object Dedup {
     * shuffle join at corpus scale). Shuffles carry (shingle, doc_id) and
     * (pair, count) only.
     */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** @param maxShingleDf optional document-frequency cap: a shingle
+    *        appearing in more than this many docs is excluded from the
+    *        pair join (its contribution to Σdf² is quadratic — THE skew
+    *        bomb of inverted-index joins at corpus scale). None (default)
+    *        keeps exact Jaccard semantics for the oracle; production
+    *        corpora should cap (standard practice — ultra-common
+    *        shingles carry no near-dup signal).
+    */
+  def ngramJaccardPairs(
+      documents: DataFrame,
+      threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     // materialized once — three consumers (both join sides + sizes)
     // would otherwise re-run the shingle pipeline per branch
     val inv = shingleIndex(documents).localCheckpoint(false)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = inv.select(col("shingle"), col("doc_id").as("doc_id_a"))
-      .join(inv.select(col("shingle"), col("doc_id").as("doc_id_b")), Seq("shingle"))
+    val joinable = maxShingleDf match {
+      case Some(cap) =>
+        val w = Window.partitionBy("shingle")
+        inv.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= cap).drop("df")
+      case None => inv
+    }
+    val common = joinable.select(col("shingle"), col("doc_id").as("doc_id_a"))
+      .join(joinable.select(col("shingle"), col("doc_id").as("doc_id_b")), Seq("shingle"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .groupBy("doc_id_a", "doc_id_b")
       .agg(count(lit(1)).as("n_common"))
