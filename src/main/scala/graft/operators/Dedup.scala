@@ -126,14 +126,19 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** Per-doc MinHash signatures: `perms` partial-aggregated
-    * `min(xxhash64(shingle, seed))` columns over the inverted index,
-    * assembled into one array. Map-side combined, fully codegen'd; the
-    * shuffle moves (doc_id, perms longs).
+  /** Per-doc MinHash signatures: ONE base xxhash64 of the shingle STRING
+    * per (doc, shingle), then `perms` partial-aggregated
+    * `min(xxhash64(h, seed))` columns — re-hashing the fixed 8-byte base
+    * hash per seed instead of the variable-length string (ANSI mode bars
+    * wrapping affine arithmetic; a seeded 8-byte xxhash64 is an equally
+    * valid permutation family and still removes the perms× string-hash
+    * CPU). Map-side combined, codegen'd; the shuffle moves
+    * (doc_id, perms longs).
     */
   private[graft] def minhashSignatures(inv: DataFrame, perms: Int): DataFrame = {
-    val aggs = (0 until perms).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"mh$s"))
-    inv.groupBy("doc_id")
+    val hashed = inv.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until perms).map(s => min(xxhash64(col("h"), lit(s))).as(s"mh$s"))
+    hashed.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until perms).map(i => col(s"mh$i")): _*).as("mh"))
   }
@@ -162,9 +167,11 @@ object Dedup {
     // (measured ~3× the runtime otherwise). At corpus scale this is the
     // "write the signature/feature table once" step of any LSH dedup.
     val aggs =
-      (0 until perms).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"mh$s")) ++
+      (0 until perms).map(s => min(xxhash64(col("h"), lit(s))).as(s"mh$s")) ++
         Seq(collect_set(col("shingle")).as("gs"), count(lit(1)).as("n"))
-    val perDoc = inv.groupBy("doc_id")
+    val perDoc = inv
+      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(
         col("doc_id"), col("gs"), col("n"),
