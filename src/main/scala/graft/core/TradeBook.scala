@@ -35,7 +35,7 @@ final case class BookTrade(
   * snapshot the live list instead of mutating it mid-iteration, and FIFO
   * selection is true insertion order.
   */
-final class TradeBook(cfg: PnlConfig) extends Serializable {
+final class TradeBook(cfg: PnlConfig, trackTrades: Boolean = true) extends Serializable {
   // ROI ladder in (elapsed-seconds, threshold), ascending by elapsed.
   private val roiLadder: Array[(Long, Double)] =
     cfg.roi.toArray.map { case (m, v) => (m * 60L, v) }.sortBy(_._1)
@@ -63,9 +63,15 @@ final class TradeBook(cfg: PnlConfig) extends Serializable {
     raw / p.entryPrice
   }
 
+  /** Closes a position; the blotter record is kept only when the caller
+    * consumes trades (`trackTrades`) — timeline-only runs would otherwise
+    * accumulate every closed trade of a symbol run in memory, breaking
+    * the O(open positions) state bound on signal-dense mega-symbols.
+    */
   private def close(list: ArrayBuffer[OpenPos], idx: Int, price: Double, tsUs: Long, reason: String): Unit = {
     val p = list.remove(idx)
-    drained += BookTrade(p.isLong, p.entryUs, p.entryPrice, tsUs, price, reason, isClosed = true)
+    if (trackTrades)
+      drained += BookTrade(p.isLong, p.entryUs, p.entryPrice, tsUs, price, reason, isClosed = true)
   }
 
   /** Scan a side for ROI / stop-loss closes over a snapshot; returns fee. */

@@ -36,7 +36,12 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly on dimension mismatch — silently truncating would mask
+    // wrong-width embeddings / hyperplanes and quietly degrade results
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product dimension mismatch: $n vs ${y.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -44,15 +49,25 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: fixed locals collide when the expression appears
+      // twice in one codegen scope with non-nullable children
+      val n = ctx.freshName("dpN")
+      val acc = ctx.freshName("dpAcc")
+      val i = ctx.freshName("dpI")
       s"""
-         |int dpN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dpAcc = 0.0;
-         |for (int dpI = 0; dpI < dpN; dpI++) {
-         |  dpAcc += $a.getDouble(dpI) * $b.getDouble(dpI);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product dimension mismatch: " + $n + " vs " + $b.numElements());
          |}
-         |${ev.value} = dpAcc;
-       """.stripMargin)
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

@@ -34,15 +34,21 @@ case class RollingHash(child: Expression)
     RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // fresh names: fixed locals collide when the expression appears
+      // twice in one codegen scope with non-nullable children
+      val bytes = ctx.freshName("rhBytes")
+      val h = ctx.freshName("rh")
+      val i = ctx.freshName("rhI")
       s"""
-         |byte[] rhBytes = $c.getBytes();
-         |long rh = 0L;
-         |for (int rhI = 0; rhI < rhBytes.length; rhI++) {
-         |  rh = rh * 31L + (long) (rhBytes[rhI] & 0xFF);
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * 31L + (long) ($bytes[$i] & 0xFF);
          |}
-         |${ev.value} = rh;
-       """.stripMargin)
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)

@@ -64,7 +64,10 @@ case class TopKByScore(
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    // non-finite scores are dropped: NaN compares false both ways in
+    // better(), which would freeze the heap head and corrupt eviction
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
+      offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     buf
   }
 

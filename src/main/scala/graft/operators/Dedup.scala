@@ -23,28 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word-3-gram shingle list of normalized text, duplicates included —
-    * set semantics come from the downstream `distinct()` shuffle, which
-    * is where dedup belongs at scale (per-row array_distinct is an
-    * interpreted O(n²) per document).
-    */
-  private def shingles3Raw(text: Column): Column = {
-    val tokens = split(TextOps.normalized(text), " ")
-    val n = size(tokens)
-    when(n >= 3,
-      transform(sequence(lit(0), n - 3), i =>
-        concat_ws(" ",
-          element_at(tokens, i + 1),
-          element_at(tokens, i + 2),
-          element_at(tokens, i + 3))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** Distinct word-3-gram shingle set as a per-row array (API surface /
-    * small-data convenience; the operators below use [[shingleIndex]]).
-    */
-  def shingles3(text: Column): Column = array_distinct(shingles3Raw(text))
-
   /** The shared backbone: distinct (doc_id, shingle) inverted index,
     * built RELATIONALLY — posexplode the token stream once, then window
     * `lead` to assemble 3-grams — rather than with array lambdas. The
@@ -88,8 +66,8 @@ object Dedup {
     * (joined unhinted — AQE broadcasts while sizes fit, falls back to
     * shuffle join at corpus scale). Shuffles carry (shingle, doc_id) and
     * (pair, count) only.
-    */
-  /** @param maxShingleDf optional document-frequency cap: a shingle
+    *
+    * @param maxShingleDf optional document-frequency cap: a shingle
     *        appearing in more than this many docs is excluded from the
     *        pair join (its contribution to Σdf² is quadratic — THE skew
     *        bomb of inverted-index joins at corpus scale). None (default)
@@ -124,23 +102,6 @@ object Dedup {
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
-  }
-
-  /** Per-doc MinHash signatures: ONE base xxhash64 of the shingle STRING
-    * per (doc, shingle), then `perms` partial-aggregated
-    * `min(xxhash64(h, seed))` columns — re-hashing the fixed 8-byte base
-    * hash per seed instead of the variable-length string (ANSI mode bars
-    * wrapping affine arithmetic; a seeded 8-byte xxhash64 is an equally
-    * valid permutation family and still removes the perms× string-hash
-    * CPU). Map-side combined, codegen'd; the shuffle moves
-    * (doc_id, perms longs).
-    */
-  private[graft] def minhashSignatures(inv: DataFrame, perms: Int): DataFrame = {
-    val hashed = inv.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val aggs = (0 until perms).map(s => min(xxhash64(col("h"), lit(s))).as(s"mh$s"))
-    hashed.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until perms).map(i => col(s"mh$i")): _*).as("mh"))
   }
 
   /** SURVEY #23: MinHash + banded LSH near-dup pairs. Signatures band

@@ -73,7 +73,8 @@ object MtmEngine {
     * derived from the previous bar in-stream (no window needed — the
     * partition is already symbol-ordered).
     */
-  private final class SymbolRunner(cfg: PnlConfig) extends Serializable {
+  private final class SymbolRunner(cfg: PnlConfig, trackTrades: Boolean = true)
+      extends Serializable {
     var book: TradeBook = null
     var symbol: Long = 0L
     private var prevClose: Double = Double.NaN
@@ -83,11 +84,11 @@ object MtmEngine {
       */
     def beginBar(b: EngineBar): Seq[(Long, BookTrade)] = {
       if (book == null) {
-        book = new TradeBook(cfg); symbol = b.symbol; prevClose = Double.NaN
+        book = new TradeBook(cfg, trackTrades); symbol = b.symbol; prevClose = Double.NaN
         Nil
       } else if (b.symbol != symbol) {
         val flushed = book.flushOpen().map(t => (symbol, t))
-        book = new TradeBook(cfg); symbol = b.symbol; prevClose = Double.NaN
+        book = new TradeBook(cfg, trackTrades); symbol = b.symbol; prevClose = Double.NaN
         flushed
       } else Nil
     }
@@ -111,7 +112,10 @@ object MtmEngine {
     val spark = bars.sparkSession
     import spark.implicits._
     sortedBars(bars).mapPartitions { it =>
-      val r = new SymbolRunner(cfg)
+      // trackTrades=false: timeline consumers never drain the blotter, so
+      // recording closed trades would grow per-task memory with the
+      // symbol's trade count instead of O(open positions)
+      val r = new SymbolRunner(cfg, trackTrades = false)
       it.map { b =>
         r.beginBar(b) // timeline ignores blotter flushes; resets state
         TimelinePoint(b.symbol, b.ts_us, b.event_id, b.close, b.buy, b.sell, r.stepBar(b))
@@ -177,19 +181,31 @@ object MtmEngine {
   private def cumDec(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(38,9)")).over(seqWindow)
 
+  // Each query surface comes in two forms: the public (bars, cfg) entry
+  // and a `*From(timeline/blotter)` form over a precomputed engine
+  // output — MtmRunner.calculate materializes the engine ONCE and feeds
+  // every summary from it instead of re-running the state machine per
+  // metric (exchange reuse shares only the shuffle write, not the
+  // sort + mapPartitions work).
+
   /** SURVEY #4/#5: per-bar mtm_ratio + cumulative pnl_ratio
     * (reference pnl_timeline: runner_mtm.py:136-183).
     */
   def timelineQuery(bars: DataFrame, cfg: PnlConfig): DataFrame =
-    timeline(bars, cfg)
-      .withColumn("pnl_ratio", cumDec(col("mtm_ratio")).cast("double"))
+    timelineQueryFrom(timeline(bars, cfg))
+
+  private[graft] def timelineQueryFrom(tl: DataFrame): DataFrame =
+    tl.withColumn("pnl_ratio", cumDec(col("mtm_ratio")).cast("double"))
       .select(
         col("symbol"), timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
         col("close"), col("buy"), col("sell"), col("mtm_ratio"), col("pnl_ratio"))
 
   /** SURVEY #2/#3: the trade blotter as a query. */
   def blotterQuery(bars: DataFrame, cfg: PnlConfig): DataFrame =
-    blotter(bars, cfg).select(
+    blotterQueryFrom(blotter(bars, cfg))
+
+  private[graft] def blotterQueryFrom(bl: DataFrame): DataFrame =
+    bl.select(
       col("symbol"), col("direction"),
       timestamp_micros(col("entry_ts_us")).as("entry_ts"), col("entry_price"),
       timestamp_micros(col("exit_ts_us")).as("exit_ts"), col("exit_price"),
@@ -200,7 +216,10 @@ object MtmEngine {
     * All-decimal arithmetic end to end, one double conversion at the end.
     */
   def maxDrawdown(bars: DataFrame, cfg: PnlConfig): DataFrame =
-    timeline(bars, cfg)
+    maxDrawdownFrom(timeline(bars, cfg))
+
+  private[graft] def maxDrawdownFrom(tl: DataFrame): DataFrame =
+    tl
       // Narrow to (20,9) before subtracting: (38,9)−(38,9) would overflow
       // precision 38 and silently drop to scale 8 (precision-loss
       // rounding), diverging from the oracle's exact scale-9 arithmetic.
@@ -220,10 +239,12 @@ object MtmEngine {
     * final value is rounded to 4 dp, hiding sub-1e-12 algorithmic
     * differences between engines.
     */
-  def sharpeRatio(bars: DataFrame, cfg: PnlConfig): DataFrame = {
+  def sharpeRatio(bars: DataFrame, cfg: PnlConfig): DataFrame =
+    sharpeRatioFrom(timeline(bars, cfg))
+
+  private[graft] def sharpeRatioFrom(tl: DataFrame): DataFrame = {
     val xs = col("mtm_ratio") - lit(0.000001)
-    timeline(bars, cfg)
-      .withColumn("ms", expr("ts_us div 1000"))
+    tl.withColumn("ms", expr("ts_us div 1000"))
       .groupBy("symbol")
       .agg(
         sum(xs.cast("decimal(38,12)")).cast("double").as("sum_x"),
@@ -244,11 +265,14 @@ object MtmEngine {
     * trade_reward.py:413-421), closed-trade count, win rate, average
     * holding seconds (reference Mtm_Result surface).
     */
-  def pnlSummary(bars: DataFrame, cfg: PnlConfig): DataFrame = {
-    val pnlAgg = timeline(bars, cfg)
+  def pnlSummary(bars: DataFrame, cfg: PnlConfig): DataFrame =
+    pnlSummaryFrom(timeline(bars, cfg), blotter(bars, cfg))
+
+  private[graft] def pnlSummaryFrom(tl: DataFrame, bl: DataFrame): DataFrame = {
+    val pnlAgg = tl
       .groupBy("symbol")
       .agg(sum(col("mtm_ratio").cast("decimal(38,9)")).cast("double").as("pnl"))
-    val tradeAgg = blotter(bars, cfg)
+    val tradeAgg = bl
       .filter(col("is_closed"))
       .groupBy("symbol")
       .agg(

@@ -25,13 +25,20 @@ object MtmRunner {
     *             buy, sell) — see [[MtmEngine.barsFromEvents]].
     */
   def calculate(bars: DataFrame, cfg: PnlConfig = PnlConfig.default): MtmResult = {
-    val summary = MtmEngine.pnlSummary(bars, cfg)
-      .join(MtmEngine.maxDrawdown(bars, cfg), Seq("symbol"), "left")
-      .join(MtmEngine.sharpeRatio(bars, cfg), Seq("symbol"), "left")
+    // run the state machine ONCE per output family: the timeline and
+    // blotter are materialized lazily and every summary metric is an
+    // agg/window over them — without this, each of pnl/drawdown/sharpe
+    // would re-execute the repartition+sort+mapPartitions pipeline
+    // (exchange reuse shares the shuffle write but not the engine work)
+    val tl = MtmEngine.timeline(bars, cfg).localCheckpoint(false)
+    val bl = MtmEngine.blotter(bars, cfg).localCheckpoint(false)
+    val summary = MtmEngine.pnlSummaryFrom(tl, bl)
+      .join(MtmEngine.maxDrawdownFrom(tl), Seq("symbol"), "left")
+      .join(MtmEngine.sharpeRatioFrom(tl), Seq("symbol"), "left")
     MtmResult(
       summary = summary,
-      timeline = MtmEngine.timelineQuery(bars, cfg),
-      trades = MtmEngine.blotterQuery(bars, cfg))
+      timeline = MtmEngine.timelineQueryFrom(tl),
+      trades = MtmEngine.blotterQueryFrom(bl))
   }
 
   /** The reference's `HyperOptPnlCalculator_Adapter`

@@ -58,7 +58,9 @@ object StreamingJobs {
       .flatMapGroupsWithState[BookState, StreamPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (symbol, it, state: GroupState[BookState]) =>
-          val book = new TradeBook(cfg)
+          // trackTrades=false: the timeline stream never drains the
+          // blotter, so closed-trade records would pile up per batch
+          val book = new TradeBook(cfg, trackTrades = false)
           var prevClose = Double.NaN
           if (state.exists) {
             val s = state.get

@@ -17,18 +17,23 @@ class MtmEngineSpec extends AnyFunSuite {
   private lazy val spark: SparkSession = Sessions.local("4")
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** (symbol → time-ordered bars (tsUs, close, diff, buy, sell)). */
-  private lazy val barsBySymbol: Map[Long, Seq[(Long, Double, Double, Boolean, Boolean)]] = {
+  /** (symbol → time-ordered bars (tsUs, eventId, close, diff, buy, sell)),
+    * ordered by (ts_us, event_id) — the event_id must survive into the
+    * comparison keys or duplicate-timestamp bars would collapse in maps.
+    */
+  private lazy val barsBySymbol: Map[Long, Seq[(Long, Long, Double, Double, Boolean, Boolean)]] = {
     val rows = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
       .orderBy("symbol", "ts_us", "event_id")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4) == 1, r.getInt(5) == 1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4) == 1, r.getInt(5) == 1))
     rows.groupBy(_._1).map { case (sym, rs) =>
-      sym -> rs.toSeq.sortBy(_._2).foldLeft((List.empty[(Long, Double, Double, Boolean, Boolean)], Double.NaN)) {
-        case ((acc, prev), (_, ts, close, b, s)) =>
-          val diff = if (prev.isNaN) Double.NaN else close - prev
-          ((ts, close, diff, b, s) :: acc, close)
-      }._1.reverse
+      sym -> rs.toSeq.sortBy(r => (r._2, r._3))
+        .foldLeft((List.empty[(Long, Long, Double, Double, Boolean, Boolean)], Double.NaN)) {
+          case ((acc, prev), (_, ts, eid, close, b, s)) =>
+            val diff = if (prev.isNaN) Double.NaN else close - prev
+            ((ts, eid, close, diff, b, s) :: acc, close)
+        }._1.reverse
     }
   }
 
@@ -46,18 +51,18 @@ class MtmEngineSpec extends AnyFunSuite {
     test(s"timeline parity vs scalar replica: $name") {
       val got = MtmEngine.timeline(
           MtmEngine.barsFromEvents(Tables.events(spark, sfDir)), cfg)
-        .select("symbol", "ts_us", "mtm_ratio")
+        .select("symbol", "ts_us", "event_id", "mtm_ratio")
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
         .toMap
       var checked = 0
       for ((sym, bars) <- barsBySymbol) {
-        val exp = RefSim.run(cfg, bars).mtm
-        bars.zip(exp).foreach { case ((ts, _, _, _, _), e) =>
-          val g = got((sym, ts))
+        val exp = RefSim.run(cfg, bars.map { case (ts, _, c, d, b, s) => (ts, c, d, b, s) }).mtm
+        bars.zip(exp).foreach { case ((ts, eid, _, _, _, _), e) =>
+          val g = got((sym, ts, eid))
           // addition order across open positions may differ → 1e-12 tol
           assert(math.abs(g - e) <= 1e-12 * math.max(1.0, math.abs(e)),
-            s"symbol $sym ts $ts: engine $g vs replica $e")
+            s"symbol $sym ts $ts eid $eid: engine $g vs replica $e")
           checked += 1
         }
       }
@@ -73,7 +78,7 @@ class MtmEngineSpec extends AnyFunSuite {
           if (r.isNullAt(7)) "OPEN" else r.getString(7)))
         .toSet
       val exp = barsBySymbol.flatMap { case (sym, bars) =>
-        val r = RefSim.run(cfg, bars)
+        val r = RefSim.run(cfg, bars.map { case (ts, _, c, d, b, s) => (ts, c, d, b, s) })
         r.closed.map(t => (sym, if (t.long) "LONG" else "SHORT", t.entryUs, t.exitUs, t.reason)) ++
           r.open.map(t => (sym, if (t.long) "LONG" else "SHORT", t.entryUs, -1L, "OPEN"))
       }.toSet
