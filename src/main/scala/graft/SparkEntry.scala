@@ -71,7 +71,10 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaExtract(Multimodal.withPayload(Tables.documents(s, dir)))),
     "q_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir))))
+      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
+    // -- composed corpus-cleaning pipeline (rows + spec'd invariants) --
+    "q_corpus_clean" -> ((s, dir) =>
+      CorpusPipeline.cleanCorpus(Tables.documents(s, dir)).drop("text"))
   )
 
   // ------------------------------------------------------------------

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning: the composition a 100 TB
+  * LLM-data pipeline actually runs — quality gate → exact dedup →
+  * near-dup (MinHash-LSH) dedup — expressed entirely from the operators
+  * in this package so each stage keeps its documented shuffle discipline.
+  *
+  * Stage order matters at scale: the cheap per-row quality filter prunes
+  * the corpus BEFORE any shuffle; exact dedup (one hash shuffle) removes
+  * identical payloads before the costlier LSH candidate generation; the
+  * near-dup stage drops the higher-doc_id member of each verified pair.
+  */
+object CorpusPipeline {
+
+  /** Cleaned corpus: (doc_id, text, quality_score) for documents that
+    * pass the quality floor, are their exact-dup group's canonical
+    * representative, and are not the dropped side of a near-dup pair.
+    */
+  def cleanCorpus(
+      documents: DataFrame,
+      minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    // 1. per-row quality gate — no shuffle, prunes the scan output
+    val scored = documents
+      .join(TextOps.qualityScore(documents).select("doc_id", "quality_score"), "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .select("doc_id", "text", "quality_score")
+    // 2. exact dedup — keep the canonical (min doc_id) of each group
+    val canonical = scored.join(
+      Dedup.exactDups(scored).filter(col("is_canonical")).select("doc_id"),
+      "doc_id")
+    // 3. near-dup dedup — drop the higher doc_id of each verified pair
+    val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    canonical.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-stage survivor counts — the pipeline's audit trail (silent
+    * shrinkage is how corpus bugs ship).
+    */
+  def stageReport(
+      documents: DataFrame,
+      minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val total = documents.count()
+    val scored = documents
+      .join(TextOps.qualityScore(documents).select("doc_id", "quality_score"), "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .select("doc_id", "text", "quality_score")
+    val afterQuality = scored.count()
+    val canonical = scored.join(
+      Dedup.exactDups(scored).filter(col("is_canonical")).select("doc_id"), "doc_id")
+    val afterExact = canonical.count()
+    val finalN = cleanCorpus(documents, minQuality, jaccardThreshold).count()
+    Seq(
+      ("input", total),
+      ("quality_gate", afterQuality),
+      ("exact_dedup", afterExact),
+      ("near_dedup", finalN)
+    ).toDF("stage", "n_docs")
+  }
+}

@@ -34,6 +34,21 @@ class RollingHashSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("two instances in one codegen scope compile (fresh local names)") {
+    RollingHash.register(spark)
+    graft.functions.DotProduct.register(spark)
+    // non-nullable children put both expressions in ONE codegen scope;
+    // fixed local names would collide and fall back to interpreted eval
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr(
+        "rolling_hash(text) AS h1",
+        "rolling_hash(concat(text, 'x')) AS h2",
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d1",
+        "dot_product(array(1.0d, 1.0d), array(1.0d, 1.0d)) AS d2")
+    val r = df.collect()
+    assert(r.nonEmpty && r.head.getDouble(2) == 11.0 && r.head.getDouble(3) == 2.0)
+  }
+
   test("null propagates; plan stays in whole-stage codegen") {
     import spark.implicits._
     RollingHash.register(spark)
