@@ -67,6 +67,7 @@ object SparkEntry {
     // -- similarity search (LLM pipeline) --
     "q_ann_bruteforce_topk" -> ((s, dir) => Similarity.annBruteForceTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables.embeddings(s, dir))),
+    "q_ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(Tables.embeddings(s, dir))),
     // -- multimodal plumbing (LLM pipeline) --
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaExtract(Multimodal.withPayload(Tables.documents(s, dir)))),

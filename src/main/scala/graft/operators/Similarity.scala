@@ -86,6 +86,98 @@ object Similarity {
     * the exact #26 is spec'd in SimilaritySpec; on uniform data recall
     * rises with `tables` and falls with `bits` (the standard LSH curve).
     */
+  /** Deterministic IVF coarse quantizer: seed centroids are the corpus
+    * vectors with the `nCentroids` smallest xxhash64(vec_id) (a seeded
+    * pseudo-random draw), refined with `lloydIters` Lloyd iterations run
+    * as dataframe aggregations. The returned centroid table is tiny
+    * (C × dim doubles) and lives on the driver — index construction is a
+    * fit step, like any ML estimator.
+    */
+  private[graft] def ivfCentroids(
+      embeddings: DataFrame, nCentroids: Int, lloydIters: Int): Seq[Seq[Double]] = {
+    val e = withNorm(embeddings)
+    var centroids: Seq[Seq[Double]] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h")
+      .limit(nCentroids)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toSeq)
+      .toSeq
+    for (_ <- 1 to lloydIters) {
+      val assigned = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap
+      centroids = centroids.indices.map { c =>
+        // empty clusters keep their previous centroid
+        val dims = centroids(c).indices.map(d => means.getOrElse((c, d), centroids(c)(d)))
+        dims
+      }
+    }
+    centroids
+  }
+
+  /** Per-row centroid scores (dot products — centroid norms are constant
+    * per cluster so dot order equals cosine order for assignment).
+    */
+  private def centroidScores(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.map(c =>
+      call_function("dot_product", v, typedlit(c)) / math.sqrt(c.map(x => x * x).sum)): _*)
+
+  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scores = centroidScores(v, centroids)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** SURVEY #27 (scale-path sibling): IVF approximate top-k. The corpus
+    * partitions into `nCentroids` Voronoi cells; each query probes its
+    * `nProbe` nearest cells, and exact cosine + bounded-heap top-k runs
+    * on the probed candidates only — the scan fraction is ~nProbe/C.
+    * Same broadcast-queries / heap-shuffle shape as the other ANN paths;
+    * recall spec'd vs brute force in SimilaritySpec.
+    */
+  def annIvfTopK(
+      embeddings: DataFrame,
+      k: Int = 10,
+      nQueries: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 1): DataFrame = {
+    TopKByScore.register(embeddings.sparkSession)
+    val centroids = ivfCentroids(embeddings, nCentroids, lloydIters)
+    val e = withNorm(embeddings)
+    val corpus = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
+    // nProbe nearest cells per query: sort (−score, idx) structs, slice
+    val probes = {
+      val scored = transform(
+        centroidScores(col("v"), centroids),
+        (s, i) => struct((-s).as("ns"), i.as("idx")))
+      transform(slice(sort_array(scored), 1, nProbe), x => x.getField("idx"))
+    }
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
+        explode(probes).as("cluster"))
+    corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
+      .groupBy("query_id")
+      .agg(expr(s"topk_by_score(cos, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"))
+  }
+
   def annLshTopK(
       embeddings: DataFrame,
       k: Int = 10,

@@ -50,6 +50,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k recall against brute force is reasonable") {
+    val exact = exactTopK
+    val ivf = collectTopK(Similarity.annIvfTopK(Tables.embeddings(spark, sfDir)))
+      .map { case (q, ns) => q -> ns.map(_._1).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      ids.count(ivf.getOrElse(q, Set.empty)).toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@10 $mean below 0.4 — IVF parameters degraded")
+    // candidates carry exact cosines, so returned neighbors are real
+    assert(ivf.values.forall(_.nonEmpty))
+  }
+
   test("LSH top-k recall against brute force is reasonable") {
     val exact = exactTopK
     val lsh = collectTopK(Similarity.annLshTopK(Tables.embeddings(spark, sfDir)))
