@@ -15,6 +15,33 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** The staged pipeline, built once: each stage output is materialized
+    * lazily (localCheckpoint) because every stage has ≥2 consumers — the
+    * next stage plus the final/report reads — and would otherwise re-run
+    * its regex/dedup lineage per consumer (the multi-branch trap measured
+    * in Dedup).
+    */
+  private final case class Stages(scored: DataFrame, canonical: DataFrame, cleaned: DataFrame)
+
+  private def build(
+      documents: DataFrame, minQuality: Double, jaccardThreshold: Double): Stages = {
+    // 1. per-row quality gate — no shuffle, prunes the scan output
+    val scored = documents
+      .join(TextOps.qualityScore(documents).select("doc_id", "quality_score"), "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .select("doc_id", "text", "quality_score")
+      .localCheckpoint(false)
+    // 2. exact dedup — keep the canonical (min doc_id) of each group
+    val canonical = scored.join(
+      Dedup.exactDups(scored).filter(col("is_canonical")).select("doc_id"),
+      "doc_id")
+      .localCheckpoint(false)
+    // 3. near-dup dedup — drop the higher doc_id of each verified pair
+    val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    Stages(scored, canonical, canonical.join(dropIds, Seq("doc_id"), "left_anti"))
+  }
+
   /** Cleaned corpus: (doc_id, text, quality_score) for documents that
     * pass the quality floor, are their exact-dup group's canonical
     * representative, and are not the dropped side of a near-dup pair.
@@ -22,24 +49,13 @@ object CorpusPipeline {
   def cleanCorpus(
       documents: DataFrame,
       minQuality: Double = 0.5,
-      jaccardThreshold: Double = 0.8): DataFrame = {
-    // 1. per-row quality gate — no shuffle, prunes the scan output
-    val scored = documents
-      .join(TextOps.qualityScore(documents).select("doc_id", "quality_score"), "doc_id")
-      .filter(col("quality_score") >= minQuality)
-      .select("doc_id", "text", "quality_score")
-    // 2. exact dedup — keep the canonical (min doc_id) of each group
-    val canonical = scored.join(
-      Dedup.exactDups(scored).filter(col("is_canonical")).select("doc_id"),
-      "doc_id")
-    // 3. near-dup dedup — drop the higher doc_id of each verified pair
-    val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold)
-      .select(col("doc_id_b").as("doc_id")).distinct()
-    canonical.join(dropIds, Seq("doc_id"), "left_anti")
-  }
+      jaccardThreshold: Double = 0.8): DataFrame =
+    build(documents, minQuality, jaccardThreshold).cleaned
 
   /** Per-stage survivor counts — the pipeline's audit trail (silent
-    * shrinkage is how corpus bugs ship).
+    * shrinkage is how corpus bugs ship). Shares the staged build with
+    * [[cleanCorpus]], so the report always describes the pipeline that
+    * actually runs.
     */
   def stageReport(
       documents: DataFrame,
@@ -47,21 +63,12 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val total = documents.count()
-    val scored = documents
-      .join(TextOps.qualityScore(documents).select("doc_id", "quality_score"), "doc_id")
-      .filter(col("quality_score") >= minQuality)
-      .select("doc_id", "text", "quality_score")
-    val afterQuality = scored.count()
-    val canonical = scored.join(
-      Dedup.exactDups(scored).filter(col("is_canonical")).select("doc_id"), "doc_id")
-    val afterExact = canonical.count()
-    val finalN = cleanCorpus(documents, minQuality, jaccardThreshold).count()
+    val st = build(documents, minQuality, jaccardThreshold)
     Seq(
-      ("input", total),
-      ("quality_gate", afterQuality),
-      ("exact_dedup", afterExact),
-      ("near_dedup", finalN)
+      ("input", documents.count()),
+      ("quality_gate", st.scored.count()),
+      ("exact_dedup", st.canonical.count()),
+      ("near_dedup", st.cleaned.count())
     ).toDF("stage", "n_docs")
   }
 }

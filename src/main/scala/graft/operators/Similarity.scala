@@ -29,6 +29,27 @@ object Similarity {
       .withColumn("norm", call_function("dot_product", col("v"), col("v")))
   }
 
+  /** Embedding dimension, read from the first row — ANN paths must never
+    * guess it (DotProduct raises on mismatch rather than truncating).
+    */
+  private def dimOf(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head.getInt(0)
+
+  /** Shared output tail of every ANN path: per-query bounded-heap top-k
+    * over (query_id, vec_id, cos) scored candidates, exploded to the
+    * (query_id, rank, neighbor_id, cosine) contract.
+    */
+  private def topKExplode(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(expr(s"topk_by_score(cos, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"))
+
   /** SURVEY #26: exact top-k cosine neighbors (self excluded) for the
     * query set `vec_id < nQueries`. Deterministic ordering: score DESC,
     * neighbor id ASC.
@@ -44,15 +65,7 @@ object Similarity {
         col("query_id"),
         col("vec_id"),
         cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
-    scored
-      .groupBy("query_id")
-      .agg(expr(s"topk_by_score(cos, vec_id, $k)").as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).cast("bigint").as("rank"),
-        col("col.id").as("neighbor_id"),
-        col("col.score").as("cosine"))
+    topKExplode(scored, k)
   }
 
   /** Deterministic random hyperplanes: `tables`·`bits` unit-free normal
@@ -97,6 +110,7 @@ object Similarity {
       embeddings: DataFrame, nCentroids: Int, lloydIters: Int): Seq[Seq[Double]] = {
     val e = withNorm(embeddings)
     var centroids: Seq[Seq[Double]] = e
+      .filter(col("norm") > 0.0) // zero vectors can never seed a cell
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h")
       .limit(nCentroids)
@@ -126,8 +140,13 @@ object Similarity {
     * per cluster so dot order equals cosine order for assignment).
     */
   private def centroidScores(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.map(c =>
-      call_function("dot_product", v, typedlit(c)) / math.sqrt(c.map(x => x * x).sum)): _*)
+    array(centroids.map { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      // a degenerate (zero) centroid would score NaN = 0/0, and Spark
+      // orders NaN greatest — every row would collapse into that cell
+      if (norm == 0.0) lit(Double.NegativeInfinity)
+      else call_function("dot_product", v, typedlit(c)) / norm
+    }: _*)
 
   private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
     val scores = centroidScores(v, centroids)
@@ -163,19 +182,13 @@ object Similarity {
       .select(
         col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
         explode(probes).as("cluster"))
-    corpus.join(broadcast(queries), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id"),
-        cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
-      .groupBy("query_id")
-      .agg(expr(s"topk_by_score(cos, vec_id, $k)").as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).cast("bigint").as("rank"),
-        col("col.id").as("neighbor_id"),
-        col("col.score").as("cosine"))
+    topKExplode(
+      corpus.join(broadcast(queries), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos")),
+      k)
   }
 
   def annLshTopK(
@@ -183,10 +196,11 @@ object Similarity {
       k: Int = 10,
       nQueries: Int = 10,
       tables: Int = 8,
-      bits: Int = 4,
-      dim: Int = 64): DataFrame = {
+      bits: Int = 4): DataFrame = {
     TopKByScore.register(embeddings.sparkSession)
-    val planes = hyperplanes(dim, tables, bits)
+    // hyperplane width must match the data — a guessed default would
+    // now crash in DotProduct's dimension check instead of degrading
+    val planes = hyperplanes(dimOf(embeddings), tables, bits)
     val e = withNorm(embeddings)
       .withColumn("bkts", bucketsFor(col("v"), planes, tables, bits))
     val corpus = e.select(
@@ -195,19 +209,13 @@ object Similarity {
     val queries = e.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
       posexplode(col("bkts")).as(Seq("tbl", "bucket")))
-    corpus.join(broadcast(queries), Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id"),
-        cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
-      .distinct()
-      .groupBy("query_id")
-      .agg(expr(s"topk_by_score(cos, vec_id, $k)").as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).cast("bigint").as("rank"),
-        col("col.id").as("neighbor_id"),
-        col("col.score").as("cosine"))
+    topKExplode(
+      corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
+        .distinct(),
+      k)
   }
 }

@@ -47,6 +47,11 @@ class RollingHashSpec extends AnyFunSuite {
         "dot_product(array(1.0d, 1.0d), array(1.0d, 1.0d)) AS d2")
     val r = df.collect()
     assert(r.nonEmpty && r.head.getDouble(2) == 11.0 && r.head.getDouble(3) == 2.0)
+    // values alone can't catch a regression: a janino compile failure
+    // silently falls back to interpreted eval with identical results —
+    // the plan must actually BE a codegen stage
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+      "expected the four-expression projection to stay in whole-stage codegen")
   }
 
   test("null propagates; plan stays in whole-stage codegen") {
