@@ -28,9 +28,13 @@ object Tables {
     * floors, so pre-1970 nanos would land 1 µs apart across engines. The
     * driver's synthetic data is post-epoch; revisit if that changes.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // self-healing: callers with their own session (the driver's smoke
+    // check) would otherwise hit PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
