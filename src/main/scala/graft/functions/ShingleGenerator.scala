@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-n-gram shingle generator: one pass over the raw text per
+  * row emits every consecutive n-token shingle of the
+  * whitespace-normalized, lowercased text.
+  *
+  * Replaces the previous relational pipeline (posexplode tokens → window
+  * lead(1)/lead(2) → concat), which paid a full shuffle + sort per
+  * document set just to line tokens up next to their neighbors. As a
+  * Generator the shingling is a streamed flatMap inside the scan stage:
+  * normalize once, slide a window, emit — no exchange at all until the
+  * downstream distinct. Tokenization matches the SQL-side normalization
+  * (`lower → collapse \s+ → trim → split`) exactly for ASCII corpora so
+  * DuckDB-oracle shingle sets stay identical.
+  */
+// CodegenFallback: GenerateExec drives generators through eval() — the
+// win here is eliminating the exchange, not expression codegen
+case class ShingleGenerator(child: Expression, n: Int = 3)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("shingle", StringType, nullable = false)))
+
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
+  override def position: Boolean = false
+  override def inline: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingles requires a string argument, got ${child.dataType}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) Nil
+    else {
+      val tokens = ShingleGenerator.tokenize(raw.asInstanceOf[UTF8String].toString)
+      if (tokens.length < n) Nil
+      else new Iterator[InternalRow] {
+        private var i = 0
+        private val last = tokens.length - n
+        def hasNext: Boolean = i <= last
+        def next(): InternalRow = {
+          val s = tokens.slice(i, i + n).mkString(" ")
+          i += 1
+          InternalRow(UTF8String.fromString(s))
+        }
+      }.to(Iterable)
+    }
+  }
+
+  override def dataType: DataType = collectionType
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleGenerator =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles"
+}
+
+object ShingleGenerator {
+  /** lower → trim → split on whitespace runs: same token stream as the
+    * SQL `split(trim(regexp_replace(lower(text), '\s+', ' ')), ' ')`
+    * normalization for ASCII text.
+    */
+  private[graft] def tokenize(text: String): Array[String] = {
+    val t = text.toLowerCase.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** Register `shingles(str)` as a generator function. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", exprs => ShingleGenerator(exprs.head), "built-in")
+}

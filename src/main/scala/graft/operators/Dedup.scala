@@ -24,25 +24,17 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** The shared backbone: distinct (doc_id, shingle) inverted index,
-    * built RELATIONALLY — posexplode the token stream once, then window
-    * `lead` to assemble 3-grams — rather than with array lambdas. The
-    * lambda formulation is a measured ~10× slower: higher-order
-    * functions are interpreted, and without codegen subexpression
-    * elimination every `element_at(tokens, …)` re-evaluates the full
-    * regex-normalize+split of the document. Here the normalize+split
-    * runs once per doc (generator input), and everything downstream
-    * (window, concat, distinct) is codegen'd.
+    * produced by the native [[graft.functions.ShingleGenerator]] — a
+    * streamed flatMap inside the scan stage, so the only exchange is the
+    * distinct itself. (Two rejected designs, both measured slower: array
+    * lambdas re-evaluate the normalize+split per element interpreted
+    * (~10×); the relational posexplode + window-lead variant pays a
+    * shuffle + sort per consumer just to adjoin neighboring tokens.)
     */
   private[graft] def shingleIndex(documents: DataFrame): DataFrame = {
-    val toks = documents.select(
-      col("doc_id"),
-      posexplode(split(TextOps.normalized(col("text")), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    toks
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+    graft.functions.ShingleGenerator.register(documents.sparkSession)
+    documents
+      .selectExpr("doc_id", "shingles(text) AS shingle")
       .distinct()
   }
 
