@@ -60,7 +60,12 @@ object SparkEntry {
     "q_doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprint(Tables.documents(s, dir))),
     // -- deduplication (LLM pipeline) --
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDups(Tables.documents(s, dir))),
-    "q_dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    // production wiring is df-capped: a shingle in d docs contributes d²
+    // join rows, so ultra-common shingles (which carry no near-dup
+    // signal) are excluded from the pair join — the oracle mirrors the
+    // cap with a count(*) OVER (PARTITION BY shingle) filter
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), maxShingleDf = Some(1000))),
     "q_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupsExact(Tables.embeddings(s, dir))),
@@ -469,8 +474,11 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
         |        FROM documents)),
         |inv AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS shingle FROM sh),
+        |j AS (SELECT doc_id, n, shingle
+        |      FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+        |      WHERE df <= 1000),
         |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb, count(*) AS c
-        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |      GROUP BY 1,2,3,4)
         |SELECT doc_id_a, doc_id_b, CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) AS jaccard
         |FROM p WHERE CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) >= 0.8""".stripMargin,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.DotProduct
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,38 +96,75 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Drop bucket memberships belonging to a bucket larger than
+    * `maxBucketSize` BEFORE any `collect_set` builds a per-bucket array:
+    * the membership count comes from a window over the same bucket key
+    * (shares the aggregation's shuffle — the window sort is the only
+    * extra work), so a degenerate hot bucket never reaches an
+    * aggregation buffer. When `dropObs` is supplied, the number of
+    * dropped memberships is published as the `dropped_memberships`
+    * observed metric of the final action. Precision is unaffected (all
+    * emitted pairs are still exactly verified); recall loss is confined
+    * to the dropped buckets, which at these sizes hold
+    * mutually-identical/junk content that exact dedup (#21) already
+    * catches.
+    */
+  private def capBuckets(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      maxBucketSize: Int,
+      dropObs: Option[Observation]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val sized = buckets.withColumn("bsz", count(lit(1)).over(w))
+    val observed = dropObs match {
+      case Some(o) =>
+        sized.observe(
+          o, sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_memberships"))
+      case None => sized
+    }
+    observed.filter(col("bsz") > 1 && col("bsz") <= maxBucketSize).drop("bsz")
+  }
+
   /** SURVEY #23: MinHash + banded LSH near-dup pairs. Signatures band
     * into `bands` groups of perms/bands rows; docs sharing any band
     * bucket become candidates (shuffle carries (band, bucket_hash,
     * doc_id) only); candidates are verified with exact Jaccard ≥
-    * threshold against collect_set shingle sets (candidate set is tiny
-    * relative to the corpus, so the verify join is cheap). Precision is
-    * exact post-verify; recall is the LSH probability curve (spec'd
-    * against #22 in DedupSpec).
+    * threshold by semi-joining the candidate pairs back onto the shingle
+    * inverted index (candidate set is tiny relative to the corpus, so
+    * the verify join is cheap). The materialized per-doc table carries
+    * only (doc_id, n, 128-long signature) — never the shingle sets
+    * themselves, which at corpus scale would make the checkpoint a
+    * corpus-sized artifact. Precision is exact post-verify; recall is
+    * the LSH probability curve (spec'd against #22 in DedupSpec).
+    *
+    * @param maxBucketSize hot-bucket cap (see [[capBuckets]]).
+    * @param dropObs optional observation receiving the dropped-membership
+    *        count of the final action.
     */
   def minhashLshPairs(
       documents: DataFrame,
       threshold: Double = 0.8,
       perms: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32,
+      maxBucketSize: Int = 4096,
+      dropObs: Option[Observation] = None): DataFrame = {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
-    val inv = shingleIndex(documents)
-    // ONE pass over the index computes everything per-doc (signature,
-    // verify set, set size); the lazy localCheckpoint materializes it
-    // once and the three consumers (buckets, both verify sides) read the
-    // stored copy instead of re-running the shingle pipeline per branch
-    // (measured ~3× the runtime otherwise). At corpus scale this is the
-    // "write the signature/feature table once" step of any LSH dedup.
+    // The index is materialized once (lazy localCheckpoint) — consumers
+    // are the signature aggregation plus the two verify join sides, and
+    // each would otherwise re-run the shingle pipeline per branch
+    // (measured ~3× the runtime). At corpus scale this is the "write the
+    // feature table once" step of any LSH dedup.
+    val inv = shingleIndex(documents).localCheckpoint(false)
     val aggs =
-      (0 until perms).map(s => min(xxhash64(col("h"), lit(s))).as(s"mh$s")) ++
-        Seq(collect_set(col("shingle")).as("gs"), count(lit(1)).as("n"))
+      (0 until perms).map(s => min(xxhash64(col("h"), lit(s))).as(s"mh$s")) :+
+        count(lit(1)).as("n")
     val perDoc = inv
-      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(
-        col("doc_id"), col("gs"), col("n"),
+        col("doc_id"), col("n"),
         array((0 until perms).map(i => col(s"mh$i")): _*).as("mh"))
       .localCheckpoint(false)
     val buckets = perDoc.select(
@@ -137,18 +174,25 @@ object Dedup {
       .toDF("doc_id", "band", "bucket")
     // Group-then-pair instead of a bucket self-join: one linear pipeline,
     // shuffling only (band, bucket, doc_id); pair expansion happens
-    // inside each bucket.
-    val cands = buckets
+    // inside each bucket, bounded by the hot-bucket cap.
+    val cands = capBuckets(buckets, Seq("band", "bucket"), maxBucketSize, dropObs)
       .groupBy("band", "bucket")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .distinct()
-    cands
-      .join(perDoc.select(col("doc_id").as("doc_id_a"), col("gs").as("ga"), col("n").as("na")), "doc_id_a")
-      .join(perDoc.select(col("doc_id").as("doc_id_b"), col("gs").as("gb"), col("n").as("nb")), "doc_id_b")
-      .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("bigint"))
+    // Exact-Jaccard verify via the inverted index: expand each candidate
+    // pair by doc A's shingles, match them against doc B's rows, count.
+    // Joins move (pair, shingle) rows for candidate docs only.
+    val common = cands
+      .join(inv.select(col("doc_id").as("doc_id_a"), col("shingle")), "doc_id_a")
+      .join(inv.select(col("doc_id").as("doc_id_b"), col("shingle")), Seq("doc_id_b", "shingle"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(perDoc.select(col("doc_id").as("doc_id_a"), col("n").as("na")), "doc_id_a")
+      .join(perDoc.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), "doc_id_b")
       .withColumn(
         "jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
@@ -179,7 +223,11 @@ object Dedup {
     * lossless candidate generator (recall 1.0 — spec'd vs brute force);
     * the shuffle carries (chunk_idx, chunk_value, doc_id) only.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      documents: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 4096,
+      dropObs: Option[Observation] = None): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding is lossless only up to Hamming 3")
     val sh = simhashes(shingleIndex(documents))
     val chunks = sh.select(
@@ -188,8 +236,9 @@ object Dedup {
         call_function("shiftright", col("simhash"), c * 16).bitwiseAND(lit(0xffffL)))))
       .toDF("doc_id", "simhash", "chunk", "ck")
     // Group-then-pair (see minhashLshPairs) with the simhash riding along
-    // in the member struct so Hamming verification needs no extra join.
-    chunks
+    // in the member struct so Hamming verification needs no extra join;
+    // hot chunks are capped before any per-bucket array exists.
+    capBuckets(chunks, Seq("chunk", "ck"), maxBucketSize, dropObs)
       .groupBy("chunk", "ck")
       .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -203,9 +252,8 @@ object Dedup {
 
   /** All ordered element pairs (a before b in the sorted input array) as
     * an array of (a, b) structs — the in-bucket pair expansion for LSH
-    * candidate generation. Bucket membership lists are small by design;
-    * a pathologically hot bucket is the standard LSH skew case (cap or
-    * salt upstream).
+    * candidate generation. Membership lists reaching this point are
+    * bounded by [[capBuckets]]'s maxBucketSize.
     */
   private def pairCombos(ids: Column): Column =
     flatten(transform(ids, (x, i) =>

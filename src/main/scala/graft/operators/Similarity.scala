@@ -31,9 +31,18 @@ object Similarity {
 
   /** Embedding dimension, read from the first row — ANN paths must never
     * guess it (DotProduct raises on mismatch rather than truncating).
+    * Cached by canonicalized logical plan: repeated ANN calls over the
+    * same source (a tuning sweep, the spec suite) pay the one-row job
+    * once instead of per call. The cache is tiny — one entry per
+    * distinct source plan.
     */
+  private val dimCache =
+    new scala.collection.concurrent.TrieMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
+
   private def dimOf(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding"))).head.getInt(0)
+    dimCache.getOrElseUpdate(
+      embeddings.queryExecution.analyzed.canonicalized,
+      embeddings.select(size(col("embedding"))).head().getInt(0))
 
   /** Shared output tail of every ANN path: per-query bounded-heap top-k
     * over (query_id, vec_id, cos) scored candidates, exploded to the
@@ -195,7 +204,7 @@ object Similarity {
       embeddings: DataFrame,
       k: Int = 10,
       nQueries: Int = 10,
-      tables: Int = 8,
+      tables: Int = 16,
       bits: Int = 4): DataFrame = {
     TopKByScore.register(embeddings.sparkSession)
     // hyperplane width must match the data — a guessed default would
@@ -203,19 +212,28 @@ object Similarity {
     val planes = hyperplanes(dimOf(embeddings), tables, bits)
     val e = withNorm(embeddings)
       .withColumn("bkts", bucketsFor(col("v"), planes, tables, bits))
-    val corpus = e.select(
-      col("vec_id"), col("v"), col("norm"),
-      posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+    // Candidate (query_id, vec_id) pairs are deduped BEFORE any cosine is
+    // computed: a pair colliding in several of the `tables` buckets would
+    // otherwise be scored up to `tables`× (and deduping scored rows would
+    // hinge on bitwise-identical doubles). The bucket join itself moves
+    // only (tbl, bucket, vec_id) — vectors rejoin after the dedup.
+    val corpusBuckets = e.select(
+      col("vec_id"), posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+    val queryBuckets = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+    val candPairs = corpusBuckets.join(broadcast(queryBuckets), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
     val queries = e.filter(col("vec_id") < nQueries).select(
-      col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
-      posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+      col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     topKExplode(
-      corpus.join(broadcast(queries), Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
+      candPairs
+        .join(e.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+        .join(broadcast(queries), "query_id")
         .select(
           col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
-        .distinct(),
+          cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cos")),
       k)
   }
 }

@@ -43,6 +43,58 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "planted near-dups should collide in simhash")
   }
 
+  test("ngram-jaccard df cap keeps planted near-dups, excludes hot-shingle pairs") {
+    import spark.implicits._
+    // 20 junk docs all sharing one ultra-common shingle ("aaa bbb ccc")
+    // but nothing else; two near-dup docs share a 30-word prefix plus
+    // the hot shingle. With cap=5 the hot shingle leaves the pair join:
+    // junk docs generate NO candidate pair at all (the d² blowup is
+    // gone), while the near-dups stay above threshold via their rare
+    // shingles (30 joinable common / 33 union = 0.909; uncapped 31/32).
+    val words = (0 until 30).map(i => s"w$i")
+    val nearA = (words :+ "aaa" :+ "bbb" :+ "ccc").mkString(" ")
+    val nearB = (words :+ "aaa" :+ "bbb" :+ "ccc" :+ "zzz").mkString(" ")
+    val junk = (0 until 20).map(i => (100L + i, s"junk$i a aaa bbb ccc junk${i}b"))
+    val docs = (junk :+ (1L, nearA) :+ (2L, nearB)).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, threshold = 0.8, maxShingleDf = Some(5))
+    val pairs = pairSet(capped)
+    assert(pairs.contains((1L, 2L)), s"planted near-dup lost under cap: $pairs")
+    assert(!pairs.exists { case (a, b) => a >= 100L || b >= 100L },
+      s"hot-shingle junk docs must not pair: $pairs")
+    // and the cap only shrank the candidate space — uncapped finds the
+    // same surviving pair (with full-count jaccard)
+    assert(pairSet(Dedup.ngramJaccardPairs(docs, threshold = 0.8)).contains((1L, 2L)))
+  }
+
+  test("hot LSH/simhash buckets are capped without losing non-hot pairs") {
+    import org.apache.spark.sql.Observation
+    import spark.implicits._
+    // 500 identical short docs form one degenerate bucket per band
+    // (identical signature) — the adversarial hot bucket. A separate
+    // pair of identical long docs must still be found: its buckets hold
+    // 2 members, far under the cap. The dropped hot group is pure junk
+    // for NEAR-dup purposes — exact dedup (#21) catches it outright.
+    val hotText = "the quick brown fox jumps over the lazy dog"
+    val longText = ("unique alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val docs = ((0 until 500).map(i => (1000L + i, hotText)) ++
+      Seq((1L, longText), (2L, longText))).toDF("doc_id", "text")
+
+    val mhObs = Observation("mh_drops")
+    val mh = Dedup.minhashLshPairs(docs, maxBucketSize = 100, dropObs = Some(mhObs))
+    val mhPairs = pairSet(mh)
+    assert(mhPairs == Set((1L, 2L)), s"expected only the planted pair, got $mhPairs")
+    assert(mhObs.get("dropped_memberships").asInstanceOf[Long] > 0L,
+      "hot bucket should register dropped memberships")
+
+    val shObs = Observation("sh_drops")
+    val sh = Dedup.simhashPairs(docs, maxBucketSize = 100, dropObs = Some(shObs))
+    val shPairs = pairSet(sh)
+    assert(shPairs == Set((1L, 2L)), s"expected only the planted pair, got $shPairs")
+    assert(shObs.get("dropped_memberships").asInstanceOf[Long] > 0L,
+      "hot chunk should register dropped memberships")
+  }
+
   test("exact dedup groups are self-consistent") {
     val d = Dedup.exactDups(Tables.documents(spark, sfDir))
     assert(d.filter(col("group_size") < 1).count() == 0)

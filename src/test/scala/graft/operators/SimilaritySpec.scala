@@ -58,6 +58,7 @@ class SimilaritySpec extends AnyFunSuite {
       ids.count(ivf.getOrElse(q, Set.empty)).toDouble / ids.size
     }
     val mean = recalls.sum / recalls.size
+    info(s"IVF mean recall@10 = $mean")
     assert(mean >= 0.4, s"mean recall@10 $mean below 0.4 — IVF parameters degraded")
     // candidates carry exact cosines, so returned neighbors are real
     assert(ivf.values.forall(_.nonEmpty))
@@ -72,7 +73,11 @@ class SimilaritySpec extends AnyFunSuite {
       ids.count(got).toDouble / ids.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.4, s"mean recall@10 $mean below 0.4 — LSH parameters degraded")
+    info(s"LSH mean recall@10 = $mean")
+    // 0.4 would pass a nearly-useless index; 16 tables × 4 bits is tuned
+    // to clear 0.8 on this corpus (and candidates are deduped pre-scoring,
+    // so the wider table count costs buckets, not dot products)
+    assert(mean >= 0.8, s"mean recall@10 $mean below 0.8 — LSH parameters degraded")
     // candidates are verified with exact cosine, so anything returned is real
     assert(lsh.values.forall(_.nonEmpty))
   }
