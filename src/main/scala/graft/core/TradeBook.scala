@@ -74,6 +74,31 @@ final class TradeBook(cfg: PnlConfig, trackTrades: Boolean = true) extends Seria
       drained += BookTrade(p.isLong, p.entryUs, p.entryPrice, tsUs, price, reason, isClosed = true)
   }
 
+  /** Index of the position a SIGNAL close should take, per the
+    * configured [[InventoryMode]] (reference `_get_trade_to_close`,
+    * trade_reward.py:380-411). `isLongSide` flips WORST_PRICE's sense:
+    * a long's worst entry is the highest price, a short's the lowest.
+    * First occurrence wins ties — the stable-sort-then-pop(0) behavior.
+    * ROI/stop-loss scans are NOT routed here: the reference iterates the
+    * whole list for those, so inventory mode only affects signal closes.
+    */
+  private def closeIdx(list: ArrayBuffer[OpenPos], isLongSide: Boolean): Int =
+    cfg.inventoryMode match {
+      case InventoryMode.Fifo => 0
+      case InventoryMode.Lifo =>
+        var best = 0; var i = 1
+        while (i < list.length) { if (list(i).entryUs > list(best).entryUs) best = i; i += 1 }
+        best
+      case InventoryMode.WorstPrice =>
+        var best = 0; var i = 1
+        while (i < list.length) {
+          val p = list(i).entryPrice
+          if (if (isLongSide) p > list(best).entryPrice else p < list(best).entryPrice) best = i
+          i += 1
+        }
+        best
+    }
+
   /** Scan a side for ROI / stop-loss closes over a snapshot; returns fee. */
   private def scanCloses(list: ArrayBuffer[OpenPos], price: Double, tsUs: Long): Double = {
     var fee = 0.0
@@ -112,15 +137,19 @@ final class TradeBook(cfg: PnlConfig, trackTrades: Boolean = true) extends Seria
     // 4. Signal.
     if (buy) {
       if (longs.length < cfg.maxPositionPerSymbol) {
-        if (shorts.nonEmpty) { close(shorts, 0, price, tsUs, "SIGNAL"); fee += math.abs(cfg.feeRate) }
-        else {
+        if (shorts.nonEmpty) {
+          close(shorts, closeIdx(shorts, isLongSide = false), price, tsUs, "SIGNAL")
+          fee += math.abs(cfg.feeRate)
+        } else {
           longs += OpenPos(tsUs, price, isLong = true); fee += math.abs(cfg.feeRate)
         }
       }
     } else if (sell) {
       if (shorts.length < cfg.maxPositionPerSymbol) {
-        if (longs.nonEmpty) { close(longs, 0, price, tsUs, "SIGNAL"); fee += math.abs(cfg.feeRate) }
-        else if (cfg.enableShortPosition) {
+        if (longs.nonEmpty) {
+          close(longs, closeIdx(longs, isLongSide = true), price, tsUs, "SIGNAL")
+          fee += math.abs(cfg.feeRate)
+        } else if (cfg.enableShortPosition) {
           shorts += OpenPos(tsUs, price, isLong = false); fee += math.abs(cfg.feeRate)
         }
       }

@@ -12,19 +12,85 @@ import org.apache.spark.sql.functions._
   */
 object MtmRunner {
 
+  /** Caller-supplied bookkeeping identity of a run — the reference
+    * `Mtm_Result`'s id block (models.py:205-208,221: strategy_id,
+    * batch_id, data_key, strategy_name, params). The reference's
+    * `calculate()` leaves these at their defaults for external callers
+    * to fill; here they ride in at call time.
+    */
+  final case class RunMeta(
+      strategyId: Option[String] = None,
+      batchId: Option[String] = None,
+      dataKey: Option[String] = None,
+      strategyName: Option[String] = None,
+      params: Map[String, String] = Map.empty)
+
   /** The reference's `Mtm_Result` (models.py:203-234), re-expressed as
     * lazy DataFrames: `summary` carries the scalar block (pnl,
     * max_drawdown, sharpe_ratio per symbol), `timeline` the pnl_timeline
-    * dict, `trades` the archive + outstanding lists.
+    * dict, `trades` the archive + outstanding lists. `meta` and the run
+    * epochs are the bookkeeping block; `queryDict` is the
+    * `to_query_dict()` surface (models.py:236-255).
     */
-  final case class MtmResult(summary: DataFrame, timeline: DataFrame, trades: DataFrame)
+  final case class MtmResult(
+      summary: DataFrame,
+      timeline: DataFrame,
+      trades: DataFrame,
+      meta: RunMeta = RunMeta(),
+      runStartEpoch: Long = 0L,
+      runEndEpoch: Long = 0L) {
+
+    /** The reference's `to_query_dict()` as a per-symbol DataFrame: id
+      * fields, scalar metrics, market/run epochs (seconds), and the four
+      * archive/outstanding sizes (`to_Dict`'s derived size fields,
+      * models.py:229-234). Market epochs come from the data itself;
+      * run epochs bracket the `calculate` call (plan construction — the
+      * heavy lifting is lazy, timed by the bench harness).
+      */
+    def queryDict: DataFrame = {
+      val mkt = timeline.groupBy("symbol").agg(
+        expr("min(unix_micros(ts)) div 1000000").as("mkt_start_epoch"),
+        expr("max(unix_micros(ts)) div 1000000").as("mkt_end_epoch"))
+      val sizes = trades.groupBy("symbol").agg(
+        sum(when(col("direction") === "LONG" && col("is_closed"), 1L).otherwise(0L))
+          .as("long_trades_archive_size"),
+        sum(when(col("direction") === "SHORT" && col("is_closed"), 1L).otherwise(0L))
+          .as("short_trades_archive_size"),
+        sum(when(col("direction") === "LONG" && !col("is_closed"), 1L).otherwise(0L))
+          .as("long_trades_outstanding_size"),
+        sum(when(col("direction") === "SHORT" && !col("is_closed"), 1L).otherwise(0L))
+          .as("short_trades_outstanding_size"))
+      summary
+        .join(mkt, Seq("symbol"), "left")
+        .join(sizes, Seq("symbol"), "left")
+        .select(
+          col("symbol"),
+          lit(meta.batchId.orNull).cast("string").as("batch_id"),
+          lit(meta.dataKey.orNull).cast("string").as("data_key"),
+          lit(meta.strategyName.orNull).cast("string").as("strategy_name"),
+          lit(meta.strategyId.orNull).cast("string").as("strategy_id"),
+          col("pnl"), col("max_drawdown"), col("sharpe_ratio"),
+          col("mkt_start_epoch"), col("mkt_end_epoch"),
+          lit(runStartEpoch).as("run_start_epoch"),
+          lit(runEndEpoch).as("run_end_epoch"),
+          coalesce(col("long_trades_archive_size"), lit(0L)).as("long_trades_archive_size"),
+          coalesce(col("short_trades_archive_size"), lit(0L)).as("short_trades_archive_size"),
+          coalesce(col("long_trades_outstanding_size"), lit(0L)).as("long_trades_outstanding_size"),
+          coalesce(col("short_trades_outstanding_size"), lit(0L)).as("short_trades_outstanding_size"))
+    }
+  }
 
   /** Run the full MTM calculation for every symbol in `bars`.
     *
     * @param bars canonical bar view: (symbol, ts_us, event_id, close,
     *             buy, sell) — see [[MtmEngine.barsFromEvents]].
+    * @param meta caller bookkeeping ids threaded into [[MtmResult.queryDict]].
     */
-  def calculate(bars: DataFrame, cfg: PnlConfig = PnlConfig.default): MtmResult = {
+  def calculate(
+      bars: DataFrame,
+      cfg: PnlConfig = PnlConfig.default,
+      meta: RunMeta = RunMeta()): MtmResult = {
+    val runStart = System.currentTimeMillis() / 1000L
     // run the state machine ONCE per output family: the timeline and
     // blotter are materialized lazily and every summary metric is an
     // agg/window over them — without this, each of pnl/drawdown/sharpe
@@ -38,7 +104,10 @@ object MtmRunner {
     MtmResult(
       summary = summary,
       timeline = MtmEngine.timelineQueryFrom(tl),
-      trades = MtmEngine.blotterQueryFrom(bl))
+      trades = MtmEngine.blotterQueryFrom(bl),
+      meta = meta,
+      runStartEpoch = runStart,
+      runEndEpoch = System.currentTimeMillis() / 1000L)
   }
 
   /** The reference's `HyperOptPnlCalculator_Adapter`

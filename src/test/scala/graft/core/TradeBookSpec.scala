@@ -210,6 +210,57 @@ class TradeBookSpec extends AnyFunSuite {
     assert(book2.openCount == 0) // strictly above at bar 11 → closed
   }
 
+  // -- inventory modes (models.py:170-186, trade_reward.py:380-411) --
+
+  /** Bars from an explicit close series (1-hour spacing). */
+  private def mktFromCloses(closes: Seq[Double]): IndexedSeq[TestMkt.Bar] =
+    closes.zipWithIndex.map { case (c, i) =>
+      TestMkt.Bar(i, i * TestMkt.HourUs, c,
+        if (i == 0) Double.NaN else c - closes(i - 1))
+    }.toIndexedSeq
+
+  test("WORST_PRICE closes the highest-entry long first") {
+    // longs open at 1000 / 1500 / 1200; sells at bars 4 and 5 must close
+    // the 1500 entry (worst for a long) then the 1200 entry.
+    val mkt = mktFromCloses(Seq(1000.0, 1500.0, 1200.0, 1300.0, 1100.0, 1400.0))
+    val book = new TradeBook(PnlConfig(
+      maxPositionPerSymbol = 3, inventoryMode = InventoryMode.WorstPrice))
+    drive(book, mkt, buys = Set(0, 1, 2), sells = Set(4, 5))
+    val closed = book.drainTrades()
+    assert(closed.map(t => (t.entryPrice, t.exitPrice)) ==
+      Seq((1500.0, 1100.0), (1200.0, 1400.0)))
+    assert(closed.forall(_.reason == "SIGNAL"))
+    val open = book.flushOpen()
+    assert(open.map(_.entryPrice) == Seq(1000.0))
+  }
+
+  test("WORST_PRICE closes the lowest-entry short first") {
+    // shorts open at 1500 / 1000 / 1200; buys must close the 1000 entry
+    // (worst for a short) then the 1200 entry.
+    val mkt = mktFromCloses(Seq(1500.0, 1000.0, 1200.0, 1300.0, 1100.0, 1400.0))
+    val book = new TradeBook(PnlConfig(
+      maxPositionPerSymbol = 3, enableShortPosition = true,
+      inventoryMode = InventoryMode.WorstPrice))
+    drive(book, mkt, buys = Set(4, 5), sells = Set(0, 1, 2))
+    val closed = book.drainTrades()
+    assert(closed.map(t => (t.entryPrice, t.exitPrice)) ==
+      Seq((1000.0, 1100.0), (1200.0, 1400.0)))
+    assert(closed.forall(t => !t.isLong))
+    assert(book.flushOpen().map(_.entryPrice) == Seq(1500.0))
+  }
+
+  test("LIFO closes the latest-entered long first") {
+    val mkt = mktFromCloses(Seq(1000.0, 1500.0, 1200.0, 1300.0, 1100.0, 1400.0))
+    val book = new TradeBook(PnlConfig(
+      maxPositionPerSymbol = 3, inventoryMode = InventoryMode.Lifo))
+    drive(book, mkt, buys = Set(0, 1, 2), sells = Set(4, 5))
+    val closed = book.drainTrades()
+    // bar-2 entry (1200) is newest → closed first, then bar-1 (1500)
+    assert(closed.map(t => (t.entryUs, t.entryPrice)) ==
+      Seq((mkt(2).tsUs, 1200.0), (mkt(1).tsUs, 1500.0)))
+    assert(book.flushOpen().map(_.entryUs) == Seq(mkt(0).tsUs))
+  }
+
   // -- accrual starts the bar AFTER entry (trade_reward.py:99-107) --
   test("mtm accrual excludes the entry bar") {
     val mkt = ascending(10, 100.0)

@@ -30,6 +30,41 @@ class MtmRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("queryDict mirrors to_query_dict: ids, metrics, epochs, archive sizes") {
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+    val meta = MtmRunner.RunMeta(
+      strategyId = Some("strat-1"), batchId = Some("batch-7"),
+      dataKey = Some("sf0.001/events"), strategyName = Some("momentum"),
+      params = Map("roi" -> "none"))
+    val res = MtmRunner.calculate(bars, PnlConfig.default, meta)
+    val qd = res.queryDict
+    // the reference's fields_queryable list (models.py:236-255), plus
+    // symbol because this engine is multi-symbol
+    assert(qd.columns.toSeq == Seq(
+      "symbol", "batch_id", "data_key", "strategy_name", "strategy_id",
+      "pnl", "max_drawdown", "sharpe_ratio",
+      "mkt_start_epoch", "mkt_end_epoch", "run_start_epoch", "run_end_epoch",
+      "long_trades_archive_size", "short_trades_archive_size",
+      "long_trades_outstanding_size", "short_trades_outstanding_size"))
+    val rows = qd.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(r.fieldIndex("batch_id")) == "batch-7")
+      assert(r.getString(r.fieldIndex("strategy_id")) == "strat-1")
+      assert(r.getLong(r.fieldIndex("mkt_start_epoch")) <= r.getLong(r.fieldIndex("mkt_end_epoch")))
+      assert(r.getLong(r.fieldIndex("run_start_epoch")) <= r.getLong(r.fieldIndex("run_end_epoch")))
+    }
+    // archive sizes agree with a direct count over the trades frame
+    val s0 = rows.head
+    val sym = s0.getLong(0)
+    val expected = res.trades
+      .filter(col("symbol") === sym && col("direction") === "LONG" && col("is_closed"))
+      .count()
+    assert(s0.getLong(s0.fieldIndex("long_trades_archive_size")) == expected)
+    // default-config runs (long-only) must report zero short archives
+    rows.foreach(r => assert(r.getLong(r.fieldIndex("short_trades_archive_size")) == 0L))
+  }
+
   test("hyperopt adapter clamps near-zero pnl to the sentinel floor/ceiling") {
     import spark.implicits._
     val df = Seq(
