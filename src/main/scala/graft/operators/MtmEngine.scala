@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.{BookTrade, PnlConfig, TradeBook}
+import graft.core.{BookTrade, OpenPos, PnlConfig, TradeBook}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -164,6 +164,171 @@ object MtmEngine {
       }
       perBar ++ tail
     }.toDF()
+  }
+
+  // ---- time-sliced execution (mega-symbol skew hardening, SURVEY §4) ----
+
+  /** Unified slice-input row: a market bar, or (isState) the carried-in
+    * book state of a symbol from the previous slice. State rows take
+    * ts_us = Long.MinValue so the per-partition sort places them before
+    * every bar of their symbol run.
+    */
+  private[graft] final case class SliceIn(
+      symbol: Long, ts_us: Long, event_id: Long, close: Double, buy: Int, sell: Int,
+      isState: Boolean, prevClose: Double,
+      openLongs: Seq[(Long, Double)], openShorts: Seq[(Long, Double)])
+
+  /** Unified slice-output row, discriminated by `kind`:
+    * "tl" timeline point, "bl" blotter record, "st" end-of-slice state.
+    */
+  private[graft] final case class SliceOut(
+      kind: String,
+      symbol: Long, ts_us: Long = 0L, event_id: Long = 0L, close: Double = 0.0,
+      buy: Int = 0, sell: Int = 0, mtm_ratio: Double = 0.0,
+      direction: String = null, entry_ts_us: Long = 0L, entry_price: Double = 0.0,
+      exit_ts_us: Option[Long] = None, exit_price: Option[Double] = None,
+      pnl_norm: Option[Double] = None, close_reason: Option[String] = None,
+      is_closed: Boolean = false,
+      prevClose: Double = Double.NaN,
+      openLongs: Seq[(Long, Double)] = Nil, openShorts: Seq[(Long, Double)] = Nil)
+
+  private def sliceRunner(cfg: PnlConfig, isLast: Boolean)(
+      it: Iterator[SliceIn]): Iterator[SliceOut] = {
+    val fee = math.abs(cfg.feeRate)
+    var book: TradeBook = null
+    var symbol = 0L
+    var prevClose = Double.NaN
+
+    def blRow(sym: Long, t: BookTrade): SliceOut =
+      if (t.isClosed) {
+        val raw = if (t.isLong) t.exitPrice - t.entryPrice else t.entryPrice - t.exitPrice
+        SliceOut("bl", sym,
+          direction = if (t.isLong) "LONG" else "SHORT",
+          entry_ts_us = t.entryUs, entry_price = t.entryPrice,
+          exit_ts_us = Some(t.exitUs), exit_price = Some(t.exitPrice),
+          pnl_norm = Some((raw - fee * t.entryPrice - fee * t.entryPrice) / t.entryPrice),
+          close_reason = Some(t.reason), is_closed = true)
+      } else
+        SliceOut("bl", sym,
+          direction = if (t.isLong) "LONG" else "SHORT",
+          entry_ts_us = t.entryUs, entry_price = t.entryPrice)
+
+    def endRun(): Seq[SliceOut] =
+      if (book == null) Nil
+      else if (isLast) book.flushOpen().map(t => blRow(symbol, t))
+      else {
+        val (ls, ss) = book.snapshotOpen()
+        Seq(SliceOut("st", symbol, prevClose = prevClose,
+          openLongs = ls.map(p => (p.entryUs, p.entryPrice)),
+          openShorts = ss.map(p => (p.entryUs, p.entryPrice))))
+      }
+
+    val perRow = it.flatMap { r =>
+      val boundary =
+        if (book == null || r.symbol != symbol) {
+          val fin = endRun()
+          book = new TradeBook(cfg); symbol = r.symbol; prevClose = Double.NaN
+          fin
+        } else Nil
+      if (r.isState) {
+        book.restoreOpen(
+          r.openLongs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
+          r.openShorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
+        prevClose = r.prevClose
+        boundary.iterator
+      } else {
+        val diff = if (prevClose.isNaN) Double.NaN else r.close - prevClose
+        prevClose = r.close
+        val mtm = book.step(r.ts_us, r.close, diff, r.buy == 1, r.sell == 1)
+        val closed = book.drainTrades().map(t => blRow(symbol, t))
+        boundary.iterator ++
+          Iterator(SliceOut("tl", r.symbol, r.ts_us, r.event_id, r.close,
+            r.buy, r.sell, mtm_ratio = mtm)) ++
+          closed.iterator
+      }
+    }
+    // Lazy suffix: the final symbol run's flush/state, evaluated only
+    // once perRow is exhausted.
+    val tail = new Iterator[SliceOut] {
+      private var fin: Iterator[SliceOut] = null
+      private def underlying: Iterator[SliceOut] = {
+        if (fin == null) fin = endRun().iterator
+        fin
+      }
+      def hasNext: Boolean = underlying.hasNext
+      def next(): SliceOut = underlying.next()
+    }
+    perRow ++ tail
+  }
+
+  /** Time-sliced engine run: bars split into `nSlices` ranges at
+    * approximate ts quantiles; each slice runs the normal
+    * repartition-sort-mapPartitions pipeline seeded with the previous
+    * slice's per-symbol book snapshots (open positions + previous
+    * close), materialized slice-by-slice. Output (timeline, blotter) is
+    * bar-for-bar identical to the unsliced engine — spec'd in
+    * MtmEngineSpec with a planted mega-symbol.
+    *
+    * Why: the unsliced engine streams a whole symbol through ONE task,
+    * so a mega-symbol holding half the corpus makes wall-clock equal to
+    * half the corpus on one core, and a straggler task pins a 100 TB
+    * scan's worth of input through one executor. Slicing bounds every
+    * task's input to ~1/nSlices of the symbol and gives the scheduler a
+    * rebalance point (plus a natural checkpoint seam for incremental /
+    * append-only runs) at the cost of one extra job per slice. The
+    * carried state is O(symbols × max_position) — tiny.
+    */
+  def runSliced(bars: DataFrame, cfg: PnlConfig, nSlices: Int): (DataFrame, DataFrame) = {
+    require(nSlices >= 1, "need at least one slice")
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val typed = bars.select(
+      col("symbol").cast("long"), col("ts_us").cast("long"),
+      col("event_id").cast("long"), col("close").cast("double"),
+      col("buy").cast("int"), col("sell").cast("int"))
+    // approximate quantile cuts balance slice volume even when bar
+    // density drifts over time; exactness is irrelevant (any cut is
+    // correct, only balance varies)
+    val cuts: Array[Long] =
+      if (nSlices == 1) Array.empty
+      else typed.stat.approxQuantile(
+        "ts_us", (1 until nSlices).map(_.toDouble / nSlices).toArray, 0.001).map(_.toLong)
+    var state: Dataset[SliceIn] = spark.emptyDataset[SliceIn]
+    val parts = (0 to cuts.length).map { i =>
+      val lo = if (i == 0) None else Some(cuts(i - 1))
+      val hi = if (i == cuts.length) None else Some(cuts(i))
+      val isLast = i == cuts.length
+      val sliceBars = typed
+        .filter(lo.map(col("ts_us") >= _).getOrElse(lit(true))
+          && hi.map(col("ts_us") < _).getOrElse(lit(true)))
+        .as[EngineBar]
+        .map(b => SliceIn(b.symbol, b.ts_us, b.event_id, b.close, b.buy, b.sell,
+          isState = false, Double.NaN, Nil, Nil))
+      // eager checkpoint: runs this slice's job now, truncating lineage
+      // so slice i+1 reads stored state instead of recomputing 0..i
+      val out = sliceBars.union(state)
+        .repartition(col("symbol"))
+        .sortWithinPartitions("symbol", "ts_us", "event_id")
+        .as[SliceIn]
+        .mapPartitions(sliceRunner(cfg, isLast))
+        .toDF()
+        .localCheckpoint()
+      state = out.filter(col("kind") === "st")
+        .select("symbol", "prevClose", "openLongs", "openShorts")
+        .as[(Long, Double, Seq[(Long, Double)], Seq[(Long, Double)])]
+        .map { case (sym, pc, ls, ss) =>
+          SliceIn(sym, Long.MinValue, 0L, 0.0, 0, 0, isState = true, pc, ls, ss)
+        }
+      out
+    }
+    val tl = parts.map(_.filter(col("kind") === "tl")
+      .select("symbol", "ts_us", "event_id", "close", "buy", "sell", "mtm_ratio"))
+      .reduce(_.unionAll(_))
+    val bl = parts.map(_.filter(col("kind") === "bl")
+      .select("symbol", "direction", "entry_ts_us", "entry_price",
+        "exit_ts_us", "exit_price", "pnl_norm", "close_reason", "is_closed"))
+      .reduce(_.unionAll(_))
+    (tl, bl)
   }
 
   // ---- query-surface wrappers (timestamps restored to TIMESTAMP μs) ----

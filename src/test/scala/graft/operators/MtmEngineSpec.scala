@@ -86,6 +86,44 @@ class MtmEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("time-sliced run equals the unsliced engine under a planted mega-symbol") {
+    // collapse half the users into symbol 777 → one symbol carries ~50%
+    // of all bars (the skew case slicing exists for); event_id keeps
+    // every bar unique within the merged stream
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+      .withColumn("symbol", when(col("symbol") % 2 === 0, lit(777L)).otherwise(col("symbol")))
+    val cfg = PnlConfig(
+      roi = Map(0 -> 0.2, 60 -> 0.1), stoploss = -0.15,
+      enableShortPosition = true, maxPositionPerSymbol = 2, feeRate = 0.001)
+    val (slTl, slBl) = MtmEngine.runSliced(bars, cfg, nSlices = 4)
+
+    def tlKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("symbol", "ts_us", "event_id", "mtm_ratio").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exact = tlKey(MtmEngine.timeline(bars, cfg))
+    val sliced = tlKey(slTl)
+    assert(sliced.keySet == exact.keySet)
+    // identical arithmetic path per bar (restored state preserves
+    // position order and prev close) → bit-exact equality
+    exact.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(sliced(k), v) == 0, s"bar $k: ${sliced(k)} vs $v")
+    }
+
+    def blSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("symbol", "direction", "entry_ts_us", "entry_price",
+        "exit_ts_us", "pnl_norm", "close_reason", "is_closed").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          // stringified: NaN (open rows) would fail numeric equality
+          if (r.isNullAt(5)) "null" else r.getDouble(5).toString,
+          if (r.isNullAt(6)) "OPEN" else r.getString(6), r.getBoolean(7)))
+        .toSet
+    val gotBl = blSet(slBl)
+    val expBl = blSet(MtmEngine.blotter(bars, cfg))
+    assert(gotBl == expBl,
+      s"\nsliced-only: ${(gotBl -- expBl).take(5)}\nunsliced-only: ${(expBl -- gotBl).take(5)}")
+  }
+
   test("engine is insensitive to input row order") {
     val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
     val scrambled = bars.orderBy(rand(seed = 7))
