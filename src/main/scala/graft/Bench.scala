@@ -25,27 +25,32 @@ object Bench {
     def materialize(fn: (SparkSession, String) => DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    val nRuns = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warmOk =
         try { materialize(fn); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      if (!warmOk) name -> -1.0
+      if (!warmOk) (name, -1.0, -1.0)
       else {
-        // best of two timed runs: damps background-load / GC noise so
-        // round-over-round comparisons track the plan, not the machine
-        val times = (1 to 2).flatMap { _ =>
+        // best of nRuns timed runs: damps background-load / GC noise so
+        // round-over-round comparisons track the plan, not the machine;
+        // the max-min spread is published so a round-over-round delta
+        // smaller than the spread reads as noise, not a plan change
+        val times = (1 to nRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           try { materialize(fn); Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
         }
-        if (times.isEmpty) name -> -1.0 else name -> times.min
+        if (times.isEmpty) (name, -1.0, -1.0) else (name, times.min, times.max - times.min)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""errors":$errors,"runs":$nRuns,"spread":$spreads}""")
     spark.stop()
   }
 }

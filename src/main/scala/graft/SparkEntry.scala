@@ -280,6 +280,88 @@ object SparkEntry {
         |  close_reason,
         |  exit_ts IS NOT NULL AS is_closed
         |FROM allt""".stripMargin,
+    // Three-slot FIFO walk for max_position_per_symbol=3 (+ shorts):
+    // the state is one signed queue (both sides can never be
+    // simultaneously non-empty, because a signal always closes the
+    // opposite side first — trade_reward.py:277-311 gate-first order),
+    // so st ('L'/'S'/'F') + cnt + three (ts, price) slots in FIFO order
+    // walk the whole config. Closes pop slot 1 and shift; opens/appends
+    // fill the first free slot; a signal on a full same-direction book
+    // is a no-op (the max-position gate, checked before anything else).
+    // Still-open slots at the end of the walk emit as OPEN rows.
+    "q_trades_max_position" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
+        |    CASE WHEN event_type='purchase' THEN 'B' ELSE 'S' END AS action,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE event_type IN ('purchase','click')),
+        |walk AS (
+        |  SELECT symbol, 0 AS rn, 'F' AS st, 0 AS cnt,
+        |    CAST(NULL AS TIMESTAMP) AS e1ts, CAST(NULL AS DOUBLE) AS e1px,
+        |    CAST(NULL AS TIMESTAMP) AS e2ts, CAST(NULL AS DOUBLE) AS e2px,
+        |    CAST(NULL AS TIMESTAMP) AS e3ts, CAST(NULL AS DOUBLE) AS e3px,
+        |    CAST(NULL AS VARCHAR) AS c_dir, CAST(NULL AS TIMESTAMP) AS c_ets,
+        |    CAST(NULL AS DOUBLE) AS c_epx, CAST(NULL AS TIMESTAMP) AS c_xts,
+        |    CAST(NULL AS DOUBLE) AS c_xpx
+        |  FROM (SELECT DISTINCT user_id AS symbol FROM events WHERE event_type IN ('purchase','click'))
+        |  UNION ALL
+        |  SELECT w.symbol, w.rn + 1,
+        |    CASE WHEN t.closes THEN (CASE WHEN w.cnt = 1 THEN 'F' ELSE w.st END)
+        |         WHEN t.opens THEN (CASE b.action WHEN 'B' THEN 'L' ELSE 'S' END)
+        |         ELSE w.st END,
+        |    CASE WHEN t.closes THEN w.cnt - 1 WHEN t.opens THEN 1
+        |         WHEN t.appends THEN w.cnt + 1 ELSE w.cnt END,
+        |    CASE WHEN t.closes THEN w.e2ts WHEN t.opens THEN b.ts ELSE w.e1ts END,
+        |    CASE WHEN t.closes THEN w.e2px WHEN t.opens THEN b.close ELSE w.e1px END,
+        |    CASE WHEN t.closes THEN w.e3ts WHEN t.opens THEN CAST(NULL AS TIMESTAMP)
+        |         WHEN t.appends AND w.cnt = 1 THEN b.ts ELSE w.e2ts END,
+        |    CASE WHEN t.closes THEN w.e3px WHEN t.opens THEN CAST(NULL AS DOUBLE)
+        |         WHEN t.appends AND w.cnt = 1 THEN b.close ELSE w.e2px END,
+        |    CASE WHEN t.closes OR t.opens THEN CAST(NULL AS TIMESTAMP)
+        |         WHEN t.appends AND w.cnt = 2 THEN b.ts ELSE w.e3ts END,
+        |    CASE WHEN t.closes OR t.opens THEN CAST(NULL AS DOUBLE)
+        |         WHEN t.appends AND w.cnt = 2 THEN b.close ELSE w.e3px END,
+        |    CASE WHEN t.closes THEN (CASE w.st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END) END,
+        |    CASE WHEN t.closes THEN w.e1ts END,
+        |    CASE WHEN t.closes THEN w.e1px END,
+        |    CASE WHEN t.closes THEN b.ts END,
+        |    CASE WHEN t.closes THEN b.close END
+        |  FROM walk w JOIN b ON b.symbol = w.symbol AND b.rn = w.rn + 1,
+        |  LATERAL (
+        |    SELECT
+        |      (b.action='B' AND w.st='S') OR (b.action='S' AND w.st='L') AS closes,
+        |      w.st = 'F' AS opens,
+        |      ((b.action='B' AND w.st='L') OR (b.action='S' AND w.st='S')) AND w.cnt < 3 AS appends
+        |  ) t),
+        |closed AS (
+        |  SELECT symbol, c_dir AS direction, c_ets AS entry_ts, c_epx AS entry_price,
+        |    c_xts AS exit_ts, c_xpx AS exit_price FROM walk WHERE c_dir IS NOT NULL),
+        |fin AS (
+        |  SELECT w.* FROM walk w
+        |  JOIN (SELECT symbol, max(rn) AS mr FROM walk GROUP BY symbol) m
+        |    ON w.symbol = m.symbol AND w.rn = m.mr
+        |  WHERE w.st <> 'F'),
+        |open_rows AS (
+        |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END AS direction,
+        |    e1ts AS entry_ts, e1px AS entry_price FROM fin WHERE e1ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END, e2ts, e2px
+        |  FROM fin WHERE e2ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END, e3ts, e3px
+        |  FROM fin WHERE e3ts IS NOT NULL),
+        |allt AS (
+        |  SELECT symbol, direction, entry_ts, entry_price, exit_ts, exit_price FROM closed
+        |  UNION ALL
+        |  SELECT symbol, direction, entry_ts, entry_price,
+        |    CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE) FROM open_rows)
+        |SELECT symbol, direction, entry_ts, entry_price, exit_ts, exit_price,
+        |  CASE WHEN exit_ts IS NOT NULL THEN
+        |    (CASE WHEN direction = 'LONG' THEN exit_price - entry_price ELSE entry_price - exit_price END
+        |     - 0.0*entry_price - 0.0*entry_price) / entry_price END AS pnl_norm,
+        |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
+        |  exit_ts IS NOT NULL AS is_closed
+        |FROM allt""".stripMargin,
     "q_mtm_timeline" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT
         |SELECT symbol, ts, event_id, close, buy, sell, mtm_ratio,

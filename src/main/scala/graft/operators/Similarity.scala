@@ -204,7 +204,7 @@ object Similarity {
       embeddings: DataFrame,
       k: Int = 10,
       nQueries: Int = 10,
-      tables: Int = 16,
+      tables: Int = 12,
       bits: Int = 4): DataFrame = {
     TopKByScore.register(embeddings.sparkSession)
     // hyperplane width must match the data — a guessed default would
