@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.core.PnlConfig
+import graft.core.{InventoryMode, PnlConfig}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -22,6 +22,12 @@ object SparkEntry {
     roi = Map(0 -> 0.2, 60 -> 0.1, 1440 -> 0.02),
     stoploss = -0.15, enableShortPosition = true)
   private val maxPosCfg = PnlConfig(maxPositionPerSymbol = 3, enableShortPosition = true)
+  private val maxPosWorstCfg = PnlConfig(
+    maxPositionPerSymbol = 3, enableShortPosition = true,
+    inventoryMode = InventoryMode.WorstPrice)
+  private val maxPosLifoCfg = PnlConfig(
+    maxPositionPerSymbol = 3, enableShortPosition = true,
+    inventoryMode = InventoryMode.Lifo)
 
   private def bars(s: SparkSession, dir: String): DataFrame =
     MtmEngine.barsFromEvents(Tables.events(s, dir))
@@ -41,6 +47,10 @@ object SparkEntry {
       MtmRunner.hyperOptAdapter(MtmEngine.pnlSummary(bars(s, dir), PnlConfig.default))),
     "q_trades_roi_stoploss" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), roiSlCfg)),
     "q_trades_max_position" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), maxPosCfg)),
+    "q_trades_max_position_worst" -> ((s, dir) =>
+      MtmEngine.blotterQuery(bars(s, dir), maxPosWorstCfg)),
+    "q_trades_max_position_lifo" -> ((s, dir) =>
+      MtmEngine.blotterQuery(bars(s, dir), maxPosLifoCfg)),
     // -- generic analytics --
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_shipping_priority" -> ((s, dir) =>
@@ -135,6 +145,100 @@ object SparkEntry {
       |    ON t.symbol = b.symbol AND t.entry_ts < b.ts
       |    AND (t.exit_ts IS NULL OR b.ts < t.exit_ts
       |         OR (b.ts = t.exit_ts AND b.event_id <= t.exit_eid)))""".stripMargin
+
+  /** Three-slot recursive-CTE walk for the max_position=3 long/short
+    * configs: the state is one signed FIFO-ordered queue (both sides can
+    * never be simultaneously non-empty, because a signal always closes
+    * the opposite side first — trade_reward.py:277-311 gate-first
+    * order), so st ('L'/'S'/'F') + cnt + three (ts, price) slots walk
+    * the whole config. A close removes slot `j` and compacts left;
+    * opens/appends fill the first free slot; a signal on a full
+    * same-direction book is a no-op (the max-position gate). Still-open
+    * slots at the end of the walk emit as OPEN rows.
+    *
+    * @param jSelector SQL expression picking the slot a SIGNAL close
+    *        removes (the inventory mode): "1" = FIFO; see the wired
+    *        WORST_PRICE / LIFO selectors. Evaluated only when a close
+    *        actually happens (w.st is 'L' or 'S' and slot 1 non-null).
+    */
+  private def maxPosWalk(jSelector: String): String =
+    s"""WITH RECURSIVE b AS (
+      |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
+      |    CASE WHEN event_type='purchase' THEN 'B' ELSE 'S' END AS action,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events WHERE event_type IN ('purchase','click')),
+      |walk AS (
+      |  SELECT symbol, 0 AS rn, 'F' AS st, 0 AS cnt,
+      |    CAST(NULL AS TIMESTAMP) AS e1ts, CAST(NULL AS DOUBLE) AS e1px,
+      |    CAST(NULL AS TIMESTAMP) AS e2ts, CAST(NULL AS DOUBLE) AS e2px,
+      |    CAST(NULL AS TIMESTAMP) AS e3ts, CAST(NULL AS DOUBLE) AS e3px,
+      |    CAST(NULL AS VARCHAR) AS c_dir, CAST(NULL AS TIMESTAMP) AS c_ets,
+      |    CAST(NULL AS DOUBLE) AS c_epx, CAST(NULL AS TIMESTAMP) AS c_xts,
+      |    CAST(NULL AS DOUBLE) AS c_xpx
+      |  FROM (SELECT DISTINCT user_id AS symbol FROM events WHERE event_type IN ('purchase','click'))
+      |  UNION ALL
+      |  SELECT w.symbol, w.rn + 1,
+      |    CASE WHEN t.closes THEN (CASE WHEN w.cnt = 1 THEN 'F' ELSE w.st END)
+      |         WHEN t.opens THEN (CASE b.action WHEN 'B' THEN 'L' ELSE 'S' END)
+      |         ELSE w.st END,
+      |    CASE WHEN t.closes THEN w.cnt - 1 WHEN t.opens THEN 1
+      |         WHEN t.appends THEN w.cnt + 1 ELSE w.cnt END,
+      |    CASE WHEN t.closes THEN (CASE WHEN u.j = 1 THEN w.e2ts ELSE w.e1ts END)
+      |         WHEN t.opens THEN b.ts ELSE w.e1ts END,
+      |    CASE WHEN t.closes THEN (CASE WHEN u.j = 1 THEN w.e2px ELSE w.e1px END)
+      |         WHEN t.opens THEN b.close ELSE w.e1px END,
+      |    CASE WHEN t.closes THEN (CASE WHEN u.j <= 2 THEN w.e3ts ELSE w.e2ts END)
+      |         WHEN t.opens THEN CAST(NULL AS TIMESTAMP)
+      |         WHEN t.appends AND w.cnt = 1 THEN b.ts ELSE w.e2ts END,
+      |    CASE WHEN t.closes THEN (CASE WHEN u.j <= 2 THEN w.e3px ELSE w.e2px END)
+      |         WHEN t.opens THEN CAST(NULL AS DOUBLE)
+      |         WHEN t.appends AND w.cnt = 1 THEN b.close ELSE w.e2px END,
+      |    CASE WHEN t.closes OR t.opens THEN CAST(NULL AS TIMESTAMP)
+      |         WHEN t.appends AND w.cnt = 2 THEN b.ts ELSE w.e3ts END,
+      |    CASE WHEN t.closes OR t.opens THEN CAST(NULL AS DOUBLE)
+      |         WHEN t.appends AND w.cnt = 2 THEN b.close ELSE w.e3px END,
+      |    CASE WHEN t.closes THEN (CASE w.st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END) END,
+      |    CASE WHEN t.closes THEN (CASE u.j WHEN 1 THEN w.e1ts WHEN 2 THEN w.e2ts ELSE w.e3ts END) END,
+      |    CASE WHEN t.closes THEN (CASE u.j WHEN 1 THEN w.e1px WHEN 2 THEN w.e2px ELSE w.e3px END) END,
+      |    CASE WHEN t.closes THEN b.ts END,
+      |    CASE WHEN t.closes THEN b.close END
+      |  FROM walk w JOIN b ON b.symbol = w.symbol AND b.rn = w.rn + 1,
+      |  LATERAL (
+      |    SELECT
+      |      (b.action='B' AND w.st='S') OR (b.action='S' AND w.st='L') AS closes,
+      |      w.st = 'F' AS opens,
+      |      ((b.action='B' AND w.st='L') OR (b.action='S' AND w.st='S')) AND w.cnt < 3 AS appends
+      |  ) t,
+      |  LATERAL (SELECT ($jSelector) AS j) u),
+      |closed AS (
+      |  SELECT symbol, c_dir AS direction, c_ets AS entry_ts, c_epx AS entry_price,
+      |    c_xts AS exit_ts, c_xpx AS exit_price FROM walk WHERE c_dir IS NOT NULL),
+      |fin AS (
+      |  SELECT w.* FROM walk w
+      |  JOIN (SELECT symbol, max(rn) AS mr FROM walk GROUP BY symbol) m
+      |    ON w.symbol = m.symbol AND w.rn = m.mr
+      |  WHERE w.st <> 'F'),
+      |open_rows AS (
+      |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END AS direction,
+      |    e1ts AS entry_ts, e1px AS entry_price FROM fin WHERE e1ts IS NOT NULL
+      |  UNION ALL
+      |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END, e2ts, e2px
+      |  FROM fin WHERE e2ts IS NOT NULL
+      |  UNION ALL
+      |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END, e3ts, e3px
+      |  FROM fin WHERE e3ts IS NOT NULL),
+      |allt AS (
+      |  SELECT symbol, direction, entry_ts, entry_price, exit_ts, exit_price FROM closed
+      |  UNION ALL
+      |  SELECT symbol, direction, entry_ts, entry_price,
+      |    CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE) FROM open_rows)
+      |SELECT symbol, direction, entry_ts, entry_price, exit_ts, exit_price,
+      |  CASE WHEN exit_ts IS NOT NULL THEN
+      |    (CASE WHEN direction = 'LONG' THEN exit_price - entry_price ELSE entry_price - exit_price END
+      |     - 0.0*entry_price - 0.0*entry_price) / entry_price END AS pnl_norm,
+      |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
+      |  exit_ts IS NOT NULL AS is_closed
+      |FROM allt""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -280,88 +384,28 @@ object SparkEntry {
         |  close_reason,
         |  exit_ts IS NOT NULL AS is_closed
         |FROM allt""".stripMargin,
-    // Three-slot FIFO walk for max_position_per_symbol=3 (+ shorts):
-    // the state is one signed queue (both sides can never be
-    // simultaneously non-empty, because a signal always closes the
-    // opposite side first — trade_reward.py:277-311 gate-first order),
-    // so st ('L'/'S'/'F') + cnt + three (ts, price) slots in FIFO order
-    // walk the whole config. Closes pop slot 1 and shift; opens/appends
-    // fill the first free slot; a signal on a full same-direction book
-    // is a no-op (the max-position gate, checked before anything else).
-    // Still-open slots at the end of the walk emit as OPEN rows.
-    "q_trades_max_position" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
-        |    CASE WHEN event_type='purchase' THEN 'B' ELSE 'S' END AS action,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-        |  FROM events WHERE event_type IN ('purchase','click')),
-        |walk AS (
-        |  SELECT symbol, 0 AS rn, 'F' AS st, 0 AS cnt,
-        |    CAST(NULL AS TIMESTAMP) AS e1ts, CAST(NULL AS DOUBLE) AS e1px,
-        |    CAST(NULL AS TIMESTAMP) AS e2ts, CAST(NULL AS DOUBLE) AS e2px,
-        |    CAST(NULL AS TIMESTAMP) AS e3ts, CAST(NULL AS DOUBLE) AS e3px,
-        |    CAST(NULL AS VARCHAR) AS c_dir, CAST(NULL AS TIMESTAMP) AS c_ets,
-        |    CAST(NULL AS DOUBLE) AS c_epx, CAST(NULL AS TIMESTAMP) AS c_xts,
-        |    CAST(NULL AS DOUBLE) AS c_xpx
-        |  FROM (SELECT DISTINCT user_id AS symbol FROM events WHERE event_type IN ('purchase','click'))
-        |  UNION ALL
-        |  SELECT w.symbol, w.rn + 1,
-        |    CASE WHEN t.closes THEN (CASE WHEN w.cnt = 1 THEN 'F' ELSE w.st END)
-        |         WHEN t.opens THEN (CASE b.action WHEN 'B' THEN 'L' ELSE 'S' END)
-        |         ELSE w.st END,
-        |    CASE WHEN t.closes THEN w.cnt - 1 WHEN t.opens THEN 1
-        |         WHEN t.appends THEN w.cnt + 1 ELSE w.cnt END,
-        |    CASE WHEN t.closes THEN w.e2ts WHEN t.opens THEN b.ts ELSE w.e1ts END,
-        |    CASE WHEN t.closes THEN w.e2px WHEN t.opens THEN b.close ELSE w.e1px END,
-        |    CASE WHEN t.closes THEN w.e3ts WHEN t.opens THEN CAST(NULL AS TIMESTAMP)
-        |         WHEN t.appends AND w.cnt = 1 THEN b.ts ELSE w.e2ts END,
-        |    CASE WHEN t.closes THEN w.e3px WHEN t.opens THEN CAST(NULL AS DOUBLE)
-        |         WHEN t.appends AND w.cnt = 1 THEN b.close ELSE w.e2px END,
-        |    CASE WHEN t.closes OR t.opens THEN CAST(NULL AS TIMESTAMP)
-        |         WHEN t.appends AND w.cnt = 2 THEN b.ts ELSE w.e3ts END,
-        |    CASE WHEN t.closes OR t.opens THEN CAST(NULL AS DOUBLE)
-        |         WHEN t.appends AND w.cnt = 2 THEN b.close ELSE w.e3px END,
-        |    CASE WHEN t.closes THEN (CASE w.st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END) END,
-        |    CASE WHEN t.closes THEN w.e1ts END,
-        |    CASE WHEN t.closes THEN w.e1px END,
-        |    CASE WHEN t.closes THEN b.ts END,
-        |    CASE WHEN t.closes THEN b.close END
-        |  FROM walk w JOIN b ON b.symbol = w.symbol AND b.rn = w.rn + 1,
-        |  LATERAL (
-        |    SELECT
-        |      (b.action='B' AND w.st='S') OR (b.action='S' AND w.st='L') AS closes,
-        |      w.st = 'F' AS opens,
-        |      ((b.action='B' AND w.st='L') OR (b.action='S' AND w.st='S')) AND w.cnt < 3 AS appends
-        |  ) t),
-        |closed AS (
-        |  SELECT symbol, c_dir AS direction, c_ets AS entry_ts, c_epx AS entry_price,
-        |    c_xts AS exit_ts, c_xpx AS exit_price FROM walk WHERE c_dir IS NOT NULL),
-        |fin AS (
-        |  SELECT w.* FROM walk w
-        |  JOIN (SELECT symbol, max(rn) AS mr FROM walk GROUP BY symbol) m
-        |    ON w.symbol = m.symbol AND w.rn = m.mr
-        |  WHERE w.st <> 'F'),
-        |open_rows AS (
-        |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END AS direction,
-        |    e1ts AS entry_ts, e1px AS entry_price FROM fin WHERE e1ts IS NOT NULL
-        |  UNION ALL
-        |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END, e2ts, e2px
-        |  FROM fin WHERE e2ts IS NOT NULL
-        |  UNION ALL
-        |  SELECT symbol, CASE st WHEN 'L' THEN 'LONG' ELSE 'SHORT' END, e3ts, e3px
-        |  FROM fin WHERE e3ts IS NOT NULL),
-        |allt AS (
-        |  SELECT symbol, direction, entry_ts, entry_price, exit_ts, exit_price FROM closed
-        |  UNION ALL
-        |  SELECT symbol, direction, entry_ts, entry_price,
-        |    CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE) FROM open_rows)
-        |SELECT symbol, direction, entry_ts, entry_price, exit_ts, exit_price,
-        |  CASE WHEN exit_ts IS NOT NULL THEN
-        |    (CASE WHEN direction = 'LONG' THEN exit_price - entry_price ELSE entry_price - exit_price END
-        |     - 0.0*entry_price - 0.0*entry_price) / entry_price END AS pnl_norm,
-        |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
-        |  exit_ts IS NOT NULL AS is_closed
-        |FROM allt""".stripMargin,
+    // Three-slot walks for max_position_per_symbol=3 (+ shorts), one per
+    // inventory mode — the close-slot selector is the only difference
+    // (see maxPosWalk).
+    "q_trades_max_position" -> maxPosWalk("1"),
+    "q_trades_max_position_worst" -> maxPosWalk(
+      // worst price: longs close the highest entry, shorts the lowest;
+      // ties keep the earliest slot (stable-sort pop-front semantics)
+      """CASE WHEN w.st = 'L' THEN
+        |        (CASE WHEN w.e1px >= COALESCE(w.e2px, -1e308) AND w.e1px >= COALESCE(w.e3px, -1e308) THEN 1
+        |               WHEN COALESCE(w.e2px, -1e308) >= COALESCE(w.e3px, -1e308) THEN 2 ELSE 3 END)
+        |      ELSE
+        |        (CASE WHEN w.e1px <= COALESCE(w.e2px, 1e308) AND w.e1px <= COALESCE(w.e3px, 1e308) THEN 1
+        |               WHEN COALESCE(w.e2px, 1e308) <= COALESCE(w.e3px, 1e308) THEN 2 ELSE 3 END)
+        |      END""".stripMargin),
+    "q_trades_max_position_lifo" -> maxPosWalk(
+      // LIFO: slots append in time order, so the latest entry is the
+      // last slot carrying the maximum entry ts; ties keep the earliest
+      // slot (first occurrence of the max)
+      """CASE WHEN w.e1ts >= COALESCE(w.e2ts, TIMESTAMP '1900-01-01')
+        |            AND w.e1ts >= COALESCE(w.e3ts, TIMESTAMP '1900-01-01') THEN 1
+        |           WHEN COALESCE(w.e2ts, TIMESTAMP '1900-01-01')
+        |            >= COALESCE(w.e3ts, TIMESTAMP '1900-01-01') THEN 2 ELSE 3 END""".stripMargin),
     "q_mtm_timeline" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT
         |SELECT symbol, ts, event_id, close, buy, sell, mtm_ratio,

@@ -109,7 +109,7 @@ object Dedup {
     * mutually-identical/junk content that exact dedup (#21) already
     * catches.
     */
-  private def capBuckets(
+  private[graft] def capBuckets(
       buckets: DataFrame,
       keyCols: Seq[String],
       maxBucketSize: Int,

@@ -56,6 +56,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("bucket cap: window count shares the pair aggregation's shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.collect_set
+    val buckets = Seq((1L, 0, 10L), (2L, 0, 10L), (3L, 0, 11L))
+      .toDF("doc_id", "band", "bucket")
+    val p = plan(Dedup.capBuckets(buckets, Seq("band", "bucket"), 100, None)
+      .groupBy("band", "bucket").agg(collect_set("doc_id")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"the size guard must reuse the bucket aggregation's exchange, saw $exchanges:\n$p")
+  }
+
   test("exact dedup: single hash-partition shuffle on the fingerprint") {
     val p = plan(Dedup.exactDups(Tables.documents(spark, sfDir)))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
