@@ -22,18 +22,17 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw nanos LongType (spark.sql.legacy.parquet.nanosAsLong=true — set
-    * by [[Sessions]]); convert to a microsecond TIMESTAMP here via
-    * `div 1000`. NOTE: `div` truncates toward zero, which equals floor
-    * only for post-epoch (non-negative) timestamps — DuckDB's ns→us cast
-    * floors, so pre-1970 nanos would land 1 µs apart across engines. The
-    * driver's synthetic data is post-epoch; revisit if that changes.
+    * by [[Sessions]]); convert to a microsecond TIMESTAMP here with
+    * explicit FLOOR division (`div` alone truncates toward zero, which
+    * would land pre-1970 nanos 1 µs above DuckDB's flooring ns→us cast).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // self-healing: callers with their own session (the driver's smoke
     // check) would otherwise hit PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus cleaning: the composition a 100 TB
@@ -25,16 +26,22 @@ object CorpusPipeline {
 
   private def build(
       documents: DataFrame, minQuality: Double, jaccardThreshold: Double): Stages = {
-    // 1. per-row quality gate — no shuffle, prunes the scan output
+    // 1. per-row quality gate — a pure projection + filter inside the
+    // scan stage (qualityExpr attaches the score without the join a
+    // (doc_id → score) lookup would need)
     val scored = documents
-      .join(TextOps.qualityScore(documents).select("doc_id", "quality_score"), "doc_id")
+      .select(col("doc_id"), col("text"),
+        TextOps.qualityExpr(col("text")).as("quality_score"))
       .filter(col("quality_score") >= minQuality)
-      .select("doc_id", "text", "quality_score")
       .localCheckpoint(false)
-    // 2. exact dedup — keep the canonical (min doc_id) of each group
-    val canonical = scored.join(
-      Dedup.exactDups(scored).filter(col("is_canonical")).select("doc_id"),
-      "doc_id")
+    // 2. exact dedup — keep the canonical (min doc_id) of each group.
+    // The min-id window rides the single fingerprint shuffle; joining
+    // exactDups back by doc_id would move the text a second time.
+    val canonical = scored
+      .withColumn("fp_md5", md5(TextOps.normalized(col("text")).cast("binary")))
+      .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy("fp_md5")))
+      .filter(col("doc_id") === col("canonical_id"))
+      .drop("fp_md5", "canonical_id")
       .localCheckpoint(false)
     // 3. near-dup dedup — drop the higher doc_id of each verified pair
     val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold)

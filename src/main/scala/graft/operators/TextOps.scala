@@ -35,27 +35,38 @@ object TextOps {
 
   private val EnStop = "\\b(the|a|and|of|to|is|in|that|it|on)\\b"
 
+  private def punctRatioExpr(text: Column): Column = {
+    val nChars = length(text).cast("bigint")
+    when(nChars === 0, lit(0.0))
+      .otherwise(nMatches(text, "[^A-Za-z0-9\\s]").cast("double") / nChars.cast("double"))
+  }
+
+  private def stopRatioExpr(text: Column): Column = {
+    val nWs = nMatches(text, "\\S+")
+    when(nWs === 0, lit(0.0))
+      .otherwise(nMatches(lower(text), EnStop).cast("double") / nWs.cast("double"))
+  }
+
+  /** The quality score as a single column expression over raw text —
+    * pipelines attach it with a projection instead of a join
+    * (CorpusPipeline's stage 1 stays shuffle-free this way).
+    */
+  def qualityExpr(text: Column): Column = {
+    val lenScore = least(lit(1.0), length(text).cast("bigint").cast("double") / lit(500.0))
+    lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatioExpr(text)) +
+      lit(0.3) * least(lit(1.0), stopRatioExpr(text) * lit(5.0))
+  }
+
   /** SURVEY #18: quality score from length, punctuation and stopword
     * ratios (the standard LLM-corpus heuristics family).
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
-    val nChars = length(col("text")).cast("bigint")
-    val nPunct = nMatches(col("text"), "[^A-Za-z0-9\\s]")
-    val nWs = nMatches(col("text"), "\\S+")
-    val nStop = nMatches(lower(col("text")), EnStop)
-    val punctRatio = when(nChars === 0, lit(0.0))
-      .otherwise(nPunct.cast("double") / nChars.cast("double"))
-    val stopRatio = when(nWs === 0, lit(0.0))
-      .otherwise(nStop.cast("double") / nWs.cast("double"))
-    val lenScore = least(lit(1.0), nChars.cast("double") / lit(500.0))
+  def qualityScore(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      nChars.as("n_chars"),
-      punctRatio.as("punct_ratio"),
-      stopRatio.as("stop_ratio"),
-      (lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio)
-        + lit(0.3) * least(lit(1.0), stopRatio * lit(5.0))).as("quality_score"))
-  }
+      length(col("text")).cast("bigint").as("n_chars"),
+      punctRatioExpr(col("text")).as("punct_ratio"),
+      stopRatioExpr(col("text")).as("stop_ratio"),
+      qualityExpr(col("text")).as("quality_score"))
 
   /** Per-language stopword regexes (ASCII word-boundary; zh uses common
     * hanzi particles, which simply never hit on ASCII corpora).
