@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Random
 
-import graft.functions.{DotProduct, TopKByScore}
+import graft.functions.{CentroidScores, DotProduct, HyperplaneBuckets, TopKByScore}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -87,18 +87,13 @@ object Similarity {
   }
 
   /** Per-row LSH bucket ids: for each table, the `bits` sign bits of the
-    * hyperplane dot products packed into a long.
+    * hyperplane dot products packed into a long — one fused native
+    * kernel ([[graft.functions.HyperplaneBuckets]]); the per-plane
+    * DotProduct composition it replaced inlined the whole matrix as
+    * codegen literals and re-read the vector per plane.
     */
-  private def bucketsFor(v: Column, planes: Seq[Seq[Double]], tables: Int, bits: Int): Column = {
-    val signs: Seq[Column] = planes.map(p =>
-      when(call_function("dot_product", v, typedlit(p)) >= 0.0, 1L).otherwise(0L))
-    val tableBuckets = (0 until tables).map { t =>
-      (0 until bits)
-        .map(b => signs(t * bits + b) * lit(1L << b))
-        .reduce(_ + _)
-    }
-    array(tableBuckets: _*)
-  }
+  private def bucketsFor(v: Column, planes: Seq[Seq[Double]]): Column =
+    call_function("hyperplane_buckets", v)
 
   /** SURVEY #27: hyperplane-LSH approximate top-k. Corpus and queries
     * hash into `tables` independent `bits`-bit sign buckets; candidates
@@ -128,6 +123,9 @@ object Similarity {
       .map(_.getSeq[Double](0).toSeq)
       .toSeq
     for (_ <- 1 to lloydIters) {
+      // rebind the kernel to this iteration's centroids (datasets analyze
+      // eagerly, so the binding is captured when `assigned` is built)
+      CentroidScores.register(embeddings.sparkSession, centroids)
       val assigned = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
       val means = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -145,17 +143,13 @@ object Similarity {
     centroids
   }
 
-  /** Per-row centroid scores (dot products — centroid norms are constant
-    * per cluster so dot order equals cosine order for assignment).
+  /** Per-row centroid scores — one fused native kernel
+    * ([[graft.functions.CentroidScores]]): norm-scaled dots, −∞ for a
+    * degenerate zero centroid (NaN would sort greatest and swallow every
+    * row). Callers must have registered the kernel for these centroids.
     */
   private def centroidScores(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.map { c =>
-      val norm = math.sqrt(c.map(x => x * x).sum)
-      // a degenerate (zero) centroid would score NaN = 0/0, and Spark
-      // orders NaN greatest — every row would collapse into that cell
-      if (norm == 0.0) lit(Double.NegativeInfinity)
-      else call_function("dot_product", v, typedlit(c)) / norm
-    }: _*)
+    call_function("centroid_scores", v)
 
   private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
     val scores = centroidScores(v, centroids)
@@ -174,10 +168,11 @@ object Similarity {
       k: Int = 10,
       nQueries: Int = 10,
       nCentroids: Int = 16,
-      nProbe: Int = 4,
+      nProbe: Int = 6,
       lloydIters: Int = 1): DataFrame = {
     TopKByScore.register(embeddings.sparkSession)
     val centroids = ivfCentroids(embeddings, nCentroids, lloydIters)
+    CentroidScores.register(embeddings.sparkSession, centroids)
     val e = withNorm(embeddings)
     val corpus = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
     // nProbe nearest cells per query: sort (−score, idx) structs, slice
@@ -208,10 +203,11 @@ object Similarity {
       bits: Int = 4): DataFrame = {
     TopKByScore.register(embeddings.sparkSession)
     // hyperplane width must match the data — a guessed default would
-    // now crash in DotProduct's dimension check instead of degrading
+    // now crash in the kernel's dimension check instead of degrading
     val planes = hyperplanes(dimOf(embeddings), tables, bits)
+    HyperplaneBuckets.register(embeddings.sparkSession, planes, tables, bits)
     val e = withNorm(embeddings)
-      .withColumn("bkts", bucketsFor(col("v"), planes, tables, bits))
+      .withColumn("bkts", bucketsFor(col("v"), planes))
     // Candidate (query_id, vec_id) pairs are deduped BEFORE any cosine is
     // computed: a pair colliding in several of the `tables` buckets would
     // otherwise be scored up to `tables`× (and deduping scored rows would

@@ -59,7 +59,9 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(s"IVF mean recall@10 = $mean")
-    assert(mean >= 0.4, s"mean recall@10 $mean below 0.4 — IVF parameters degraded")
+    // measured 0.68 at nProbe=6/16 cells (~37% scan fraction); the floor
+    // leaves noise margin while still failing a degraded quantizer
+    assert(mean >= 0.6, s"mean recall@10 $mean below 0.6 — IVF parameters degraded")
     // candidates carry exact cosines, so returned neighbors are real
     assert(ivf.values.forall(_.nonEmpty))
   }
