@@ -280,19 +280,31 @@ object MtmEngine {
     */
   def runSliced(bars: DataFrame, cfg: PnlConfig, nSlices: Int): (DataFrame, DataFrame) = {
     require(nSlices >= 1, "need at least one slice")
+    // approximate quantile cuts balance slice volume even when bar
+    // density drifts over time; exactness is irrelevant (any cut is
+    // correct, only balance varies). This costs one extra pass over the
+    // bars — production jobs with natural boundaries (day files, ingest
+    // batches) should pass explicit cuts instead.
+    val cuts: Seq[Long] =
+      if (nSlices == 1) Nil
+      else bars.select(col("ts_us").cast("long")).stat.approxQuantile(
+        "ts_us", (1 until nSlices).map(_.toDouble / nSlices).toArray, 0.001)
+        .map(_.toLong).toSeq
+    runSliced(bars, cfg, cuts)
+  }
+
+  /** [[runSliced]] with explicit ascending cut timestamps (µs) — slice i
+    * covers [cuts(i-1), cuts(i)). No pre-scan: the natural form when
+    * slices follow day/batch boundaries known up front.
+    */
+  def runSliced(bars: DataFrame, cfg: PnlConfig, cutsUs: Seq[Long]): (DataFrame, DataFrame) = {
     val spark = bars.sparkSession
     import spark.implicits._
     val typed = bars.select(
       col("symbol").cast("long"), col("ts_us").cast("long"),
       col("event_id").cast("long"), col("close").cast("double"),
       col("buy").cast("int"), col("sell").cast("int"))
-    // approximate quantile cuts balance slice volume even when bar
-    // density drifts over time; exactness is irrelevant (any cut is
-    // correct, only balance varies)
-    val cuts: Array[Long] =
-      if (nSlices == 1) Array.empty
-      else typed.stat.approxQuantile(
-        "ts_us", (1 until nSlices).map(_.toDouble / nSlices).toArray, 0.001).map(_.toLong)
+    val cuts = cutsUs.toArray
     var state: Dataset[SliceIn] = spark.emptyDataset[SliceIn]
     val parts = (0 to cuts.length).map { i =>
       val lo = if (i == 0) None else Some(cuts(i - 1))

@@ -28,6 +28,30 @@ object StreamingJobs {
         col("window.start").as("wstart"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Gap-based sessionization as a streaming aggregation — the streaming
+    * twin of `Analytics.sessionize` (SURVEY §2 #15), via
+    * `session_window`: windows merge while events arrive within `gap`
+    * and emit once the watermark passes a session's close. The emitted
+    * window end is (last event + gap), so `session_end - gap` equals the
+    * batch twin's last-event timestamp (asserted in StreamingSpec).
+    * State is O(open sessions per user) — bounded by the watermark.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("session_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end_plus_gap"),
+        col("n_events"), col("session_value"))
+
   /** Engine input bar (same canonical view as the batch engine). */
   final case class StreamBar(
       symbol: Long, ts_us: Long, event_id: Long, close: Double, buy: Int, sell: Int)

@@ -38,6 +38,21 @@ object RefSim {
       math.abs(cfg.feeRate)
     }
 
+    // Signal-close selection per inventory mode (models.py:170-186 via
+    // the intended semantics; ties keep the earliest-inserted — maxBy /
+    // minBy return the first extremal element, matching a stable
+    // sort-then-pop-front).
+    def pickClose(side: Boolean): Option[SimTrade] = {
+      val cands = live.filter(_.long == side)
+      if (cands.isEmpty) None
+      else Some(cfg.inventoryMode match {
+        case InventoryMode.Fifo => cands.head
+        case InventoryMode.Lifo => cands.maxBy(_.entryUs)
+        case InventoryMode.WorstPrice =>
+          if (side) cands.maxBy(_.entryPrice) else cands.minBy(_.entryPrice)
+      })
+    }
+
     for ((tsUs, price, diff, buy, sell) <- bars) {
       var fee = 0.0
       // 1. accrual over trades entered strictly before t
@@ -58,7 +73,7 @@ object RefSim {
       // 4. signal
       if (buy) {
         if (live.count(_.long) < cfg.maxPositionPerSymbol) {
-          live.find(!_.long) match {
+          pickClose(side = false) match {
             case Some(short) => fee += closeTrade(short, tsUs, price, "SIGNAL")
             case None =>
               live += SimTrade(long = true, tsUs, price); fee += math.abs(cfg.feeRate)
@@ -66,7 +81,7 @@ object RefSim {
         }
       } else if (sell) {
         if (live.count(!_.long) < cfg.maxPositionPerSymbol) {
-          live.find(_.long) match {
+          pickClose(side = true) match {
             case Some(lng) => fee += closeTrade(lng, tsUs, price, "SIGNAL")
             case None if cfg.enableShortPosition =>
               live += SimTrade(long = false, tsUs, price); fee += math.abs(cfg.feeRate)

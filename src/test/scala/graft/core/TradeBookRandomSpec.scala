@@ -23,7 +23,12 @@ class TradeBookRandomSpec extends AnyFunSuite {
       enableShortPosition = rnd.nextBoolean(),
       maxPositionPerSymbol = 1 + rnd.nextInt(4),
       feeRate = if (rnd.nextBoolean()) 0.0 else rnd.nextDouble() * 0.01,
-      laidBackTax = if (rnd.nextBoolean()) 0.0 else rnd.nextDouble() * 0.001)
+      laidBackTax = if (rnd.nextBoolean()) 0.0 else rnd.nextDouble() * 0.001,
+      inventoryMode = rnd.nextInt(3) match {
+        case 0 => InventoryMode.Fifo
+        case 1 => InventoryMode.Lifo
+        case _ => InventoryMode.WorstPrice
+      })
   }
 
   test("random scenarios: TradeBook equals the scalar replica") {

@@ -49,6 +49,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("#15 streaming session windows match the batch sessionizer on closed sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .orderBy("ts")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingJobs.sessionAgg(stream.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      stream.addData(h1.toSeq); q.processAllAvailable()
+      stream.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val gapMs = 30L * 60 * 1000
+    val got = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+        (r.getLong(3), r.getTimestamp(2).getTime - gapMs, r.getDouble(4)))
+      .toMap
+    // batch twin, restricted to sessions closed by the final watermark
+    // (stream emits a session once watermark > last event + gap)
+    val watermarkMs = rows.map(_._2.getTime).max - 2L * 3600 * 1000
+    val exp = Analytics.sessionize(Tables.events(spark, sfDir))
+      .filter(unix_millis(col("session_end")) + gapMs < watermarkMs)
+      .select("user_id", "session_start", "n_events", "session_end", "session_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+        (r.getLong(2), r.getTimestamp(3).getTime, r.getDouble(4)))
+      .toMap
+    assert(exp.nonEmpty)
+    exp.foreach { case (k, (n, end, v)) =>
+      assert(got.contains(k), s"missing closed session $k")
+      val (gn, gend, gv) = got(k)
+      assert(gn == n && gend == end && math.abs(gv - v) < 1e-9, s"session $k mismatch")
+    }
+  }
+
   test("#30 flatMapGroupsWithState MTM engine matches the batch engine") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
