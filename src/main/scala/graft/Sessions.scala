@@ -12,7 +12,14 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on, matching what a production cluster would run.
   */
 object Sessions {
-  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  /** Default core count: all of the machine up to the 32 the target
+    * environment provides (SPARK_GRAFT_CPUS overrides). Tests pass an
+    * explicit small count; Bench/Verify get the full machine.
+    */
+  private def defaultCores: String =
+    math.min(32, Runtime.getRuntime.availableProcessors()).toString
+
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCores)): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
