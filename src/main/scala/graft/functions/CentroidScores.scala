@@ -96,9 +96,22 @@ case class CentroidScores(
 }
 
 object CentroidScores {
-  /** Register `centroid_scores(v)` bound to a fixed centroid matrix
-    * (index configuration captured at registration, like
-    * [[HyperplaneBuckets.register]]).
+  /** The kernel as a Column bound to these centroids — direct expression
+    * construction, no session registry, so Lloyd iterations and
+    * concurrent index builds can never observe each other's matrices.
+    */
+  def scores(v: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+    ColumnBridge.column(CentroidScores(
+      ColumnBridge.expression(v), centroids.flatten.toArray, norms,
+      centroids.length, centroids.head.length))
+  }
+
+  /** Register `centroid_scores(v)` bound to a fixed centroid matrix for
+    * the SQL/`selectExpr` surface. Session-global (last registration
+    * wins) — Scala callers should prefer [[scores]].
     */
   def register(spark: SparkSession, centroids: Seq[Seq[Double]]): Unit = {
     val dim = centroids.head.length

@@ -107,9 +107,22 @@ case class HyperplaneBuckets(
 }
 
 object HyperplaneBuckets {
-  /** Register `hyperplane_buckets(v)` bound to a fixed plane matrix.
-    * The matrix is captured at registration (it is index configuration,
-    * not data), so the SQL surface takes only the vector column.
+  /** The kernel as a Column bound to this plane matrix — direct
+    * expression construction, no session registry involved, so
+    * concurrent callers with different matrices can never observe each
+    * other's binding.
+    */
+  def buckets(v: org.apache.spark.sql.Column, planes: Seq[Seq[Double]],
+      tables: Int, bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(v), planes.flatten.toArray, tables, bits, planes.head.length))
+  }
+
+  /** Register `hyperplane_buckets(v)` bound to a fixed plane matrix for
+    * the SQL/`selectExpr` surface. Session-global: the LAST registration
+    * wins for plans analyzed afterwards — Scala callers should prefer
+    * [[buckets]], which has no shared state.
     */
   def register(
       spark: SparkSession, planes: Seq[Seq[Double]], tables: Int, bits: Int): Unit = {

@@ -25,7 +25,8 @@ object CorpusPipeline {
   private final case class Stages(scored: DataFrame, canonical: DataFrame, cleaned: DataFrame)
 
   private def build(
-      documents: DataFrame, minQuality: Double, jaccardThreshold: Double): Stages = {
+      documents: DataFrame, minQuality: Double, jaccardThreshold: Double,
+      nearDupDrops: Option[org.apache.spark.sql.Observation]): Stages = {
     // 1. per-row quality gate — a pure projection + filter inside the
     // scan stage (qualityExpr attaches the score without the join a
     // (doc_id → score) lookup would need)
@@ -38,13 +39,13 @@ object CorpusPipeline {
     // The min-id window rides the single fingerprint shuffle; joining
     // exactDups back by doc_id would move the text a second time.
     val canonical = scored
-      .withColumn("fp_md5", md5(TextOps.normalized(col("text")).cast("binary")))
+      .withColumn("fp_md5", TextOps.fingerprintExpr(col("text")))
       .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy("fp_md5")))
       .filter(col("doc_id") === col("canonical_id"))
       .drop("fp_md5", "canonical_id")
       .localCheckpoint(false)
     // 3. near-dup dedup — drop the higher doc_id of each verified pair
-    val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold)
+    val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold, dropObs = nearDupDrops)
       .select(col("doc_id_b").as("doc_id")).distinct()
     Stages(scored, canonical, canonical.join(dropIds, Seq("doc_id"), "left_anti"))
   }
@@ -52,12 +53,18 @@ object CorpusPipeline {
   /** Cleaned corpus: (doc_id, text, quality_score) for documents that
     * pass the quality floor, are their exact-dup group's canonical
     * representative, and are not the dropped side of a near-dup pair.
+    *
+    * @param nearDupDrops optional observation receiving the LSH
+    *        hot-bucket dropped-membership count (`dropped_memberships`)
+    *        when the cleaned frame materializes — production jobs should
+    *        wire it and alert on non-zero (see Dedup.capBuckets).
     */
   def cleanCorpus(
       documents: DataFrame,
       minQuality: Double = 0.5,
-      jaccardThreshold: Double = 0.8): DataFrame =
-    build(documents, minQuality, jaccardThreshold).cleaned
+      jaccardThreshold: Double = 0.8,
+      nearDupDrops: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    build(documents, minQuality, jaccardThreshold, nearDupDrops).cleaned
 
   /** Per-stage survivor counts — the pipeline's audit trail (silent
     * shrinkage is how corpus bugs ship). Shares the staged build with
@@ -70,7 +77,7 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val st = build(documents, minQuality, jaccardThreshold)
+    val st = build(documents, minQuality, jaccardThreshold, None)
     Seq(
       ("input", documents.count()),
       ("quality_gate", st.scored.count()),

@@ -46,7 +46,7 @@ object Dedup {
   def exactDups(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy("fp_md5")
     documents
-      .select(col("doc_id"), md5(TextOps.normalized(col("text")).cast("binary")).as("fp_md5"))
+      .select(col("doc_id"), TextOps.fingerprintExpr(col("text")).as("fp_md5"))
       .withColumn("group_size", count(lit(1)).over(w).cast("bigint"))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
@@ -105,9 +105,11 @@ object Dedup {
     * dropped memberships is published as the `dropped_memberships`
     * observed metric of the final action. Precision is unaffected (all
     * emitted pairs are still exactly verified); recall loss is confined
-    * to the dropped buckets, which at these sizes hold
-    * mutually-identical/junk content that exact dedup (#21) already
-    * catches.
+    * to pairs whose ONLY shared bucket was dropped — for MinHash's
+    * 64-bit band buckets that means signature-identical floods (junk
+    * that exact dedup #21 usually catches), but see simhashPairs' scale
+    * note: its 16-bit chunk space saturates at corpus scale, so wire
+    * `dropObs` in production and alert on non-zero drops.
     */
   private[graft] def capBuckets(
       buckets: DataFrame,
@@ -220,8 +222,18 @@ object Dedup {
   /** SURVEY #24: SimHash near-dups with Hamming distance ≤ maxHamming.
     * Pigeonhole banding: with 4 chunks of 16 bits, any pair within
     * Hamming ≤ 3 shares at least one exact chunk, so the chunk join is a
-    * lossless candidate generator (recall 1.0 — spec'd vs brute force);
-    * the shuffle carries (chunk_idx, chunk_value, doc_id) only.
+    * lossless candidate generator (recall 1.0 — spec'd vs brute force)
+    * AS LONG AS no bucket exceeds `maxBucketSize`; the shuffle carries
+    * (chunk_idx, chunk_value, doc_id) only.
+    *
+    * Scale honesty: a 16-bit chunk has only 65536 values, so once the
+    * corpus passes ~maxBucketSize·65536 docs, ORDINARY buckets hit the
+    * cap and recall quietly drops below 1.0 for pairs whose only shared
+    * chunk is a capped one — pass `dropObs` in production and treat a
+    * non-zero drop count as the signal to shard the corpus (or route
+    * near-dup through MinHash-LSH, whose 64-bit band buckets don't
+    * saturate). The cap itself is non-negotiable: an over-full chunk
+    * bucket means quadratic pair expansion either way.
     */
   def simhashPairs(
       documents: DataFrame,

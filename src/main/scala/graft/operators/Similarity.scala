@@ -30,19 +30,24 @@ object Similarity {
   }
 
   /** Embedding dimension, read from the first row — ANN paths must never
-    * guess it (DotProduct raises on mismatch rather than truncating).
-    * Cached by canonicalized logical plan: repeated ANN calls over the
+    * guess it (the kernels raise on mismatch rather than truncating).
+    * Cached by canonicalized logical plan so repeated ANN calls over the
     * same source (a tuning sweep, the spec suite) pay the one-row job
-    * once instead of per call. The cache is tiny — one entry per
-    * distinct source plan.
+    * once. Bounded: distinct-plan churn (e.g. per-call localCheckpoints,
+    * which would otherwise pin their plans forever) clears the cache at
+    * 64 entries. A stale hit is possible only if the SAME path is
+    * rewritten with different-width vectors mid-session — the kernel
+    * dimension check then fails loudly rather than degrading.
     */
   private val dimCache =
     new scala.collection.concurrent.TrieMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
 
-  private def dimOf(embeddings: DataFrame): Int =
+  private def dimOf(embeddings: DataFrame): Int = {
+    if (dimCache.size >= 64) dimCache.clear()
     dimCache.getOrElseUpdate(
       embeddings.queryExecution.analyzed.canonicalized,
       embeddings.select(size(col("embedding"))).head().getInt(0))
+  }
 
   /** Shared output tail of every ANN path: per-query bounded-heap top-k
     * over (query_id, vec_id, cos) scored candidates, exploded to the
@@ -88,12 +93,13 @@ object Similarity {
 
   /** Per-row LSH bucket ids: for each table, the `bits` sign bits of the
     * hyperplane dot products packed into a long — one fused native
-    * kernel ([[graft.functions.HyperplaneBuckets]]); the per-plane
+    * kernel ([[graft.functions.HyperplaneBuckets]]) constructed directly
+    * on this plane matrix (no session registry); the per-plane
     * DotProduct composition it replaced inlined the whole matrix as
     * codegen literals and re-read the vector per plane.
     */
-  private def bucketsFor(v: Column, planes: Seq[Seq[Double]]): Column =
-    call_function("hyperplane_buckets", v)
+  private def bucketsFor(v: Column, planes: Seq[Seq[Double]], tables: Int, bits: Int): Column =
+    HyperplaneBuckets.buckets(v, planes, tables, bits)
 
   /** SURVEY #27: hyperplane-LSH approximate top-k. Corpus and queries
     * hash into `tables` independent `bits`-bit sign buckets; candidates
@@ -123,9 +129,6 @@ object Similarity {
       .map(_.getSeq[Double](0).toSeq)
       .toSeq
     for (_ <- 1 to lloydIters) {
-      // rebind the kernel to this iteration's centroids (datasets analyze
-      // eagerly, so the binding is captured when `assigned` is built)
-      CentroidScores.register(embeddings.sparkSession, centroids)
       val assigned = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
       val means = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -144,12 +147,13 @@ object Similarity {
   }
 
   /** Per-row centroid scores — one fused native kernel
-    * ([[graft.functions.CentroidScores]]): norm-scaled dots, −∞ for a
+    * ([[graft.functions.CentroidScores]]) constructed directly on these
+    * centroids (no session registry): norm-scaled dots, −∞ for a
     * degenerate zero centroid (NaN would sort greatest and swallow every
-    * row). Callers must have registered the kernel for these centroids.
+    * row).
     */
   private def centroidScores(v: Column, centroids: Seq[Seq[Double]]): Column =
-    call_function("centroid_scores", v)
+    CentroidScores.scores(v, centroids)
 
   private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
     val scores = centroidScores(v, centroids)
@@ -172,7 +176,6 @@ object Similarity {
       lloydIters: Int = 1): DataFrame = {
     TopKByScore.register(embeddings.sparkSession)
     val centroids = ivfCentroids(embeddings, nCentroids, lloydIters)
-    CentroidScores.register(embeddings.sparkSession, centroids)
     val e = withNorm(embeddings)
     val corpus = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
     // nProbe nearest cells per query: sort (−score, idx) structs, slice
@@ -205,9 +208,8 @@ object Similarity {
     // hyperplane width must match the data — a guessed default would
     // now crash in the kernel's dimension check instead of degrading
     val planes = hyperplanes(dimOf(embeddings), tables, bits)
-    HyperplaneBuckets.register(embeddings.sparkSession, planes, tables, bits)
     val e = withNorm(embeddings)
-      .withColumn("bkts", bucketsFor(col("v"), planes))
+      .withColumn("bkts", bucketsFor(col("v"), planes, tables, bits))
     // Candidate (query_id, vec_id) pairs are deduped BEFORE any cosine is
     // computed: a pair colliding in several of the `tables` buckets would
     // otherwise be scored up to `tables`× (and deduping scored rows would

@@ -100,11 +100,17 @@ object TextOps {
   def normalized(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** The canonical exact-dup fingerprint: md5 of normalized text. ONE
+    * definition shared by docFingerprint, Dedup.exactDups and
+    * CorpusPipeline so the three sites can never drift apart (each is
+    * oracle- or spec-gated against this exact shape).
+    */
+  def fingerprintExpr(text: Column): Column =
+    md5(normalized(text).cast("binary"))
+
   /** SURVEY #20: md5 fingerprint of normalized text (DuckDB-oracled). */
   def docFingerprint(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      md5(normalized(col("text")).cast("binary")).as("fp_md5"))
+    documents.select(col("doc_id"), fingerprintExpr(col("text")).as("fp_md5"))
 
   /** SURVEY #20 (native half): the rolling-hash Catalyst expression —
     * not SQL-expressible in DuckDB (wrapping 64-bit arithmetic), so the

@@ -109,7 +109,10 @@ class MtmEngineSpec extends AnyFunSuite {
       assert(java.lang.Double.compare(sliced(k), v) == 0, s"bar $k: ${sliced(k)} vs $v")
     }
 
-    def blSet(df: org.apache.spark.sql.DataFrame) =
+    // multiset, not set: two legitimately identical blotter rows (same
+    // prices/timestamps on different trades) must not mask a dropped or
+    // doubled record at a slice boundary
+    def blBag(df: org.apache.spark.sql.DataFrame) =
       df.select("symbol", "direction", "entry_ts_us", "entry_price",
         "exit_ts_us", "pnl_norm", "close_reason", "is_closed").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
@@ -117,11 +120,12 @@ class MtmEngineSpec extends AnyFunSuite {
           // stringified: NaN (open rows) would fail numeric equality
           if (r.isNullAt(5)) "null" else r.getDouble(5).toString,
           if (r.isNullAt(6)) "OPEN" else r.getString(6), r.getBoolean(7)))
-        .toSet
-    val gotBl = blSet(slBl)
-    val expBl = blSet(MtmEngine.blotter(bars, cfg))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+    val gotBl = blBag(slBl)
+    val expBl = blBag(MtmEngine.blotter(bars, cfg))
     assert(gotBl == expBl,
-      s"\nsliced-only: ${(gotBl -- expBl).take(5)}\nunsliced-only: ${(expBl -- gotBl).take(5)}")
+      s"\nsliced-only: ${(gotBl.toSet -- expBl.toSet).take(5)}" +
+        s"\nunsliced-only: ${(expBl.toSet -- gotBl.toSet).take(5)}")
   }
 
   test("engine is insensitive to input row order") {

@@ -76,9 +76,9 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(s"LSH mean recall@10 = $mean")
-    // 0.4 would pass a nearly-useless index; 16 tables × 4 bits is tuned
-    // to clear 0.8 on this corpus (and candidates are deduped pre-scoring,
-    // so the wider table count costs buckets, not dot products)
+    // 0.4 would pass a nearly-useless index; the default 12 tables × 4
+    // bits measures 0.89 on this corpus (candidates are deduped
+    // pre-scoring, so extra tables cost buckets, not dot products)
     assert(mean >= 0.8, s"mean recall@10 $mean below 0.8 — LSH parameters degraded")
     // candidates are verified with exact cosine, so anything returned is real
     assert(lsh.values.forall(_.nonEmpty))
