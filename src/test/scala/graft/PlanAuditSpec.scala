@@ -56,6 +56,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("ANN index math stays fused: one kernel, not per-plane expressions") {
+    val lsh = plan(Similarity.annLshTopK(Tables.embeddings(spark, sfDir)))
+    assert(lsh.contains("hyperplane_buckets"),
+      "LSH bucketing must go through the fused kernel (per-plane literal " +
+        "DotProducts regress codegen size and bucketing cost ~5x)")
+    val ivf = plan(Similarity.annIvfTopK(Tables.embeddings(spark, sfDir)))
+    assert(ivf.contains("centroid_scores"),
+      "IVF assignment must go through the fused centroid kernel")
+  }
+
   test("bucket cap: window count shares the pair aggregation's shuffle") {
     import spark.implicits._
     import org.apache.spark.sql.functions.collect_set
