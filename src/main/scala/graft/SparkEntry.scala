@@ -110,13 +110,13 @@ object SparkEntry {
       |    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS buy,
       |    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS sell,
       |    value - lag(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pm
-      |  FROM events)""".stripMargin
+      |  FROM events WHERE value > 0)""".stripMargin
 
   private val SIG_TRADES =
     """sig AS (
       |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
       |    CASE WHEN event_type='purchase' THEN 'B' ELSE 'S' END AS action
-      |  FROM events WHERE event_type IN ('purchase','click')),
+      |  FROM events WHERE event_type IN ('purchase','click') AND value > 0),
       |runs AS (
       |  SELECT symbol, ts, event_id, close, action,
       |    row_number() OVER (PARTITION BY symbol ORDER BY ts, event_id) AS rn
@@ -166,7 +166,7 @@ object SparkEntry {
       |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
       |    CASE WHEN event_type='purchase' THEN 'B' ELSE 'S' END AS action,
       |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-      |  FROM events WHERE event_type IN ('purchase','click')),
+      |  FROM events WHERE event_type IN ('purchase','click') AND value > 0),
       |walk AS (
       |  SELECT symbol, 0 AS rn, 'F' AS st, 0 AS cnt,
       |    CAST(NULL AS TIMESTAMP) AS e1ts, CAST(NULL AS DOUBLE) AS e1px,
@@ -175,7 +175,8 @@ object SparkEntry {
       |    CAST(NULL AS VARCHAR) AS c_dir, CAST(NULL AS TIMESTAMP) AS c_ets,
       |    CAST(NULL AS DOUBLE) AS c_epx, CAST(NULL AS TIMESTAMP) AS c_xts,
       |    CAST(NULL AS DOUBLE) AS c_xpx
-      |  FROM (SELECT DISTINCT user_id AS symbol FROM events WHERE event_type IN ('purchase','click'))
+      |  FROM (SELECT DISTINCT user_id AS symbol FROM events
+      |        WHERE event_type IN ('purchase','click') AND value > 0)
       |  UNION ALL
       |  SELECT w.symbol, w.rn + 1,
       |    CASE WHEN t.closes THEN (CASE WHEN w.cnt = 1 THEN 'F' ELSE w.st END)
@@ -269,14 +270,15 @@ object SparkEntry {
         |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
         |    CASE WHEN event_type='purchase' THEN 'B' ELSE 'S' END AS action,
         |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-        |  FROM events WHERE event_type IN ('purchase','click')),
+        |  FROM events WHERE event_type IN ('purchase','click') AND value > 0),
         |walk AS (
         |  SELECT symbol, 0 AS rn, 'F' AS st,
         |    CAST(NULL AS TIMESTAMP) AS ets, CAST(NULL AS DOUBLE) AS epx,
         |    CAST(NULL AS VARCHAR) AS c_dir, CAST(NULL AS TIMESTAMP) AS c_ets,
         |    CAST(NULL AS DOUBLE) AS c_epx, CAST(NULL AS TIMESTAMP) AS c_xts,
         |    CAST(NULL AS DOUBLE) AS c_xpx
-        |  FROM (SELECT DISTINCT user_id AS symbol FROM events WHERE event_type IN ('purchase','click'))
+        |  FROM (SELECT DISTINCT user_id AS symbol FROM events
+        |        WHERE event_type IN ('purchase','click') AND value > 0)
         |  UNION ALL
         |  SELECT w.symbol, w.rn + 1,
         |    CASE WHEN b.action = 'B' THEN (CASE w.st WHEN 'S' THEN 'F' ELSE 'L' END)
@@ -323,14 +325,14 @@ object SparkEntry {
         |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
         |    CASE WHEN event_type='purchase' THEN 'B' WHEN event_type='click' THEN 'S' END AS action,
         |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-        |  FROM events),
+        |  FROM events WHERE value > 0),
         |walk AS (
         |  SELECT symbol, 0 AS rn, 'F' AS st,
         |    CAST(NULL AS TIMESTAMP) AS ets, CAST(NULL AS DOUBLE) AS epx,
         |    CAST(NULL AS VARCHAR) AS c_dir, CAST(NULL AS TIMESTAMP) AS c_ets,
         |    CAST(NULL AS DOUBLE) AS c_epx, CAST(NULL AS TIMESTAMP) AS c_xts,
         |    CAST(NULL AS DOUBLE) AS c_xpx, CAST(NULL AS VARCHAR) AS c_reason
-        |  FROM (SELECT DISTINCT user_id AS symbol FROM events)
+        |  FROM (SELECT DISTINCT user_id AS symbol FROM events WHERE value > 0)
         |  UNION ALL
         |  SELECT w.symbol, w.rn + 1,
         |    CASE WHEN t.action = 'B' THEN (CASE t.m WHEN 'S' THEN 'F' ELSE 'L' END)
@@ -406,11 +408,15 @@ object SparkEntry {
         |            AND w.e1ts >= COALESCE(w.e3ts, TIMESTAMP '1900-01-01') THEN 1
         |           WHEN COALESCE(w.e2ts, TIMESTAMP '1900-01-01')
         |            >= COALESCE(w.e3ts, TIMESTAMP '1900-01-01') THEN 2 ELSE 3 END""".stripMargin),
+    // cumulative sums quantize to 1e-9 units via floor(x*1e9 + 0.5):
+    // pure IEEE arithmetic, identical in Spark and DuckDB — a
+    // double→DECIMAL cast is NOT (Spark rounds the shortest decimal
+    // repr half-up; DuckDB rounds the exact binary expansion)
     "q_mtm_timeline" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT
         |SELECT symbol, ts, event_id, close, buy, sell, mtm_ratio,
-        |  CAST(SUM(CAST(mtm_ratio AS DECIMAL(38,9))) OVER (
-        |    PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS pnl_ratio
+        |  CAST(SUM(CAST(floor(mtm_ratio * 1e9 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e9 AS pnl_ratio
         |FROM acc""".stripMargin,
     "q_mtm_timeline_fees" ->
       s"""WITH $SIG_TRADES, $BARS_PM,
@@ -432,14 +438,14 @@ object SparkEntry {
         |    AND (t.exit_ts IS NULL OR b.ts < t.exit_ts
         |         OR (b.ts = t.exit_ts AND b.event_id <= t.exit_eid)))
         |SELECT symbol, ts, event_id, close, buy, sell, mtm_ratio,
-        |  CAST(SUM(CAST(mtm_ratio AS DECIMAL(38,9))) OVER (
-        |    PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS pnl_ratio
+        |  CAST(SUM(CAST(floor(mtm_ratio * 1e9 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e9 AS pnl_ratio
         |FROM acc""".stripMargin,
     "q_max_drawdown" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
         |c AS (
         |  SELECT symbol, ts, event_id,
-        |    SUM(CAST(mtm_ratio AS DECIMAL(38,9))) OVER (
+        |    SUM(CAST(floor(mtm_ratio * 1e9 + 0.5) AS BIGINT)) OVER (
         |      PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM acc),
         |r AS (
@@ -447,7 +453,7 @@ object SparkEntry {
         |    MAX(cum) OVER (PARTITION BY symbol ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS runmax
         |  FROM c)
         |SELECT symbol,
-        |  MAX(CAST(GREATEST(runmax, CAST(0 AS DECIMAL(38,9))) AS DOUBLE) - CAST(cum AS DOUBLE)) AS max_drawdown
+        |  CAST(MAX(GREATEST(runmax, 0) - cum) AS DOUBLE) / 1e9 AS max_drawdown
         |FROM r GROUP BY symbol""".stripMargin,
     "q_sharpe_ratio" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
@@ -461,7 +467,7 @@ object SparkEntry {
         |FROM x GROUP BY symbol""".stripMargin,
     "q_pnl_summary" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
-        |p AS (SELECT symbol, CAST(SUM(CAST(mtm_ratio AS DECIMAL(38,9))) AS DOUBLE) AS pnl
+        |p AS (SELECT symbol, CAST(SUM(CAST(floor(mtm_ratio * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS pnl
         |      FROM acc GROUP BY symbol),
         |ct AS (SELECT symbol, COUNT(*) AS n_trades,
         |         COUNT(*) FILTER (WHERE (exit_price - entry_price - 0.0*entry_price - 0.0*entry_price)/entry_price > 0.0) AS n_wins,
@@ -473,7 +479,7 @@ object SparkEntry {
         |FROM p LEFT JOIN ct ON p.symbol = ct.symbol""".stripMargin,
     "q_pnl_summary_hyperopt" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
-        |p AS (SELECT symbol, CAST(SUM(CAST(mtm_ratio AS DECIMAL(38,9))) AS DOUBLE) AS pnl
+        |p AS (SELECT symbol, CAST(SUM(CAST(floor(mtm_ratio * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS pnl
         |      FROM acc GROUP BY symbol),
         |ct AS (SELECT symbol, COUNT(*) AS n_trades,
         |         COUNT(*) FILTER (WHERE (exit_price - entry_price - 0.0*entry_price - 0.0*entry_price)/entry_price > 0.0) AS n_wins,
@@ -489,32 +495,32 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)/count(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)/count(*) AS avg_price,
+        |  CAST(SUM(CAST(floor((l_quantity) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS sum_qty,
+        |  CAST(SUM(CAST(floor((l_extendedprice) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS sum_base_price,
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS sum_disc_price,
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount)*(1+l_tax)) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS sum_charge,
+        |  CAST(SUM(CAST(floor((l_quantity) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6/count(*) AS avg_qty,
+        |  CAST(SUM(CAST(floor((l_extendedprice) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6/count(*) AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         |  JOIN customer ON o_custkey=c_custkey
         |WHERE c_mktsegment='BUILDING'
         |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q6_revenue_delta" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(SUM(CAST(floor((l_extendedprice*l_discount) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q_top_customers_window" ->
       """WITH rev AS (
-        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |  SELECT o_custkey, CAST(SUM(CAST(floor((o_totalprice) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS revenue
         |  FROM orders GROUP BY 1)
         |SELECT n_name, c_custkey, c_name, revenue, rank FROM (
         |  SELECT n_name, c_custkey, c_name, revenue,
@@ -536,12 +542,12 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+        |  CAST(SUM(CAST(floor((value) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS session_value
         |FROM sess GROUP BY 1,2""".stripMargin,
     "q_events_tumbling_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
         |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(floor((value) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2""".stripMargin,
     "q_token_count" ->

@@ -9,15 +9,23 @@ import org.apache.spark.sql.functions._
   *
   * These exercise the engine's generic query surface and serve as the
   * benchmark headliners. Numeric discipline: per-row arithmetic stays in
-  * doubles (bit-identical across engines), while SUMs go through
-  * DECIMAL(30,6) so the result is exact and independent of aggregation
-  * order — at 100 TB a double sum's value depends on partitioning, which
-  * would make results non-reproducible run to run.
+  * doubles (bit-identical across engines), while SUMs quantize to 1e-6
+  * units and accumulate exactly, so the result is independent of
+  * aggregation order — at 100 TB a double sum's value depends on
+  * partitioning, which would make results non-reproducible run to run.
   */
 object Analytics {
 
-  /** Exact, order-independent sum of a double expression. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+  /** Exact, order-independent, engine-agnostic sum of a double
+    * expression: quantize to 1e-6 units with floor(x·1e6 + 0.5) — pure
+    * IEEE arithmetic, bit-identical everywhere, unlike a double→DECIMAL
+    * cast (Spark rounds the shortest decimal representation half-up,
+    * DuckDB rounds the exact binary expansion; a tie-boundary value
+    * diverges) — then sum exactly in DECIMAL(30,0), which unlike int64
+    * cannot overflow at 100 TB row counts, and divide once at the end.
+    */
+  private def dsum(c: Column): Column =
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(30,0)")).cast("double") / lit(1e6)
 
   /** Pricing summary aggregate (TPC-H Q1 shape): single scan, map-side
     * partial aggregation, tiny result. Filter + 7 needed columns reach

@@ -40,10 +40,15 @@ object MtmEngine {
 
   /** events → canonical bar view (SURVEY §2): user_id plays the symbol,
     * value the close price, purchase/click the buy/sell signals; every
-    * event row is a bar (non-signal types are hold bars).
+    * event row is a bar (non-signal types are hold bars). Contract: a
+    * bar requires a POSITIVE close price — every engine output is
+    * normalized by an entry price, so a zero/negative close would put
+    * IEEE ±inf/NaN into the pnl algebra (and SQL engines disagree with
+    * IEEE on x/0). Non-positive-price events are excluded here and in
+    * every oracle's bar CTE, symmetrically.
     */
   def barsFromEvents(events: DataFrame): DataFrame =
-    events.select(
+    events.filter(col("value") > 0).select(
       col("user_id").as("symbol"),
       unix_micros(col("ts")).as("ts_us"),
       col("event_id"),
@@ -350,13 +355,20 @@ object MtmEngine {
     Window.partitionBy("symbol").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-  /** Exact cumulative sum of a double column (order-independent): route
-    * through DECIMAL(38,9). Scaled magnitudes stay far below 2^53 so the
-    * final double conversion is a single correct rounding in both Spark
-    * and DuckDB.
+  /** Quantize a double to exact 1e-9 units: floor(x·1e9 + 0.5) is pure
+    * IEEE arithmetic, bit-identical in every engine. The DECIMAL(38,9)
+    * routing it replaces was order-independent but NOT engine-agnostic:
+    * on a tie-boundary double, Spark's double→decimal cast rounds the
+    * SHORTEST decimal representation half-up while DuckDB rounds the
+    * exact binary expansion — sf0.1 data hits such values. Long sums of
+    * units are exact and order-independent; one division at the end.
+    * Magnitudes: |mtm|·1e9 ≲ 1e13 per bar, summed ≪ 2^63.
     */
-  private def cumDec(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(38,9)")).over(seqWindow)
+  private def unitCol(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+  private def cumUnits(c: org.apache.spark.sql.Column) =
+    sum(unitCol(c)).over(seqWindow)
 
   // Each query surface comes in two forms: the public (bars, cfg) entry
   // and a `*From(timeline/blotter)` form over a precomputed engine
@@ -372,7 +384,7 @@ object MtmEngine {
     timelineQueryFrom(timeline(bars, cfg))
 
   private[graft] def timelineQueryFrom(tl: DataFrame): DataFrame =
-    tl.withColumn("pnl_ratio", cumDec(col("mtm_ratio")).cast("double"))
+    tl.withColumn("pnl_ratio", cumUnits(col("mtm_ratio")).cast("double") / lit(1e9))
       .select(
         col("symbol"), timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
         col("close"), col("buy"), col("sell"), col("mtm_ratio"), col("pnl_ratio"))
@@ -397,16 +409,13 @@ object MtmEngine {
 
   private[graft] def maxDrawdownFrom(tl: DataFrame): DataFrame =
     tl
-      // Narrow to (20,9) before subtracting: (38,9)−(38,9) would overflow
-      // precision 38 and silently drop to scale 8 (precision-loss
-      // rounding), diverging from the oracle's exact scale-9 arithmetic.
-      .withColumn("cum", cumDec(col("mtm_ratio")).cast("decimal(20,9)"))
+      // all-long unit arithmetic end to end — exact, no decimal
+      // precision/rounding traps — one double division at the very end
+      .withColumn("cum", cumUnits(col("mtm_ratio")))
       .withColumn("runmax", max(col("cum")).over(seqWindow))
       .groupBy("symbol")
       .agg(
-        max(
-          greatest(col("runmax"), lit(0).cast("decimal(20,9)")).cast("double")
-            - col("cum").cast("double"))
+        (max(greatest(col("runmax"), lit(0L)) - col("cum")).cast("double") / lit(1e9))
           .as("max_drawdown"))
 
   /** SURVEY #7: per-symbol Sharpe, reference formula
@@ -448,7 +457,7 @@ object MtmEngine {
   private[graft] def pnlSummaryFrom(tl: DataFrame, bl: DataFrame): DataFrame = {
     val pnlAgg = tl
       .groupBy("symbol")
-      .agg(sum(col("mtm_ratio").cast("decimal(38,9)")).cast("double").as("pnl"))
+      .agg((sum(unitCol(col("mtm_ratio"))).cast("double") / lit(1e9)).as("pnl"))
     val tradeAgg = bl
       .filter(col("is_closed"))
       .groupBy("symbol")

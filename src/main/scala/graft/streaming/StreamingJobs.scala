@@ -23,7 +23,9 @@ object StreamingJobs {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+        // same engine-agnostic 1e-6 unit sum as the batch twin (Analytics.dsum)
+        (sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("decimal(30,0)"))
+          .cast("double") / lit(1e6)).as("total_value"))
       .select(
         col("window.start").as("wstart"), col("event_type"),
         col("n_events"), col("total_value"))
@@ -45,7 +47,8 @@ object StreamingJobs {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(30,6)")).cast("double").as("session_value"))
+        (sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("decimal(30,0)"))
+          .cast("double") / lit(1e6)).as("session_value"))
       .select(
         col("user_id"),
         col("session_window.start").as("session_start"),
@@ -64,6 +67,14 @@ object StreamingJobs {
       prevClose: Double, hasPrev: Boolean,
       longs: Seq[(Long, Double)], shorts: Seq[(Long, Double)])
 
+  /** Streamed closed trade (the blotter's is_closed=true rows; open
+    * positions live in GroupState and are never emitted — append-mode
+    * streams cannot retract).
+    */
+  final case class StreamTrade(
+      symbol: Long, direction: String, entry_ts_us: Long, entry_price: Double,
+      exit_ts_us: Long, exit_price: Double, pnl_norm: Double, close_reason: String)
+
   /** SURVEY #30: the SAME TradeBook core as the batch engine, run
     * incrementally under `flatMapGroupsWithState`. Each micro-batch
     * restores the symbol's open positions + previous close from
@@ -74,6 +85,51 @@ object StreamingJobs {
     * (in-order source or upstream watermark+sort); intra-batch order is
     * restored by sorting the group.
     */
+  /** The trade-blotter twin of [[mtmTimelineStream]]: each micro-batch
+    * emits the trades CLOSED by its bars (signal/ROI/stop-loss), with
+    * the same fee-included pnl_norm as the batch blotter. Open positions
+    * checkpoint through GroupState and surface only once closed — the
+    * batch blotter's OPEN flush has no append-mode equivalent. Same
+    * in-order contract as the timeline stream.
+    */
+  def mtmBlotterStream(bars: Dataset[StreamBar], cfg: PnlConfig): Dataset[StreamTrade] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val fee = math.abs(cfg.feeRate)
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[BookState, StreamTrade](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (symbol, it, state: GroupState[BookState]) =>
+          val book = new TradeBook(cfg)
+          var prevClose = Double.NaN
+          if (state.exists) {
+            val s = state.get
+            if (s.hasPrev) prevClose = s.prevClose
+            book.restoreOpen(
+              s.longs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
+              s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
+          }
+          val out = it.toSeq.sortBy(b => (b.ts_us, b.event_id)).flatMap { b =>
+            val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
+            prevClose = b.close
+            book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
+            book.drainTrades().map { t =>
+              val raw = if (t.isLong) t.exitPrice - t.entryPrice else t.entryPrice - t.exitPrice
+              StreamTrade(symbol, if (t.isLong) "LONG" else "SHORT",
+                t.entryUs, t.entryPrice, t.exitUs, t.exitPrice,
+                (raw - fee * t.entryPrice - fee * t.entryPrice) / t.entryPrice, t.reason)
+            }
+          }
+          val (ol, os) = book.snapshotOpen()
+          state.update(BookState(
+            prevClose, !prevClose.isNaN,
+            ol.map(p => (p.entryUs, p.entryPrice)),
+            os.map(p => (p.entryUs, p.entryPrice))))
+          out.iterator
+      }
+  }
+
   def mtmTimelineStream(bars: Dataset[StreamBar], cfg: PnlConfig): Dataset[StreamPoint] = {
     val spark = bars.sparkSession
     import spark.implicits._

@@ -49,6 +49,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("#30 streaming blotter matches the batch blotter's closed trades") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+      .select("symbol", "ts_us", "event_id", "close", "buy", "sell")
+      .orderBy("ts_us", "event_id")
+      .collect()
+      .map(r => StreamingJobs.StreamBar(
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+    val cfg = PnlConfig(
+      roi = Map(0 -> 0.2, 60 -> 0.1), stoploss = -0.15,
+      enableShortPosition = true, maxPositionPerSymbol = 2, feeRate = 0.001)
+    val stream = MemoryStream[StreamingJobs.StreamBar]
+    val q = StreamingJobs.mtmBlotterStream(stream.toDS(), cfg)
+      .writeStream.format("memory").queryName("blotterstream").outputMode(OutputMode.Append).start()
+    try {
+      bars.grouped(math.max(1, bars.length / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // multiset compare on fully-identifying closed-trade tuples
+    def bag(rows: Array[(Long, String, Long, Long, Double, String)]) =
+      rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    val got = bag(spark.table("blotterstream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4),
+        r.getDouble(6), r.getString(7))))
+    val exp = bag(MtmEngine.blotter(
+        MtmEngine.barsFromEvents(Tables.events(spark, sfDir)), cfg)
+      .filter(col("is_closed")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4),
+        r.getDouble(6), r.getString(7))))
+    assert(exp.nonEmpty && got == exp)
+  }
+
   test("#15 streaming session windows match the batch sessionizer on closed sessions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
