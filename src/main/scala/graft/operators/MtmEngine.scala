@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Numeric discipline: per-bar mtm is pure double arithmetic (replicated
   * bit-for-bit by the DuckDB oracle); every cumulative/aggregated series
-  * (pnl_ratio, drawdown, sharpe sums) routes through DECIMAL(38,9|12) so
-  * results are exact and independent of partitioning/aggregation order —
-  * the property that keeps 100 TB runs reproducible.
+  * (pnl_ratio, drawdown, pnl) quantizes to exact 1e-9 units (see
+  * cumUnits) and sums longs, so results are exact, independent of
+  * partitioning/aggregation order, AND engine-agnostic — the properties
+  * that keep 100 TB runs reproducible. Sharpe keeps a DECIMAL(38,12)
+  * sum (its 4-dp output rounding absorbs sub-1e-12 engine noise).
   */
 object MtmEngine {
 
