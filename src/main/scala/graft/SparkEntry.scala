@@ -460,9 +460,9 @@ object SparkEntry {
         |x AS (SELECT symbol, epoch_ms(ts) AS ms, mtm_ratio - 0.000001 AS xs FROM acc)
         |SELECT symbol,
         |  CASE WHEN stddev_pop(xs) IS NULL OR stddev_pop(xs) = 0.0 THEN -1e50
-        |       ELSE round(CAST(SUM(CAST(xs AS DECIMAL(38,12))) AS DOUBLE)
+        |       ELSE floor(CAST(SUM(CAST(floor(xs * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
         |                  / (CAST(max(ms) - min(ms) AS DOUBLE) / 1000.0 / 3600.0)
-        |                  / stddev_pop(xs) * sqrt(8760.0), 4)
+        |                  / stddev_pop(xs) * sqrt(8760.0) * 1e4 + 0.5) / 1e4
         |  END AS sharpe_ratio
         |FROM x GROUP BY symbol""".stripMargin,
     "q_pnl_summary" ->

@@ -423,9 +423,12 @@ object MtmEngine {
   /** SURVEY #7: per-symbol Sharpe, reference formula
     * (trade_reward.py:423-450): ms-resolution period, slippage 1e-6,
     * population std, √(365·24) annualization, −1e50 when σ=0. The sum
-    * routes through decimal; σ uses each engine's stddev_pop and the
-    * final value is rounded to 4 dp, hiding sub-1e-12 algorithmic
-    * differences between engines.
+    * quantizes to 1e-9 units (engine-agnostic, see cumUnits; error
+    * ≪ the 4-dp output resolution) and the final 4-dp rounding is
+    * floor(x·1e4 + 0.5)/1e4 — `round()` would reintroduce the
+    * engine-specific tie semantics the unit scheme exists to avoid. σ
+    * uses each engine's stddev_pop; its ~1e-13 relative noise is
+    * absorbed by the 4-dp output.
     */
   def sharpeRatio(bars: DataFrame, cfg: PnlConfig): DataFrame =
     sharpeRatioFrom(timeline(bars, cfg))
@@ -435,17 +438,17 @@ object MtmEngine {
     tl.withColumn("ms", expr("ts_us div 1000"))
       .groupBy("symbol")
       .agg(
-        sum(xs.cast("decimal(38,12)")).cast("double").as("sum_x"),
+        (sum(unitCol(xs)).cast("double") / lit(1e9)).as("sum_x"),
         (max(col("ms")) - min(col("ms"))).cast("double").as("span_ms"),
         stddev_pop(xs).as("sigma"))
       .select(
         col("symbol"),
         when(col("sigma").isNull || col("sigma") === 0.0, lit(-1e50))
           .otherwise(
-            round(
+            floor(
               col("sum_x") / (col("span_ms") / lit(1000.0) / lit(3600.0))
-                / col("sigma") * lit(math.sqrt(8760.0)),
-              4))
+                / col("sigma") * lit(math.sqrt(8760.0)) * lit(1e4) + lit(0.5))
+              .cast("double") / lit(1e4))
           .as("sharpe_ratio"))
   }
 
