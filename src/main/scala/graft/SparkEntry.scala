@@ -455,16 +455,23 @@ object SparkEntry {
         |SELECT symbol,
         |  CAST(MAX(GREATEST(runmax, 0) - cum) AS DOUBLE) / 1e9 AS max_drawdown
         |FROM r GROUP BY symbol""".stripMargin,
+    // finite guard mirrors the Spark side: a zero-span or zero-sigma
+    // symbol yields non-finite raw, which floor-rounding would mangle
+    // engine-specifically — pass it through unrounded on both sides
     "q_sharpe_ratio" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
-        |x AS (SELECT symbol, epoch_ms(ts) AS ms, mtm_ratio - 0.000001 AS xs FROM acc)
+        |x AS (SELECT symbol, epoch_ms(ts) AS ms, mtm_ratio - 0.000001 AS xs FROM acc),
+        |g AS (SELECT symbol,
+        |        CAST(SUM(CAST(floor(xs * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+        |          / (CAST(max(ms) - min(ms) AS DOUBLE) / 1000.0 / 3600.0)
+        |          / stddev_pop(xs) * sqrt(8760.0) AS raw,
+        |        stddev_pop(xs) AS sigma
+        |      FROM x GROUP BY symbol)
         |SELECT symbol,
-        |  CASE WHEN stddev_pop(xs) IS NULL OR stddev_pop(xs) = 0.0 THEN -1e50
-        |       ELSE floor(CAST(SUM(CAST(floor(xs * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
-        |                  / (CAST(max(ms) - min(ms) AS DOUBLE) / 1000.0 / 3600.0)
-        |                  / stddev_pop(xs) * sqrt(8760.0) * 1e4 + 0.5) / 1e4
-        |  END AS sharpe_ratio
-        |FROM x GROUP BY symbol""".stripMargin,
+        |  CASE WHEN sigma IS NULL OR sigma = 0.0 THEN -1e50
+        |       WHEN abs(raw) < 1e14 THEN floor(raw * 1e4 + 0.5) / 1e4
+        |       ELSE raw END AS sharpe_ratio
+        |FROM g""".stripMargin,
     "q_pnl_summary" ->
       s"""WITH $SIG_TRADES, $BARS_PM, $ACC_DEFAULT,
         |p AS (SELECT symbol, CAST(SUM(CAST(floor(mtm_ratio * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS pnl

@@ -16,6 +16,21 @@ final case class BookTrade(
     isClosed: Boolean
 )
 
+object BookTrade {
+  /** Fee-included normalized pnl of a CLOSED trade — the reference's
+    * `pnl_normalized` (models.py:60-91): ((±(exit−entry)) − fee·entry −
+    * fee·entry)/entry. The ONE definition of this expression shape:
+    * every consumer (batch blotter, sliced runner, streaming blotter)
+    * and the oracles' mirrored SQL must stay token-identical for
+    * bit-exact parity.
+    */
+  def closedPnlNorm(t: BookTrade, feeRate: Double): Double = {
+    val fee = math.abs(feeRate)
+    val raw = if (t.isLong) t.exitPrice - t.entryPrice else t.entryPrice - t.exitPrice
+    (raw - fee * t.entryPrice - fee * t.entryPrice) / t.entryPrice
+  }
+}
+
 /** Per-symbol trade bookkeeping state machine — the re-expression of the
   * reference's `TradeBookKeeperAgent.run_at_timestamp`
   * (reference: trade_reward.py:86-170), consumed as a streaming iterator

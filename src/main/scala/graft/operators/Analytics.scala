@@ -17,15 +17,9 @@ import org.apache.spark.sql.functions._
 object Analytics {
 
   /** Exact, order-independent, engine-agnostic sum of a double
-    * expression: quantize to 1e-6 units with floor(x·1e6 + 0.5) — pure
-    * IEEE arithmetic, bit-identical everywhere, unlike a double→DECIMAL
-    * cast (Spark rounds the shortest decimal representation half-up,
-    * DuckDB rounds the exact binary expansion; a tie-boundary value
-    * diverges) — then sum exactly in DECIMAL(30,0), which unlike int64
-    * cannot overflow at 100 TB row counts, and divide once at the end.
+    * expression at 1e-6 (price-scale) resolution — see [[ExactNum]].
     */
-  private def dsum(c: Column): Column =
-    sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(30,0)")).cast("double") / lit(1e6)
+  private def dsum(c: Column): Column = ExactNum.sumExact(c, 1e6)
 
   /** Pricing summary aggregate (TPC-H Q1 shape): single scan, map-side
     * partial aggregation, tiny result. Filter + 7 needed columns reach

@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Numeric discipline: per-bar mtm is pure double arithmetic (replicated
   * bit-for-bit by the DuckDB oracle); every cumulative/aggregated series
-  * (pnl_ratio, drawdown, pnl) quantizes to exact 1e-9 units (see
-  * cumUnits) and sums longs, so results are exact, independent of
-  * partitioning/aggregation order, AND engine-agnostic — the properties
-  * that keep 100 TB runs reproducible. Sharpe keeps a DECIMAL(38,12)
-  * sum (its 4-dp output rounding absorbs sub-1e-12 engine noise).
+  * (pnl_ratio, drawdown, pnl, sharpe's sum) quantizes to exact 1e-9
+  * units and sums in an overflow-safe decimal accumulator (see
+  * [[ExactNum]]), so results are exact, independent of partitioning/
+  * aggregation order, AND engine-agnostic — the properties that keep
+  * 100 TB runs reproducible.
   */
 object MtmEngine {
 
@@ -139,13 +139,12 @@ object MtmEngine {
   def blotter(bars: DataFrame, cfg: PnlConfig): DataFrame = {
     val spark = bars.sparkSession
     import spark.implicits._
-    val fee = math.abs(cfg.feeRate)
+    val feeRate = cfg.feeRate
     sortedBars(bars).mapPartitions { it =>
       val r = new SymbolRunner(cfg)
       def toRec(sym: Long, t: BookTrade): BlotterRec =
         if (t.isClosed) {
-          val raw = if (t.isLong) t.exitPrice - t.entryPrice else t.entryPrice - t.exitPrice
-          val pnl = (raw - fee * t.entryPrice - fee * t.entryPrice) / t.entryPrice
+          val pnl = BookTrade.closedPnlNorm(t, feeRate)
           BlotterRec(sym, if (t.isLong) "LONG" else "SHORT", t.entryUs, t.entryPrice,
             Some(t.exitUs), Some(t.exitPrice), Some(pnl), Some(t.reason), is_closed = true)
         } else {
@@ -201,19 +200,17 @@ object MtmEngine {
 
   private def sliceRunner(cfg: PnlConfig, isLast: Boolean)(
       it: Iterator[SliceIn]): Iterator[SliceOut] = {
-    val fee = math.abs(cfg.feeRate)
     var book: TradeBook = null
     var symbol = 0L
     var prevClose = Double.NaN
 
     def blRow(sym: Long, t: BookTrade): SliceOut =
       if (t.isClosed) {
-        val raw = if (t.isLong) t.exitPrice - t.entryPrice else t.entryPrice - t.exitPrice
         SliceOut("bl", sym,
           direction = if (t.isLong) "LONG" else "SHORT",
           entry_ts_us = t.entryUs, entry_price = t.entryPrice,
           exit_ts_us = Some(t.exitUs), exit_price = Some(t.exitPrice),
-          pnl_norm = Some((raw - fee * t.entryPrice - fee * t.entryPrice) / t.entryPrice),
+          pnl_norm = Some(BookTrade.closedPnlNorm(t, cfg.feeRate)),
           close_reason = Some(t.reason), is_closed = true)
       } else
         SliceOut("bl", sym,
@@ -357,20 +354,12 @@ object MtmEngine {
     Window.partitionBy("symbol").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-  /** Quantize a double to exact 1e-9 units: floor(x·1e9 + 0.5) is pure
-    * IEEE arithmetic, bit-identical in every engine. The DECIMAL(38,9)
-    * routing it replaces was order-independent but NOT engine-agnostic:
-    * on a tie-boundary double, Spark's double→decimal cast rounds the
-    * SHORTEST decimal representation half-up while DuckDB rounds the
-    * exact binary expansion — sf0.1 data hits such values. Long sums of
-    * units are exact and order-independent; one division at the end.
-    * Magnitudes: |mtm|·1e9 ≲ 1e13 per bar, summed ≪ 2^63.
+  /** Cumulative exact 1e-9-unit sum — see [[ExactNum]] for why
+    * quantize-then-sum (engine-agnostic IEEE rounding, overflow-safe
+    * decimal accumulator) replaces double→DECIMAL casts.
     */
-  private def unitCol(c: org.apache.spark.sql.Column) =
-    floor(c * lit(1e9) + lit(0.5)).cast("long")
-
   private def cumUnits(c: org.apache.spark.sql.Column) =
-    sum(unitCol(c)).over(seqWindow)
+    sum(ExactNum.units(c, 1e9)).over(seqWindow)
 
   // Each query surface comes in two forms: the public (bars, cfg) entry
   // and a `*From(timeline/blotter)` form over a precomputed engine
@@ -386,7 +375,7 @@ object MtmEngine {
     timelineQueryFrom(timeline(bars, cfg))
 
   private[graft] def timelineQueryFrom(tl: DataFrame): DataFrame =
-    tl.withColumn("pnl_ratio", cumUnits(col("mtm_ratio")).cast("double") / lit(1e9))
+    tl.withColumn("pnl_ratio", ExactNum.toDouble(cumUnits(col("mtm_ratio")), 1e9))
       .select(
         col("symbol"), timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
         col("close"), col("buy"), col("sell"), col("mtm_ratio"), col("pnl_ratio"))
@@ -411,13 +400,14 @@ object MtmEngine {
 
   private[graft] def maxDrawdownFrom(tl: DataFrame): DataFrame =
     tl
-      // all-long unit arithmetic end to end — exact, no decimal
-      // precision/rounding traps — one double division at the very end
+      // all-integer unit arithmetic end to end (exact in Spark's decimal
+      // and DuckDB's hugeint alike) — one double division at the very end
       .withColumn("cum", cumUnits(col("mtm_ratio")))
       .withColumn("runmax", max(col("cum")).over(seqWindow))
       .groupBy("symbol")
       .agg(
-        (max(greatest(col("runmax"), lit(0L)) - col("cum")).cast("double") / lit(1e9))
+        ExactNum.toDouble(
+          max(greatest(col("runmax"), lit(0).cast("decimal(38,0)")) - col("cum")), 1e9)
           .as("max_drawdown"))
 
   /** SURVEY #7: per-symbol Sharpe, reference formula
@@ -435,20 +425,24 @@ object MtmEngine {
 
   private[graft] def sharpeRatioFrom(tl: DataFrame): DataFrame = {
     val xs = col("mtm_ratio") - lit(0.000001)
+    val raw = col("sum_x") / (col("span_ms") / lit(1000.0) / lit(3600.0)) /
+      col("sigma") * lit(math.sqrt(8760.0))
     tl.withColumn("ms", expr("ts_us div 1000"))
       .groupBy("symbol")
       .agg(
-        (sum(unitCol(xs)).cast("double") / lit(1e9)).as("sum_x"),
+        ExactNum.sumExact(xs, 1e9).as("sum_x"),
         (max(col("ms")) - min(col("ms"))).cast("double").as("span_ms"),
         stddev_pop(xs).as("sigma"))
       .select(
         col("symbol"),
         when(col("sigma").isNull || col("sigma") === 0.0, lit(-1e50))
-          .otherwise(
-            floor(
-              col("sum_x") / (col("span_ms") / lit(1000.0) / lit(3600.0))
-                / col("sigma") * lit(math.sqrt(8760.0)) * lit(1e4) + lit(0.5))
-              .cast("double") / lit(1e4))
+          // finite guard: a single-ms symbol gives span 0 → raw ±inf/NaN,
+          // which Spark's floor(double)→LONG would mangle (Long.MaxValue /
+          // 0) while DuckDB's floor keeps them — pass non-finite through
+          // unrounded on both sides (abs(NaN) < k is false in both)
+          .when(abs(raw) < lit(1e14),
+            floor(raw * lit(1e4) + lit(0.5)).cast("double") / lit(1e4))
+          .otherwise(raw)
           .as("sharpe_ratio"))
   }
 
@@ -462,7 +456,7 @@ object MtmEngine {
   private[graft] def pnlSummaryFrom(tl: DataFrame, bl: DataFrame): DataFrame = {
     val pnlAgg = tl
       .groupBy("symbol")
-      .agg((sum(unitCol(col("mtm_ratio"))).cast("double") / lit(1e9)).as("pnl"))
+      .agg(ExactNum.sumExact(col("mtm_ratio"), 1e9).as("pnl"))
     val tradeAgg = bl
       .filter(col("is_closed"))
       .groupBy("symbol")

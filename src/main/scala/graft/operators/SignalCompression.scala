@@ -90,11 +90,9 @@ object SignalCompression {
         "mtm_ratio",
         when(col("entry_price").isNotNull && col("pm").isNotNull,
           col("pm") / col("entry_price")).otherwise(lit(0.0)))
-      // same 1e-9 unit quantization as MtmEngine's cumulative (see
-      // cumUnits there): engine-agnostic IEEE rounding, exact long sum
+      // same 1e-9 unit quantization as MtmEngine's cumulative ([[ExactNum]])
       .withColumn("pnl_ratio",
-        sum(floor(col("mtm_ratio") * lit(1e9) + lit(0.5)).cast("long"))
-          .over(cum).cast("double") / lit(1e9))
+        ExactNum.toDouble(sum(ExactNum.units(col("mtm_ratio"), 1e9)).over(cum), 1e9))
       .select(
         pm("symbol"), timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
         col("close"), col("buy"), col("sell"), col("mtm_ratio"), col("pnl_ratio"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.core.{OpenPos, PnlConfig, TradeBook}
+import graft.core.{BookTrade, OpenPos, PnlConfig, TradeBook}
+import graft.operators.ExactNum
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -23,9 +24,7 @@ object StreamingJobs {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        // same engine-agnostic 1e-6 unit sum as the batch twin (Analytics.dsum)
-        (sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("decimal(30,0)"))
-          .cast("double") / lit(1e6)).as("total_value"))
+        ExactNum.sumExact(col("value"), 1e6).as("total_value"))
       .select(
         col("window.start").as("wstart"), col("event_type"),
         col("n_events"), col("total_value"))
@@ -47,8 +46,7 @@ object StreamingJobs {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(
         count(lit(1)).as("n_events"),
-        (sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("decimal(30,0)"))
-          .cast("double") / lit(1e6)).as("session_value"))
+        ExactNum.sumExact(col("value"), 1e6).as("session_value"))
       .select(
         col("user_id"),
         col("session_window.start").as("session_start"),
@@ -75,61 +73,48 @@ object StreamingJobs {
       symbol: Long, direction: String, entry_ts_us: Long, entry_price: Double,
       exit_ts_us: Long, exit_price: Double, pnl_norm: Double, close_reason: String)
 
-  /** SURVEY #30: the SAME TradeBook core as the batch engine, run
-    * incrementally under `flatMapGroupsWithState`. Each micro-batch
-    * restores the symbol's open positions + previous close from
-    * GroupState, steps the batch's bars in time order, and checkpoints
-    * back — state is O(open positions) per symbol, exactly like the
-    * batch operator's iterator state. Contract: bars must arrive in
-    * non-decreasing event-time order across batches for a symbol
-    * (in-order source or upstream watermark+sort); intra-batch order is
-    * restored by sorting the group.
+  /** Shared micro-batch group runner for both MTM streams: restore the
+    * symbol's book + previous close from GroupState, step the batch's
+    * bars in time order feeding `emit`, snapshot back. State is O(open
+    * positions) per symbol, exactly like the batch operator's iterator
+    * state. Contract: bars must arrive in non-decreasing event-time
+    * order across batches for a symbol (in-order source or upstream
+    * watermark+sort); intra-batch order is restored by sorting the
+    * group.
     */
-  /** The trade-blotter twin of [[mtmTimelineStream]]: each micro-batch
-    * emits the trades CLOSED by its bars (signal/ROI/stop-loss), with
-    * the same fee-included pnl_norm as the batch blotter. Open positions
-    * checkpoint through GroupState and surface only once closed — the
-    * batch blotter's OPEN flush has no append-mode equivalent. Same
-    * in-order contract as the timeline stream.
-    */
-  def mtmBlotterStream(bars: Dataset[StreamBar], cfg: PnlConfig): Dataset[StreamTrade] = {
-    val spark = bars.sparkSession
-    import spark.implicits._
-    val fee = math.abs(cfg.feeRate)
-    bars
-      .groupByKey(_.symbol)
-      .flatMapGroupsWithState[BookState, StreamTrade](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (symbol, it, state: GroupState[BookState]) =>
-          val book = new TradeBook(cfg)
-          var prevClose = Double.NaN
-          if (state.exists) {
-            val s = state.get
-            if (s.hasPrev) prevClose = s.prevClose
-            book.restoreOpen(
-              s.longs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
-              s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
-          }
-          val out = it.toSeq.sortBy(b => (b.ts_us, b.event_id)).flatMap { b =>
-            val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
-            prevClose = b.close
-            book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
-            book.drainTrades().map { t =>
-              val raw = if (t.isLong) t.exitPrice - t.entryPrice else t.entryPrice - t.exitPrice
-              StreamTrade(symbol, if (t.isLong) "LONG" else "SHORT",
-                t.entryUs, t.entryPrice, t.exitUs, t.exitPrice,
-                (raw - fee * t.entryPrice - fee * t.entryPrice) / t.entryPrice, t.reason)
-            }
-          }
-          val (ol, os) = book.snapshotOpen()
-          state.update(BookState(
-            prevClose, !prevClose.isNaN,
-            ol.map(p => (p.entryUs, p.entryPrice)),
-            os.map(p => (p.entryUs, p.entryPrice))))
-          out.iterator
-      }
+  private def runSymbolBatch[T](
+      cfg: PnlConfig, trackTrades: Boolean,
+      it: Iterator[StreamBar], state: GroupState[BookState])(
+      emit: (TradeBook, StreamBar, Double) => IterableOnce[T]): Iterator[T] = {
+    val book = new TradeBook(cfg, trackTrades)
+    var prevClose = Double.NaN
+    if (state.exists) {
+      val s = state.get
+      if (s.hasPrev) prevClose = s.prevClose
+      book.restoreOpen(
+        s.longs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
+        s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
+    }
+    val out = it.toSeq.sortBy(b => (b.ts_us, b.event_id)).flatMap { b =>
+      val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
+      prevClose = b.close
+      val mtm = book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
+      emit(book, b, mtm)
+    }
+    val (ol, os) = book.snapshotOpen()
+    state.update(BookState(
+      prevClose, !prevClose.isNaN,
+      ol.map(p => (p.entryUs, p.entryPrice)),
+      os.map(p => (p.entryUs, p.entryPrice))))
+    out.iterator
   }
 
+  /** SURVEY #30: the SAME TradeBook core as the batch engine, run
+    * incrementally under `flatMapGroupsWithState` — see
+    * [[runSymbolBatch]] for the state/ordering contract. trackTrades is
+    * off: the timeline stream never drains the blotter, so closed-trade
+    * records would pile up per batch.
+    */
   def mtmTimelineStream(bars: Dataset[StreamBar], cfg: PnlConfig): Dataset[StreamPoint] = {
     val spark = bars.sparkSession
     import spark.implicits._
@@ -138,29 +123,34 @@ object StreamingJobs {
       .flatMapGroupsWithState[BookState, StreamPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (symbol, it, state: GroupState[BookState]) =>
-          // trackTrades=false: the timeline stream never drains the
-          // blotter, so closed-trade records would pile up per batch
-          val book = new TradeBook(cfg, trackTrades = false)
-          var prevClose = Double.NaN
-          if (state.exists) {
-            val s = state.get
-            if (s.hasPrev) prevClose = s.prevClose
-            book.restoreOpen(
-              s.longs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
-              s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
+          runSymbolBatch(cfg, trackTrades = false, it, state) { (_, b, mtm) =>
+            Iterator.single(StreamPoint(symbol, b.ts_us, b.event_id, mtm))
           }
-          val out = it.toSeq.sortBy(b => (b.ts_us, b.event_id)).map { b =>
-            val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
-            prevClose = b.close
-            StreamPoint(symbol, b.ts_us, b.event_id,
-              book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1))
+      }
+  }
+
+  /** The trade-blotter twin of [[mtmTimelineStream]]: each micro-batch
+    * emits the trades CLOSED by its bars (signal/ROI/stop-loss), with
+    * the same fee-included pnl_norm as the batch blotter
+    * ([[graft.core.BookTrade.closedPnlNorm]]). Open positions checkpoint
+    * through GroupState and surface only once closed — the batch
+    * blotter's OPEN flush has no append-mode equivalent.
+    */
+  def mtmBlotterStream(bars: Dataset[StreamBar], cfg: PnlConfig): Dataset[StreamTrade] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[BookState, StreamTrade](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (symbol, it, state: GroupState[BookState]) =>
+          runSymbolBatch(cfg, trackTrades = true, it, state) { (book, _, _) =>
+            book.drainTrades().map { t =>
+              StreamTrade(symbol, if (t.isLong) "LONG" else "SHORT",
+                t.entryUs, t.entryPrice, t.exitUs, t.exitPrice,
+                BookTrade.closedPnlNorm(t, cfg.feeRate), t.reason)
+            }
           }
-          val (ol, os) = book.snapshotOpen()
-          state.update(BookState(
-            prevClose, !prevClose.isNaN,
-            ol.map(p => (p.entryUs, p.entryPrice)),
-            os.map(p => (p.entryUs, p.entryPrice))))
-          out.iterator
       }
   }
 }
