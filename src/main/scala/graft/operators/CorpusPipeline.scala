@@ -25,8 +25,7 @@ object CorpusPipeline {
   private final case class Stages(scored: DataFrame, canonical: DataFrame, cleaned: DataFrame)
 
   private def build(
-      documents: DataFrame, minQuality: Double, jaccardThreshold: Double,
-      nearDupDrops: Option[org.apache.spark.sql.Observation]): Stages = {
+      documents: DataFrame, minQuality: Double, jaccardThreshold: Double): Stages = {
     // 1. per-row quality gate — a pure projection + filter inside the
     // scan stage (qualityExpr attaches the score without the join a
     // (doc_id → score) lookup would need)
@@ -45,7 +44,7 @@ object CorpusPipeline {
       .drop("fp_md5", "canonical_id")
       .localCheckpoint(false)
     // 3. near-dup dedup — drop the higher doc_id of each verified pair
-    val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold, dropObs = nearDupDrops)
+    val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold)
       .select(col("doc_id_b").as("doc_id")).distinct()
     Stages(scored, canonical, canonical.join(dropIds, Seq("doc_id"), "left_anti"))
   }
@@ -54,17 +53,19 @@ object CorpusPipeline {
     * pass the quality floor, are their exact-dup group's canonical
     * representative, and are not the dropped side of a near-dup pair.
     *
-    * @param nearDupDrops optional observation receiving the LSH
-    *        hot-bucket dropped-membership count (`dropped_memberships`)
-    *        when the cleaned frame materializes — production jobs should
-    *        wire it and alert on non-zero (see Dedup.capBuckets).
+    * Hot-bucket drop monitoring: run `Dedup.minhashLshPairs(canonical,
+    * thr, dropObs = Some(obs))` DIRECTLY and act on a non-zero
+    * `dropped_memberships` (the DedupSpec hot-bucket test shows the
+    * pattern). An Observation threaded through this pipeline would sit
+    * under the anti-join's broadcast stage, where Spark does not deliver
+    * observed metrics — a hook that silently reads zero is worse than
+    * none, so this surface deliberately doesn't offer one.
     */
   def cleanCorpus(
       documents: DataFrame,
       minQuality: Double = 0.5,
-      jaccardThreshold: Double = 0.8,
-      nearDupDrops: Option[org.apache.spark.sql.Observation] = None): DataFrame =
-    build(documents, minQuality, jaccardThreshold, nearDupDrops).cleaned
+      jaccardThreshold: Double = 0.8): DataFrame =
+    build(documents, minQuality, jaccardThreshold).cleaned
 
   /** Per-stage survivor counts — the pipeline's audit trail (silent
     * shrinkage is how corpus bugs ship). Shares the staged build with
@@ -77,7 +78,7 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val st = build(documents, minQuality, jaccardThreshold, None)
+    val st = build(documents, minQuality, jaccardThreshold)
     Seq(
       ("input", documents.count()),
       ("quality_gate", st.scored.count()),

@@ -103,7 +103,10 @@ object Dedup {
     * extra work), so a degenerate hot bucket never reaches an
     * aggregation buffer. When `dropObs` is supplied, the number of
     * dropped memberships is published as the `dropped_memberships`
-    * observed metric of the final action. Precision is unaffected (all
+    * observed metric of the final action — note Spark delivers observed
+    * metrics only for a direct action on the pairs frame; a plan that
+    * buries it under a broadcast stage or checkpoint reads nothing
+    * (see CorpusPipeline.cleanCorpus's doc). Precision is unaffected (all
     * emitted pairs are still exactly verified); recall loss is confined
     * to pairs whose ONLY shared bucket was dropped — for MinHash's
     * 64-bit band buckets that means signature-identical floods (junk
