@@ -237,6 +237,7 @@ object SparkEntry {
       |  CASE WHEN exit_ts IS NOT NULL THEN
       |    (CASE WHEN direction = 'LONG' THEN exit_price - entry_price ELSE entry_price - exit_price END
       |     - 0.0*entry_price - 0.0*entry_price) / entry_price END AS pnl_norm,
+      |  pnl_norm * entry_price AS pnl,
       |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
       |  exit_ts IS NOT NULL AS is_closed
       |FROM allt""".stripMargin
@@ -257,6 +258,7 @@ object SparkEntry {
         |SELECT symbol, 'LONG' AS direction, entry_ts, entry_price, exit_ts, exit_price,
         |  CASE WHEN exit_ts IS NOT NULL
         |       THEN (exit_price - entry_price - 0.0*entry_price - 0.0*entry_price)/entry_price END AS pnl_norm,
+        |  pnl_norm * entry_price AS pnl,
         |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
         |  exit_ts IS NOT NULL AS is_closed
         |FROM trades""".stripMargin,
@@ -311,6 +313,7 @@ object SparkEntry {
         |  CASE WHEN exit_ts IS NOT NULL THEN
         |    (CASE WHEN direction = 'LONG' THEN exit_price - entry_price ELSE entry_price - exit_price END
         |     - 0.0*entry_price - 0.0*entry_price) / entry_price END AS pnl_norm,
+        |  pnl_norm * entry_price AS pnl,
         |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
         |  exit_ts IS NOT NULL AS is_closed
         |FROM allt""".stripMargin,
@@ -383,6 +386,7 @@ object SparkEntry {
         |  CASE WHEN exit_ts IS NOT NULL THEN
         |    (CASE WHEN direction = 'LONG' THEN exit_price - entry_price ELSE entry_price - exit_price END
         |     - 0.0*entry_price - 0.0*entry_price) / entry_price END AS pnl_norm,
+        |  pnl_norm * entry_price AS pnl,
         |  close_reason,
         |  exit_ts IS NOT NULL AS is_closed
         |FROM allt""".stripMargin,

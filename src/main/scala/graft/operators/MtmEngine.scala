@@ -384,12 +384,19 @@ object MtmEngine {
   def blotterQuery(bars: DataFrame, cfg: PnlConfig): DataFrame =
     blotterQueryFrom(blotter(bars, cfg))
 
+  /** `pnl` is the reference's raw (price-unit) pnl alongside the
+    * normalized one — ProxyTrade exposes both (models.py:60-83,117-131);
+    * raw = normalized × entry_price. Derived HERE (once) so the batch,
+    * sliced, and runner surfaces all carry it; the oracles mirror the
+    * same alias-reuse shape (`pnl_norm * entry_price`) for bit parity.
+    */
   private[graft] def blotterQueryFrom(bl: DataFrame): DataFrame =
     bl.select(
       col("symbol"), col("direction"),
       timestamp_micros(col("entry_ts_us")).as("entry_ts"), col("entry_price"),
       timestamp_micros(col("exit_ts_us")).as("exit_ts"), col("exit_price"),
-      col("pnl_norm"), col("close_reason"), col("is_closed"))
+      col("pnl_norm"), (col("pnl_norm") * col("entry_price")).as("pnl"),
+      col("close_reason"), col("is_closed"))
 
   /** SURVEY #6: per-symbol max drawdown — running peak of cum-pnl floored
     * at 0, minus current, maxed (reference runner_mtm.py:144,168-172).

@@ -54,6 +54,9 @@ object SignalCompression {
             / col("close")).as("pnl_norm"),
         when(col("exit_ts_us").isNotNull, lit("SIGNAL")).as("close_reason"),
         col("exit_ts_us").isNotNull.as("is_closed"))
+      // raw (price-unit) pnl mirrors MtmEngine.blotterQueryFrom: derived
+      // from the already-computed pnl_norm so the doubles stay bit-equal
+      .withColumn("pnl", col("pnl_norm") * col("entry_price"))
   }
 
   /** [[blotter]] without the internal exit_eid column — the public

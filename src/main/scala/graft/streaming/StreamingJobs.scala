@@ -71,7 +71,8 @@ object StreamingJobs {
     */
   final case class StreamTrade(
       symbol: Long, direction: String, entry_ts_us: Long, entry_price: Double,
-      exit_ts_us: Long, exit_price: Double, pnl_norm: Double, close_reason: String)
+      exit_ts_us: Long, exit_price: Double, pnl_norm: Double, close_reason: String,
+      pnl: Double)
 
   /** Shared micro-batch group runner for both MTM streams: restore the
     * symbol's book + previous close from GroupState, step the batch's
@@ -146,9 +147,10 @@ object StreamingJobs {
         case (symbol, it, state: GroupState[BookState]) =>
           runSymbolBatch(cfg, trackTrades = true, it, state) { (book, _, _) =>
             book.drainTrades().map { t =>
+              val pnlNorm = BookTrade.closedPnlNorm(t, cfg.feeRate)
               StreamTrade(symbol, if (t.isLong) "LONG" else "SHORT",
                 t.entryUs, t.entryPrice, t.exitUs, t.exitPrice,
-                BookTrade.closedPnlNorm(t, cfg.feeRate), t.reason)
+                pnlNorm, t.reason, pnlNorm * t.entryPrice)
             }
           }
       }
