@@ -41,6 +41,12 @@ object SignalCompression {
       .withColumn("exit_eid", lead("event_id", 1).over(byRun))
       .withColumn("exit_price", lead("close", 1).over(byRun))
       .filter(col("action") === "B")
+      // raw (price-unit) pnl = pnl_norm × entry_price, in the same column
+      // position as MtmEngine.blotterQueryFrom (…, pnl_norm, pnl,
+      // close_reason, is_closed) so positional consumers agree
+      .withColumn("pn", when(col("exit_ts_us").isNotNull,
+        (col("exit_price") - col("close") - lit(0.0) * col("close") - lit(0.0) * col("close"))
+          / col("close")))
       .select(
         col("symbol"),
         lit("LONG").as("direction"),
@@ -49,14 +55,10 @@ object SignalCompression {
         timestamp_micros(col("exit_ts_us")).as("exit_ts"),
         col("exit_eid"),
         col("exit_price"),
-        when(col("exit_ts_us").isNotNull,
-          (col("exit_price") - col("close") - lit(0.0) * col("close") - lit(0.0) * col("close"))
-            / col("close")).as("pnl_norm"),
+        col("pn").as("pnl_norm"),
+        (col("pn") * col("close")).as("pnl"),
         when(col("exit_ts_us").isNotNull, lit("SIGNAL")).as("close_reason"),
         col("exit_ts_us").isNotNull.as("is_closed"))
-      // raw (price-unit) pnl mirrors MtmEngine.blotterQueryFrom: derived
-      // from the already-computed pnl_norm so the doubles stay bit-equal
-      .withColumn("pnl", col("pnl_norm") * col("entry_price"))
   }
 
   /** [[blotter]] without the internal exit_eid column — the public

@@ -14,13 +14,21 @@ class SignalCompressionSpec extends AnyFunSuite {
   private lazy val spark = Sessions.local("4")
   private val sfDir = "/root/testdata/sf0.01"
 
-  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.collect().map(_.mkString("|")).toSet
+  // name-keyed row serialization: columns sorted by name, so the parity
+  // check can never be fooled (or broken) by column position alone
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+    df.select(cols.toIndexedSeq: _*).collect().map(_.mkString("|")).toSet
+  }
 
   test("closed-form blotter equals the MtmEngine blotter (default config)") {
     val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
-    val engine = rows(MtmEngine.blotterQuery(bars, PnlConfig.default))
-    val closed = rows(SignalCompression.blotterQuery(bars))
+    val engineDf = MtmEngine.blotterQuery(bars, PnlConfig.default)
+    val closedDf = SignalCompression.blotterQuery(bars)
+    // the public blotter column ORDER must also agree across formulations
+    assert(engineDf.columns.toSeq == closedDf.columns.toSeq)
+    val engine = rows(engineDf)
+    val closed = rows(closedDf)
     assert(engine == closed,
       s"only-engine: ${(engine -- closed).take(3)}, only-closed: ${(closed -- engine).take(3)}")
     assert(engine.nonEmpty)
@@ -28,8 +36,11 @@ class SignalCompressionSpec extends AnyFunSuite {
 
   test("closed-form timeline equals the MtmEngine timeline (default config)") {
     val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
-    val engine = rows(MtmEngine.timelineQuery(bars, PnlConfig.default))
-    val closed = rows(SignalCompression.timeline(bars))
+    val engineDf = MtmEngine.timelineQuery(bars, PnlConfig.default)
+    val closedDf = SignalCompression.timeline(bars)
+    assert(engineDf.columns.toSeq == closedDf.columns.toSeq)
+    val engine = rows(engineDf)
+    val closed = rows(closedDf)
     assert(engine == closed,
       s"only-engine: ${(engine -- closed).take(3)}, only-closed: ${(closed -- engine).take(3)}")
     assert(engine.size == bars.count())
