@@ -22,6 +22,8 @@ object Sessions {
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCores)): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
+      // custom plan nodes (streaming-legal partition-local sort)
+      .withExtensions(e => e.injectPlannerStrategy(_ => graft.plans.LocalSortStrategy))
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

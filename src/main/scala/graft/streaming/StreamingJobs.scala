@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.core.{BookTrade, OpenPos, PnlConfig, TradeBook}
 import graft.operators.ExactNum
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, KeyValueGroupedDataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -60,73 +60,157 @@ object StreamingJobs {
   /** Streamed timeline point. */
   final case class StreamPoint(symbol: Long, ts_us: Long, event_id: Long, mtm_ratio: Double)
 
-  /** Serializable checkpoint of one symbol's book between micro-batches. */
+  /** Serializable checkpoint of one symbol's book between micro-batches.
+    * `lastTsUs` is the event time of the symbol's newest processed bar —
+    * the anchor for its idle-eviction timeout and for the flush price
+    * timestamp when the group is evicted.
+    */
   final case class BookState(
-      prevClose: Double, hasPrev: Boolean,
+      prevClose: Double, hasPrev: Boolean, lastTsUs: Long,
       longs: Seq[(Long, Double)], shorts: Seq[(Long, Double)])
 
-  /** Streamed closed trade (the blotter's is_closed=true rows; open
-    * positions live in GroupState and are never emitted — append-mode
-    * streams cannot retract).
+  /** Streamed closed trade (the blotter's is_closed=true rows, plus
+    * EVICTED flush rows for positions force-closed at state eviction).
+    * Field order matches the batch blotter column order
+    * (…, pnl_norm, pnl, close_reason) so positional consumers agree.
+    * Open positions live in GroupState and surface only when closed or
+    * evicted — append-mode streams cannot retract.
     */
   final case class StreamTrade(
       symbol: Long, direction: String, entry_ts_us: Long, entry_price: Double,
-      exit_ts_us: Long, exit_price: Double, pnl_norm: Double, close_reason: String,
-      pnl: Double)
+      exit_ts_us: Long, exit_price: Double, pnl_norm: Double, pnl: Double,
+      close_reason: String)
+
+  /** Default idle-eviction horizon: a symbol with no bars for 7 days of
+    * EVENT time is flushed and its state dropped — the bound that keeps
+    * the state store finite under unbounded key churn (user-id-like
+    * symbol spaces). Reference semantics (trade_reward.py archive lists)
+    * put no bound on symbols; a run-forever stream must.
+    */
+  val DefaultEvictAfterMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Watermarked, symbol-clustered, time-sorted group view of the bar
+    * stream. The explicit `repartition` + `sortWithinPartitions` satisfy
+    * the stateful operator's required distribution (hash on symbol,
+    * shuffle-partition count) and required ordering ([symbol] is a
+    * prefix of our [symbol, ts_us, event_id]), so the planner inserts no
+    * second exchange/sort and each group's iterator arrives already in
+    * time order — the group function can stream it lazily instead of
+    * materializing the micro-batch group on-heap (StreamingSpec pins the
+    * single Exchange+Sort shape).
+    */
+  private def orderedBySymbolTime(
+      bars: Dataset[StreamBar], watermarkDelay: String): KeyValueGroupedDataset[Long, StreamBar] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val clustered = bars.toDF()
+      .withColumn("et", timestamp_micros(col("ts_us")))
+      .withWatermark("et", watermarkDelay)
+      .repartition(col("symbol"))
+    graft.plans.LocalSortHint(clustered, "symbol", "ts_us", "event_id")
+      .groupBy(col("symbol")).as[Long, StreamBar]
+  }
 
   /** Shared micro-batch group runner for both MTM streams: restore the
     * symbol's book + previous close from GroupState, step the batch's
-    * bars in time order feeding `emit`, snapshot back. State is O(open
-    * positions) per symbol, exactly like the batch operator's iterator
-    * state. Contract: bars must arrive in non-decreasing event-time
-    * order across batches for a symbol (in-order source or upstream
-    * watermark+sort); intra-batch order is restored by sorting the
-    * group.
+    * bars feeding `emit`, snapshot back and arm the idle-eviction
+    * timeout once the iterator drains. Heap is O(open positions) per
+    * symbol: bars arrive (ts_us, event_id)-sorted from
+    * [[orderedBySymbolTime]] and are consumed lazily; the state commit
+    * rides the completion tail of the returned iterator (honored by the
+    * stateful operator's completion callback). On timeout the group's
+    * state is flushed through `onEvict` and removed. Contract: bars must
+    * arrive in non-decreasing event-time order across batches for a
+    * symbol (in-order source or upstream watermark+sort).
     */
   private def runSymbolBatch[T](
-      cfg: PnlConfig, trackTrades: Boolean,
+      cfg: PnlConfig, trackTrades: Boolean, streaming: Boolean, evictAfterMs: Long,
       it: Iterator[StreamBar], state: GroupState[BookState])(
-      emit: (TradeBook, StreamBar, Double) => IterableOnce[T]): Iterator[T] = {
-    val book = new TradeBook(cfg, trackTrades)
-    var prevClose = Double.NaN
-    if (state.exists) {
-      val s = state.get
-      if (s.hasPrev) prevClose = s.prevClose
-      book.restoreOpen(
-        s.longs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
-        s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
+      emit: (TradeBook, StreamBar, Double) => IterableOnce[T])(
+      onEvict: BookState => Iterator[T]): Iterator[T] = {
+    if (state.hasTimedOut) {
+      // idle symbol: flush whatever is open, then drop the group
+      val out = state.getOption.map(onEvict).getOrElse(Iterator.empty).toVector
+      state.remove()
+      out.iterator
+    } else {
+      val book = new TradeBook(cfg, trackTrades)
+      var prevClose = Double.NaN
+      var lastTsUs = Long.MinValue
+      state.getOption.foreach { s =>
+        if (s.hasPrev) prevClose = s.prevClose
+        lastTsUs = s.lastTsUs
+        book.restoreOpen(
+          s.longs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
+          s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
+      }
+      val stepped = it.flatMap { b =>
+        val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
+        prevClose = b.close
+        lastTsUs = b.ts_us
+        val mtm = book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
+        emit(book, b, mtm)
+      }
+      // completion tail: runs after the last bar is consumed, before the
+      // operator's completion callback persists the group state
+      stepped ++ {
+        val (ol, os) = book.snapshotOpen()
+        state.update(BookState(
+          prevClose, !prevClose.isNaN, lastTsUs,
+          ol.map(p => (p.entryUs, p.entryPrice)),
+          os.map(p => (p.entryUs, p.entryPrice))))
+        if (streaming) {
+          // evict once event time moves evictAfterMs past this symbol's
+          // newest bar; clamp above the current watermark (a lagging
+          // group may already be older than watermark - evictAfter)
+          state.setTimeoutTimestamp(
+            math.max(lastTsUs / 1000L + evictAfterMs, state.getCurrentWatermarkMs() + 1))
+        }
+        Iterator.empty
+      }
     }
-    val out = it.toSeq.sortBy(b => (b.ts_us, b.event_id)).flatMap { b =>
-      val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
-      prevClose = b.close
-      val mtm = book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
-      emit(book, b, mtm)
+  }
+
+  /** Eviction flush for the blotter stream: force-close every open
+    * position at the symbol's last seen close price/timestamp with
+    * close_reason EVICTED, using the single [[BookTrade.closedPnlNorm]]
+    * expression shape all blotter surfaces share.
+    */
+  private def evictFlush(cfg: PnlConfig, symbol: Long)(s: BookState): Iterator[StreamTrade] = {
+    val all = s.longs.iterator.map { case (ts, px) => (ts, px, true) } ++
+      s.shorts.iterator.map { case (ts, px) => (ts, px, false) }
+    all.map { case (entryUs, entryPx, isLong) =>
+      val t = BookTrade(isLong, entryUs, entryPx, s.lastTsUs, s.prevClose,
+        reason = "EVICTED", isClosed = true)
+      val pnlNorm = BookTrade.closedPnlNorm(t, cfg.feeRate)
+      StreamTrade(symbol, if (isLong) "LONG" else "SHORT",
+        entryUs, entryPx, s.lastTsUs, s.prevClose, pnlNorm, pnlNorm * entryPx, "EVICTED")
     }
-    val (ol, os) = book.snapshotOpen()
-    state.update(BookState(
-      prevClose, !prevClose.isNaN,
-      ol.map(p => (p.entryUs, p.entryPrice)),
-      os.map(p => (p.entryUs, p.entryPrice))))
-    out.iterator
   }
 
   /** SURVEY #30: the SAME TradeBook core as the batch engine, run
     * incrementally under `flatMapGroupsWithState` — see
-    * [[runSymbolBatch]] for the state/ordering contract. trackTrades is
-    * off: the timeline stream never drains the blotter, so closed-trade
-    * records would pile up per batch.
+    * [[runSymbolBatch]] for the state/ordering/eviction contract.
+    * trackTrades is off: the timeline stream never drains the blotter,
+    * so closed-trade records would pile up per batch. An idle symbol's
+    * state is dropped after `evictAfterMs` of event time (nothing to
+    * flush — timeline points are emitted as bars arrive); if it
+    * re-appears later it restarts from a flat book.
     */
-  def mtmTimelineStream(bars: Dataset[StreamBar], cfg: PnlConfig): Dataset[StreamPoint] = {
+  def mtmTimelineStream(
+      bars: Dataset[StreamBar], cfg: PnlConfig,
+      watermarkDelay: String = "2 hours",
+      evictAfterMs: Long = DefaultEvictAfterMs): Dataset[StreamPoint] = {
     val spark = bars.sparkSession
     import spark.implicits._
-    bars
-      .groupByKey(_.symbol)
+    val streaming = bars.isStreaming
+    orderedBySymbolTime(bars, watermarkDelay)
       .flatMapGroupsWithState[BookState, StreamPoint](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (symbol, it, state: GroupState[BookState]) =>
-          runSymbolBatch(cfg, trackTrades = false, it, state) { (_, b, mtm) =>
-            Iterator.single(StreamPoint(symbol, b.ts_us, b.event_id, mtm))
-          }
+          runSymbolBatch(cfg, trackTrades = false, streaming, evictAfterMs, it, state) {
+            (_, b, mtm) => Iterator.single(StreamPoint(symbol, b.ts_us, b.event_id, mtm))
+          }(_ => Iterator.empty)
       }
   }
 
@@ -134,25 +218,31 @@ object StreamingJobs {
     * emits the trades CLOSED by its bars (signal/ROI/stop-loss), with
     * the same fee-included pnl_norm as the batch blotter
     * ([[graft.core.BookTrade.closedPnlNorm]]). Open positions checkpoint
-    * through GroupState and surface only once closed — the batch
-    * blotter's OPEN flush has no append-mode equivalent.
+    * through GroupState and surface once closed — or force-closed as
+    * EVICTED rows when the symbol's state is dropped after
+    * `evictAfterMs` of event-time idleness ([[evictFlush]]), the
+    * append-mode analogue of the batch blotter's OPEN flush.
     */
-  def mtmBlotterStream(bars: Dataset[StreamBar], cfg: PnlConfig): Dataset[StreamTrade] = {
+  def mtmBlotterStream(
+      bars: Dataset[StreamBar], cfg: PnlConfig,
+      watermarkDelay: String = "2 hours",
+      evictAfterMs: Long = DefaultEvictAfterMs): Dataset[StreamTrade] = {
     val spark = bars.sparkSession
     import spark.implicits._
-    bars
-      .groupByKey(_.symbol)
+    val streaming = bars.isStreaming
+    orderedBySymbolTime(bars, watermarkDelay)
       .flatMapGroupsWithState[BookState, StreamTrade](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (symbol, it, state: GroupState[BookState]) =>
-          runSymbolBatch(cfg, trackTrades = true, it, state) { (book, _, _) =>
-            book.drainTrades().map { t =>
-              val pnlNorm = BookTrade.closedPnlNorm(t, cfg.feeRate)
-              StreamTrade(symbol, if (t.isLong) "LONG" else "SHORT",
-                t.entryUs, t.entryPrice, t.exitUs, t.exitPrice,
-                pnlNorm, t.reason, pnlNorm * t.entryPrice)
-            }
-          }
+          runSymbolBatch(cfg, trackTrades = true, streaming, evictAfterMs, it, state) {
+            (book, _, _) =>
+              book.drainTrades().map { t =>
+                val pnlNorm = BookTrade.closedPnlNorm(t, cfg.feeRate)
+                StreamTrade(symbol, if (t.isLong) "LONG" else "SHORT",
+                  t.entryUs, t.entryPrice, t.exitUs, t.exitPrice,
+                  pnlNorm, pnlNorm * t.entryPrice, t.reason)
+              }
+          }(evictFlush(cfg, symbol))
       }
   }
 }

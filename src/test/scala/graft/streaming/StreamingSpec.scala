@@ -72,9 +72,10 @@ class StreamingSpec extends AnyFunSuite {
     // multiset compare on fully-identifying closed-trade tuples
     def bag(rows: Array[(Long, String, Long, Long, Double, String)]) =
       rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    // StreamTrade field order: …, pnl_norm(6), pnl(7), close_reason(8)
     val got = bag(spark.table("blotterstream").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4),
-        r.getDouble(6), r.getString(7))))
+        r.getDouble(6), r.getString(8))))
     val exp = bag(MtmEngine.blotter(
         MtmEngine.barsFromEvents(Tables.events(spark, sfDir)), cfg)
       .filter(col("is_closed")).collect()
@@ -120,6 +121,94 @@ class StreamingSpec extends AnyFunSuite {
       val (gn, gend, gv) = got(k)
       assert(gn == n && gend == end && math.abs(gv - v) < 1e-9, s"session $k mismatch")
     }
+  }
+
+  test("#30 MTM stream plan reuses the explicit exchange+sort (lazy time-ordered groups)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[StreamingJobs.StreamBar]
+    val q = StreamingJobs.mtmTimelineStream(stream.toDS(), PnlConfig.default)
+      .writeStream.format("memory").queryName("planshape").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Seq(StreamingJobs.StreamBar(1L, 1000000L, 1L, 10.0, 1, 0)))
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("FlatMapGroupsWithState"))
+      // exactly the one explicit shuffle and the one 3-column local sort —
+      // the planner must not add a key-only re-sort (group laziness depends
+      // on the iterator arriving time-ordered) or a second exchange
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+      val sorts = "Sort \\[[^\\]]*\\]".r.findAllIn(plan).toList
+      assert(sorts.length == 1 && sorts.head.contains("ts_us") && sorts.head.contains("event_id"), plan)
+    } finally q.stop()
+  }
+
+  test("#30 idle symbol is evicted with an EVICTED flush and restores cleanly on re-appearance") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingJobs.StreamBar
+    val us = 1000000L; val hour = 3600L * us
+    val t0 = 1700000000L * us
+    val stream = MemoryStream[StreamBar]
+    val q = StreamingJobs.mtmBlotterStream(stream.toDS(), PnlConfig.default,
+        watermarkDelay = "0 seconds", evictAfterMs = 3600L * 1000)
+      .writeStream.format("memory").queryName("evict").outputMode(OutputMode.Append).start()
+    try {
+      // b1: sym1 opens @100; sym2 heartbeat. b2/b3: sym2 advances event
+      // time 4h past sym1's last bar → sym1's 1h idle timeout fires in b3.
+      stream.addData(Seq(StreamBar(1, t0, 1, 100.0, 1, 0), StreamBar(2, t0, 2, 50.0, 0, 0)))
+      q.processAllAvailable()
+      stream.addData(Seq(StreamBar(2, t0 + 4 * hour, 3, 51.0, 0, 0)))
+      q.processAllAvailable()
+      stream.addData(Seq(StreamBar(2, t0 + 4 * hour + 60 * us, 4, 52.0, 0, 0)))
+      q.processAllAvailable()
+      val afterEvict = spark.table("evict").collect()
+      assert(afterEvict.length == 1, afterEvict.mkString("; "))
+      val ev = afterEvict.head
+      assert(ev.getLong(0) == 1 && ev.getString(8) == "EVICTED"
+        && ev.getLong(2) == t0 && ev.getDouble(3) == 100.0
+        && ev.getLong(4) == t0 && ev.getDouble(5) == 100.0 && ev.getDouble(6) == 0.0)
+      // re-appearance starts from a FLAT book: buy@120 then sell@130 is a
+      // fresh SIGNAL trade — were the old state alive, max-position 1
+      // would block the buy and the sell would close the t0 position.
+      stream.addData(Seq(
+        StreamBar(1, t0 + 5 * hour, 5, 120.0, 1, 0),
+        StreamBar(1, t0 + 6 * hour, 6, 130.0, 0, 1)))
+      q.processAllAvailable()
+      val trades = spark.table("evict").collect().filter(_.getLong(0) == 1L)
+      assert(trades.length == 2, trades.mkString("; "))
+      val sig = trades.find(_.getString(8) == "SIGNAL").get
+      assert(sig.getLong(2) == t0 + 5 * hour && sig.getDouble(3) == 120.0
+        && sig.getDouble(5) == 130.0)
+    } finally q.stop()
+  }
+
+  test("#30 timeline stream restarts from a flat book after eviction") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingJobs.StreamBar
+    val us = 1000000L; val hour = 3600L * us
+    val t0 = 1700000000L * us
+    val stream = MemoryStream[StreamBar]
+    val q = StreamingJobs.mtmTimelineStream(stream.toDS(), PnlConfig.default,
+        watermarkDelay = "0 seconds", evictAfterMs = 3600L * 1000)
+      .writeStream.format("memory").queryName("evicttl").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Seq(StreamBar(1, t0, 1, 100.0, 1, 0), StreamBar(2, t0, 2, 50.0, 0, 0)))
+      q.processAllAvailable()
+      stream.addData(Seq(StreamBar(2, t0 + 4 * hour, 3, 51.0, 0, 0)))
+      q.processAllAvailable()
+      stream.addData(Seq(StreamBar(2, t0 + 4 * hour + 60 * us, 4, 52.0, 0, 0)))
+      q.processAllAvailable()
+      // sym1 re-appears: with the t0 position evicted the book is flat, so
+      // the bar accrues nothing (0.0); live state would accrue 20/100
+      stream.addData(Seq(StreamBar(1, t0 + 5 * hour, 5, 120.0, 0, 0)))
+      q.processAllAvailable()
+      val pt = spark.table("evicttl").collect()
+        .find(r => r.getLong(0) == 1L && r.getLong(1) == t0 + 5 * hour).get
+      assert(pt.getDouble(3) == 0.0)
+    } finally q.stop()
   }
 
   test("#30 flatMapGroupsWithState MTM engine matches the batch engine") {
