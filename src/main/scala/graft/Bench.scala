@@ -44,6 +44,13 @@ object Bench {
         if (times.isEmpty) (name, -1.0, -1.0) else (name, times.min, times.max - times.min)
       }
     }
+    // capped-bucket dedup queries publish their drop count per run
+    results.foreach { case (name, _, _) =>
+      SparkEntry.reportedDrops(name).foreach { n =>
+        val tag = if (n > 0) " DROPS-NONZERO" else ""
+        System.err.println(s"[bench] $name dropped_memberships=$n$tag")
+      }
+    }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
     val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")

@@ -1,11 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import graft.core.{InventoryMode, PnlConfig}
 import graft.operators._
+import scala.collection.concurrent.TrieMap
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  /** Drop observability for the capped-bucket dedup entries
+    * (Dedup.scala: silent hot-bucket drops are capped LSH's one recall
+    * failure mode). Each build of a wired entry registers a fresh
+    * Observation here; after running an action, Verify/Bench read the
+    * count back via [[reportedDrops]] and alert on stderr.
+    */
+  private val dropObservations = TrieMap.empty[String, Observation]
+
+  private def newDropObs(qname: String): Observation = {
+    val o = Observation()
+    dropObservations.put(qname, o)
+    o
+  }
+
+  /** dropped_memberships observed by `qname`'s most recent completed
+    * action; None if the query wasn't run or publishes no drop metric.
+    */
+  def reportedDrops(qname: String): Option[Long] =
+    dropObservations.get(qname)
+      .flatMap(o => Option(org.apache.spark.sql.classic.GraftInternal
+        .observedMetricsOrEmpty(o).getOrElse("dropped_memberships", null)))
+      .map { case n: java.lang.Number => n.longValue }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The engine's reason to exist: full per-symbol Mtm_Result summary
@@ -37,6 +61,19 @@ object SparkEntry {
     // -- core MTM engine (reference surface) --
     "q_signals_prep" -> ((s, dir) => SignalPrep.prepared(Tables.events(s, dir))),
     "q_trades_long_only" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), PnlConfig.default)),
+    // the time-sliced engine (mega-symbol / straggler mitigation), wired
+    // the production way: 4 slices on explicit natural boundaries
+    // (calendar weeks of the 2024-01 event window — no quantile
+    // pre-scan); output is spec'd AND oracle'd bit-identical to
+    // q_trades_long_only. At sf0.1 the 4 sequential shuffle rounds cost
+    // a fixed ~0.2 s each, so the wall-clock ratio vs unsliced is pure
+    // overhead floor; it converges toward 1× as per-slice data dominates.
+    "q_trades_sliced" -> ((s, dir) =>
+      MtmEngine.blotterQueryFrom(
+        MtmEngine.runSliced(bars(s, dir), PnlConfig.default,
+          cutsUs = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+            .map(d => java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.toEpochMilli * 1000L))._2)),
     "q_trades_long_short" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), longShortCfg)),
     "q_mtm_timeline" -> ((s, dir) => MtmEngine.timelineQuery(bars(s, dir), PnlConfig.default)),
     "q_mtm_timeline_fees" -> ((s, dir) => MtmEngine.timelineQuery(bars(s, dir), feesCfg)),
@@ -76,8 +113,12 @@ object SparkEntry {
     // cap with a count(*) OVER (PARTITION BY shingle) filter
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), maxShingleDf = Some(1000))),
-    "q_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
-    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    // capped bucketing with drop observability wired: hot-bucket drops
+    // surface through reportedDrops (Verify/Bench print them to stderr)
+    "q_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(
+      Tables.documents(s, dir), dropObs = Some(newDropObs("q_dedup_minhash_lsh")))),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(
+      Tables.documents(s, dir), dropObs = Some(newDropObs("q_dedup_simhash")))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupsExact(Tables.embeddings(s, dir))),
     // -- similarity search (LLM pipeline) --
     "q_ann_bruteforce_topk" -> ((s, dir) => Similarity.annBruteForceTopK(Tables.embeddings(s, dir))),
@@ -130,6 +171,20 @@ object SparkEntry {
       |    lead(close) OVER w AS exit_price
       |  FROM seq WINDOW w AS (PARTITION BY symbol ORDER BY rn)
       |  QUALIFY action='B')""".stripMargin
+
+  /** Default-config blotter oracle — shared verbatim by
+    * `q_trades_long_only` and `q_trades_sliced` (the sliced engine is
+    * spec'd bit-identical to the unsliced one, so both answer to it).
+    */
+  private def longOnlyBlotterSql: String =
+    s"""WITH $SIG_TRADES
+      |SELECT symbol, 'LONG' AS direction, entry_ts, entry_price, exit_ts, exit_price,
+      |  CASE WHEN exit_ts IS NOT NULL
+      |       THEN (exit_price - entry_price - 0.0*entry_price - 0.0*entry_price)/entry_price END AS pnl_norm,
+      |  pnl_norm * entry_price AS pnl,
+      |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
+      |  exit_ts IS NOT NULL AS is_closed
+      |FROM trades""".stripMargin
 
   /** Per-bar mtm accrual for max_position=1: at most one trade is active
     * per bar, active = entered strictly before the bar's timestamp and
@@ -253,15 +308,10 @@ object SparkEntry {
         |  CASE WHEN event_type='click' THEN 1 ELSE 0 END AS sell,
         |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS price_movement
         |FROM e""".stripMargin,
-    "q_trades_long_only" ->
-      s"""WITH $SIG_TRADES
-        |SELECT symbol, 'LONG' AS direction, entry_ts, entry_price, exit_ts, exit_price,
-        |  CASE WHEN exit_ts IS NOT NULL
-        |       THEN (exit_price - entry_price - 0.0*entry_price - 0.0*entry_price)/entry_price END AS pnl_norm,
-        |  pnl_norm * entry_price AS pnl,
-        |  CASE WHEN exit_ts IS NOT NULL THEN 'SIGNAL' END AS close_reason,
-        |  exit_ts IS NOT NULL AS is_closed
-        |FROM trades""".stripMargin,
+    "q_trades_long_only" -> longOnlyBlotterSql,
+    // the sliced engine is spec'd bit-identical to the unsliced blotter,
+    // so it answers to the SAME oracle — a real hash gate, not rows-only
+    "q_trades_sliced" -> longOnlyBlotterSql,
     // Three-state (long/flat/short) machine walked row-by-row with a
     // recursive CTE over the per-symbol signal sequence. State before row
     // rn determines the transition; closes are emitted inline. Engine

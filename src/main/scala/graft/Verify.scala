@@ -10,9 +10,16 @@ object Verify {
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // capped-bucket dedup queries publish their drop count — alert
+        // loudly when the cap actually discarded memberships
+        SparkEntry.reportedDrops(name).foreach { n =>
+          val tag = if (n > 0) " DROPS-NONZERO" else ""
+          System.err.println(s"[verify] $name dropped_memberships=$n$tag")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

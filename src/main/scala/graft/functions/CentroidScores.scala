@@ -89,6 +89,19 @@ case class CentroidScores(
   // keep the matrix out of plan strings / explain output
   override def toString: String = s"centroid_scores($child, rows=$rows, dim=$dim)"
 
+  // value equality over the matrices (case-class equals compares Array by
+  // reference, which would defeat plan-level subexpression/exchange reuse
+  // between two columns built on equal centroid sets)
+  override def equals(other: Any): Boolean = other match {
+    case c: CentroidScores =>
+      c.child == child && c.rows == rows && c.dim == dim &&
+        java.util.Arrays.equals(c.centroids, centroids) && java.util.Arrays.equals(c.norms, norms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Integer.valueOf(java.util.Arrays.hashCode(centroids)),
+      Integer.valueOf(java.util.Arrays.hashCode(norms)), Integer.valueOf(rows), Integer.valueOf(dim))
+
   override protected def withNewChildInternal(newChild: Expression): CentroidScores =
     copy(child = newChild)
 

@@ -100,6 +100,19 @@ case class HyperplaneBuckets(
   override def toString: String =
     s"hyperplane_buckets($child, tables=$tables, bits=$bits, dim=$dim)"
 
+  // value equality over the matrix (case-class equals compares Array by
+  // reference, which would defeat plan-level subexpression/exchange reuse
+  // between two columns built on equal matrices)
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneBuckets =>
+      h.child == child && h.tables == tables && h.bits == bits && h.dim == dim &&
+        java.util.Arrays.equals(h.planes, planes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Integer.valueOf(java.util.Arrays.hashCode(planes)),
+      Integer.valueOf(tables), Integer.valueOf(bits), Integer.valueOf(dim))
+
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 

@@ -20,9 +20,22 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object ExactNum {
 
-  /** floor(x·scale + 0.5) as a DECIMAL(30,0) unit count. */
-  def units(c: Column, scale: Double): Column =
-    floor(c * lit(scale) + lit(0.5)).cast("decimal(30,0)")
+  /** floor(x·scale + 0.5) as a DECIMAL(30,0) unit count.
+    *
+    * Per-row range: |x|·scale must stay below 2^63 — Spark's long-valued
+    * `floor` would silently saturate at Long.MaxValue there while the
+    * DuckDB oracle's DECIMAL cast raises. A value that large is already
+    * corrupt at every supported scale (1e9 units ⇒ |x| ≥ 9.2e9 of a
+    * price-normalized ratio), so fail loudly on both engines instead.
+    */
+  def units(c: Column, scale: Double): Column = {
+    val scaled = c * lit(scale) + lit(0.5)
+    when(abs(scaled) >= lit(9.223372036854776e18),
+      raise_error(concat(
+        lit(s"ExactNum.units overflow at scale $scale: "), scaled.cast("string"))))
+      .otherwise(floor(scaled))
+      .cast("decimal(30,0)")
+  }
 
   /** An exact unit sum back to double — one division at the end. */
   def toDouble(sumUnits: Column, scale: Double): Column =

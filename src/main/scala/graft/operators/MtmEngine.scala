@@ -293,7 +293,9 @@ object MtmEngine {
       if (nSlices == 1) Nil
       else bars.select(col("ts_us").cast("long")).stat.approxQuantile(
         "ts_us", (1 until nSlices).map(_.toDouble / nSlices).toArray, 0.001)
-        .map(_.toLong).toSeq
+        // equal quantiles (skewed time density) would be an empty slice —
+        // collapse them so the explicit-cut contract stays strict
+        .map(_.toLong).distinct.sorted.toSeq
     runSliced(bars, cfg, cuts)
   }
 
@@ -302,6 +304,11 @@ object MtmEngine {
     * slices follow day/batch boundaries known up front.
     */
   def runSliced(bars: DataFrame, cfg: PnlConfig, cutsUs: Seq[Long]): (DataFrame, DataFrame) = {
+    // out-of-order or duplicate cuts would make slice ranges overlap —
+    // rows in the overlap run through TWO slices and silently duplicate
+    require(
+      cutsUs.isEmpty || cutsUs.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"slice cuts must be strictly ascending, got $cutsUs")
     val spark = bars.sparkSession
     import spark.implicits._
     val typed = bars.select(
@@ -320,15 +327,19 @@ object MtmEngine {
         .as[EngineBar]
         .map(b => SliceIn(b.symbol, b.ts_us, b.event_id, b.close, b.buy, b.sell,
           isState = false, Double.NaN, Nil, Nil))
-      // eager checkpoint: runs this slice's job now, truncating lineage
-      // so slice i+1 reads stored state instead of recomputing 0..i
+      // LAZY local checkpoint: marks the slice output for storage without
+      // launching a job per slice — the consumer's single action computes
+      // the whole slice chain as one job (5× fewer job launches), each
+      // slice's partitions are stored as they are first computed, and
+      // slice i+1 (and the final union) read the stored partitions
+      // instead of recomputing 0..i
       val out = sliceBars.union(state)
         .repartition(col("symbol"))
         .sortWithinPartitions("symbol", "ts_us", "event_id")
         .as[SliceIn]
         .mapPartitions(sliceRunner(cfg, isLast))
         .toDF()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       state = out.filter(col("kind") === "st")
         .select("symbol", "prevClose", "openLongs", "openShorts")
         .as[(Long, Double, Seq[(Long, Double)], Seq[(Long, Double)])]
@@ -385,10 +396,14 @@ object MtmEngine {
     blotterQueryFrom(blotter(bars, cfg))
 
   /** `pnl` is the reference's raw (price-unit) pnl alongside the
-    * normalized one — ProxyTrade exposes both (models.py:60-83,117-131);
-    * raw = normalized × entry_price. Derived HERE (once) so the batch,
-    * sliced, and runner surfaces all carry it; the oracles mirror the
-    * same alias-reuse shape (`pnl_norm * entry_price`) for bit parity.
+    * normalized one — ProxyTrade exposes both (models.py:60-83,117-131).
+    * NOTE the derivation direction is deliberately INVERTED vs the
+    * reference: models.py computes raw pnl directly
+    * ((exit−entry) − 2·fee·entry) and derives normalized from it, while
+    * we derive raw = pnl_norm × entry_price from the already-computed
+    * normalized value so the engine, sliced, runner and oracle surfaces
+    * stay bit-equal to each other ((x/e)·e is not IEEE-bit-equal to x,
+    * so our raw pnl can differ from the reference's by ULPs).
     */
   private[graft] def blotterQueryFrom(bl: DataFrame): DataFrame =
     bl.select(

@@ -33,20 +33,30 @@ object Similarity {
     * guess it (the kernels raise on mismatch rather than truncating).
     * Cached by canonicalized logical plan so repeated ANN calls over the
     * same source (a tuning sweep, the spec suite) pay the one-row job
-    * once. Bounded: distinct-plan churn (e.g. per-call localCheckpoints,
-    * which would otherwise pin their plans forever) clears the cache at
-    * 64 entries. A stale hit is possible only if the SAME path is
-    * rewritten with different-width vectors mid-session — the kernel
-    * dimension check then fails loudly rather than degrading.
+    * once. Bounded as a true access-order LRU of 64 analyzed plans:
+    * distinct-plan churn (e.g. per-call localCheckpoints) evicts the
+    * coldest entry instead of wiping the working set. A stale hit is
+    * possible only if the SAME path is rewritten with different-width
+    * vectors mid-session — the kernel dimension check then fails loudly
+    * rather than degrading.
     */
   private val dimCache =
-    new scala.collection.concurrent.TrieMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
+    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer](
+      16, 0.75f, /* accessOrder = */ true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer])
+          : Boolean = size() > 64
+    }
 
   private def dimOf(embeddings: DataFrame): Int = {
-    if (dimCache.size >= 64) dimCache.clear()
-    dimCache.getOrElseUpdate(
-      embeddings.queryExecution.analyzed.canonicalized,
-      embeddings.select(size(col("embedding"))).head().getInt(0))
+    val key = embeddings.queryExecution.analyzed.canonicalized
+    val hit = dimCache.synchronized(dimCache.get(key))
+    if (hit != null) hit.intValue
+    else {
+      val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+      dimCache.synchronized(dimCache.put(key, Integer.valueOf(d)))
+      d
+    }
   }
 
   /** Shared output tail of every ANN path: per-query bounded-heap top-k
@@ -117,33 +127,63 @@ object Similarity {
     * fit step, like any ML estimator.
     */
   private[graft] def ivfCentroids(
-      embeddings: DataFrame, nCentroids: Int, lloydIters: Int): Seq[Seq[Double]] = {
+      embeddings: DataFrame, nCentroids: Int, lloydIters: Int,
+      fitSample: Int = 4096): Seq[Seq[Double]] = {
+    // Bounded fit: ONE cluster-side top-n job draws the `fitSample`
+    // non-zero corpus vectors with the smallest xxhash64(vec_id) (a
+    // seeded pseudo-random draw; TakeOrdered, not a full sort), and the
+    // Lloyd refinement runs driver-local on that ≤ fitSample × dim
+    // matrix — the standard train-on-a-sample coarse quantizer. At 100 TB
+    // the fit cost is a single scan + a few ms of driver arithmetic,
+    // independent of corpus size; the final cell ASSIGNMENT (annIvfTopK)
+    // stays exact and distributed over the full corpus. The first
+    // nCentroids of the draw seed the cells (same seeding rule as the
+    // previous full-corpus fit); assignment scoring mirrors the
+    // CentroidScores kernel: dot(v,c)/‖c‖, −∞ for a zero centroid,
+    // first-max tie-break.
     val e = withNorm(embeddings)
-    var centroids: Seq[Seq[Double]] = e
-      .filter(col("norm") > 0.0) // zero vectors can never seed a cell
+    val sample: Array[Array[Double]] = e
+      .filter(col("norm") > 0.0) // zero vectors can neither seed nor steer a cell
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h")
-      .limit(nCentroids)
+      .limit(math.max(nCentroids, fitSample))
       .select("v")
       .collect()
-      .map(_.getSeq[Double](0).toSeq)
-      .toSeq
-    for (_ <- 1 to lloydIters) {
-      val assigned = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
-      val means = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg(avg(col("x")).as("m"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
-        .toMap
-      centroids = centroids.indices.map { c =>
+      .map(_.getSeq[Double](0).toArray)
+    var centroids: Array[Array[Double]] = sample.take(nCentroids).map(_.clone())
+    val nC = centroids.length
+    for (_ <- 1 to lloydIters if nC > 0) {
+      val dim = centroids(0).length
+      val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.fill(nC)(new Array[Double](dim))
+      val counts = new Array[Long](nC)
+      for (v <- sample) {
+        require(v.length == dim, s"ivf fit dimension mismatch: expected $dim, got ${v.length}")
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < nC) {
+          var s = Double.NegativeInfinity
+          if (norms(c) != 0.0) {
+            var acc = 0.0
+            var i = 0
+            while (i < dim) { acc += v(i) * centroids(c)(i); i += 1 }
+            s = acc / norms(c)
+          }
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(nC) { c =>
         // empty clusters keep their previous centroid
-        val dims = centroids(c).indices.map(d => means.getOrElse((c, d), centroids(c)(d)))
-        dims
+        if (counts(c) == 0L) centroids(c)
+        else sums(c).map(_ / counts(c))
       }
     }
-    centroids
+    centroids.map(_.toSeq).toSeq
   }
 
   /** Per-row centroid scores — one fused native kernel

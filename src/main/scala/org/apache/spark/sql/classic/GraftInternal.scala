@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftInternal {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * `private[sql]`; the public `get` blocks forever if the observed
+    * action never completed — e.g. a failed bench query).
+    */
+  def observedMetricsOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
+    o.getOrEmpty
 }

@@ -95,6 +95,17 @@ class DedupSpec extends AnyFunSuite {
       "hot chunk should register dropped memberships")
   }
 
+  test("wired dedup entries publish drop observability (zero on the normal corpus)") {
+    // the SparkEntry wiring threads a real Observation: after an action,
+    // reportedDrops must surface the count — 0 on the benign corpus (the
+    // adversarial non-zero side is covered by the hot-bucket test above)
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash")) {
+      graft.SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      assert(graft.SparkEntry.reportedDrops(q).contains(0L),
+        s"$q should observe zero drops on the normal corpus")
+    }
+  }
+
   test("exact dedup groups are self-consistent") {
     val d = Dedup.exactDups(Tables.documents(spark, sfDir))
     assert(d.filter(col("group_size") < 1).count() == 0)
