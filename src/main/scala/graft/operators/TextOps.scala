@@ -23,28 +23,39 @@ object TextOps {
   private def nMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("bigint")
 
+  private val EnStop = "\\b(the|a|and|of|to|is|in|that|it|on)\\b"
+  private val EnStopWords = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "on")
+
+  /** The fused per-row count kernel (ws tokens, subtokens, punct chars,
+    * EnStop hits in one pass — [[graft.functions.TextStats]]); equal
+    * `statsOf` calls collapse via codegen subexpression elimination, so
+    * a projection computing every ratio still scans the text once.
+    */
+  private def statsOf(text: Column): Column =
+    graft.functions.TextStats.stats(text, EnStopWords)
+
   /** SURVEY #17: whitespace tokens + BPE-ish subtokens (letter runs,
-    * digit runs, individual symbol marks).
+    * digit runs, individual symbol marks). One fused scan; the regex
+    * formulation (the oracle's literal shape) survives as
+    * [[tokenCountRegex]], spec-pinned equal.
     */
   def tokenCount(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       length(col("text")).cast("bigint").as("n_chars"),
-      nMatches(col("text"), "\\S+").as("n_ws_tokens"),
-      nMatches(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").as("n_subtokens"))
-
-  private val EnStop = "\\b(the|a|and|of|to|is|in|that|it|on)\\b"
+      statsOf(col("text")).getField("n_ws_tokens").as("n_ws_tokens"),
+      statsOf(col("text")).getField("n_subtokens").as("n_subtokens"))
 
   private def punctRatioExpr(text: Column): Column = {
     val nChars = length(text).cast("bigint")
     when(nChars === 0, lit(0.0))
-      .otherwise(nMatches(text, "[^A-Za-z0-9\\s]").cast("double") / nChars.cast("double"))
+      .otherwise(statsOf(text).getField("n_punct").cast("double") / nChars.cast("double"))
   }
 
   private def stopRatioExpr(text: Column): Column = {
-    val nWs = nMatches(text, "\\S+")
+    val nWs = statsOf(text).getField("n_ws_tokens")
     when(nWs === 0, lit(0.0))
-      .otherwise(nMatches(lower(text), EnStop).cast("double") / nWs.cast("double"))
+      .otherwise(statsOf(text).getField("n_stop").cast("double") / nWs.cast("double"))
   }
 
   /** The quality score as a single column expression over raw text —
@@ -68,8 +79,47 @@ object TextOps {
       stopRatioExpr(col("text")).as("stop_ratio"),
       qualityExpr(col("text")).as("quality_score"))
 
+  // ---- regex formulations: the DuckDB oracles' literal shapes, kept as
+  // parity gates for the fused TextStats kernel (TextStatsSpec) ----
+
+  private[graft] def tokenCountRegex(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      nMatches(col("text"), "\\S+").as("n_ws_tokens"),
+      nMatches(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").as("n_subtokens"))
+
+  private def punctRatioRegex(text: Column): Column = {
+    val nChars = length(text).cast("bigint")
+    when(nChars === 0, lit(0.0))
+      .otherwise(nMatches(text, "[^A-Za-z0-9\\s]").cast("double") / nChars.cast("double"))
+  }
+
+  private def stopRatioRegex(text: Column): Column = {
+    val nWs = nMatches(text, "\\S+")
+    when(nWs === 0, lit(0.0))
+      .otherwise(nMatches(lower(text), EnStop).cast("double") / nWs.cast("double"))
+  }
+
+  private[graft] def qualityScoreRegex(documents: DataFrame): DataFrame = {
+    def qex(text: Column): Column = {
+      val lenScore = least(lit(1.0), length(text).cast("bigint").cast("double") / lit(500.0))
+      lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatioRegex(text)) +
+        lit(0.3) * least(lit(1.0), stopRatioRegex(text) * lit(5.0))
+    }
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      punctRatioRegex(col("text")).as("punct_ratio"),
+      stopRatioRegex(col("text")).as("stop_ratio"),
+      qex(col("text")).as("quality_score"))
+  }
+
   /** Per-language stopword regexes (ASCII word-boundary; zh uses common
-    * hanzi particles, which simply never hit on ASCII corpora).
+    * hanzi particles, which simply never hit on ASCII corpora). The
+    * DuckDB oracle runs THESE; the wired query runs the fused
+    * [[graft.functions.LangStopHits]] single-pass twin (TextOpsSpec pins
+    * them equal on the real corpus).
     */
   private val LangStops: Seq[(String, String)] = Seq(
     "de" -> "\\b(der|die|das|und|ist|von|mit|den|ein|eine)\\b",
@@ -78,11 +128,38 @@ object TextOps {
     "fr" -> "\\b(le|la|de|et|les|des|un|une|du|dans)\\b",
     "zh" -> "(的|是|不|了|在)")
 
+  /** The same table as word/char lists for the fused kernel. */
+  private val LangStopWords: Seq[Seq[String]] = Seq(
+    Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "eine"),
+    Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "on"),
+    Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "dans"),
+    Seq.empty)
+  private val LangStopChars: Seq[Seq[String]] = Seq(
+    Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq("的", "是", "不", "了", "在"))
+
   /** SURVEY #19: stopword-hit language heuristic. Argmax over per-language
     * hit counts, deterministic tie-break in lexicographic language order,
-    * 'und' when nothing hits.
+    * 'und' when nothing hits. One lowercase + one text scan per row
+    * ([[graft.functions.LangStopHits]]) instead of 5 alternation-regex
+    * passes — language-ID was the most expensive pure-projection query in
+    * the bench before the fusion.
     */
   def langId(documents: DataFrame): DataFrame = {
+    val hits = graft.functions.LangStopHits.hits(col("text"), LangStopWords, LangStopChars)
+    val mx = array_max(hits)
+    val pred = LangStops.map(_._1).zipWithIndex.foldRight(lit("zh")) { case ((l, i), els) =>
+      when(hits.getItem(i) === mx, lit(l)).otherwise(els)
+    }
+    documents.select(
+      col("doc_id"),
+      when(mx === 0, lit("und")).otherwise(pred).as("lang_pred"))
+  }
+
+  /** The original 5-regex formulation — the oracle's literal shape, kept
+    * as the parity gate for the fused kernel (TextOpsSpec).
+    */
+  private[graft] def langIdRegex(documents: DataFrame): DataFrame = {
     val lowered = lower(col("text"))
     val hits = LangStops.map { case (l, p) => l -> nMatches(lowered, p) }
     val mx = greatest(hits.map(_._2): _*)

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{Sessions, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity gate for the fused language-ID kernel (SURVEY §2 #19): the
+  * single-pass [[graft.functions.LangStopHits]] scan must agree with the
+  * 5-regex formulation (the DuckDB oracle's literal shape) everywhere —
+  * on the real corpus and on adversarial boundary cases.
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.local("4")
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def preds(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("fused langId equals the regex formulation on the real corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val fused = preds(TextOps.langId(docs))
+    val regex = preds(TextOps.langIdRegex(docs))
+    assert(fused.nonEmpty && fused == regex)
+    assert(fused.values.toSet.size > 1, "corpus should exercise several languages")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1).mkString("|")).toMap
+
+  test("fused tokenCount/qualityScore equal the regex formulations on the real corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows(TextOps.tokenCount(docs)) == rows(TextOps.tokenCountRegex(docs)))
+    assert(rows(TextOps.qualityScore(docs)) == rows(TextOps.qualityScoreRegex(docs)))
+    assert(rows(TextOps.tokenCount(docs)).nonEmpty)
+  }
+
+  test("fused tokenCount/qualityScore equal the regex formulations on boundary cases") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "",
+      2L -> "   \t\n\f\r  ",                      // every \s char, no tokens
+      3L -> "abc123def 45x_7",                           // letter/digit run alternation
+      4L -> "a,b;;c!! ?? . the, the.",                   // punct runs + stops at punct edges
+      5L -> "😀😀 ok",               // surrogate pairs: 1 punct per codepoint
+      6L -> "the THE tHe the5 _the the_ the",            // stop hits need exact \w runs
+      7L -> "no-break space",                       // U+00A0 is NOT Java \s
+      8L -> "München straße émigré 北京 的",              // non-ASCII letters are 'other'
+      9L -> ("lorem ipsum " * 60).trim                   // > 500 chars: length clamp
+    ).toDF("doc_id", "text")
+    assert(rows(TextOps.tokenCount(docs)) == rows(TextOps.tokenCountRegex(docs)))
+    assert(rows(TextOps.qualityScore(docs)) == rows(TextOps.qualityScoreRegex(docs)))
+  }
+
+  test("fused langId equals the regex formulation on boundary cases") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "The quick brown fox is on the run and it is fast",
+      2L -> "el que la una y en los de la las",
+      3L -> "le la de et les des un une du dans",      // la/de shared es+fr → tie-break
+      4L -> "的是不了在 的的的",                          // hanzi particles
+      5L -> "",                                          // empty → und
+      6L -> "zzz qqq xxx 12345",                         // no hits → und
+      7L -> "the5 _the the_ thethe 5the the",            // word-boundary traps: only the last hits
+      8L -> "THE AND OF TO IS",                          // uppercase → lowered
+      9L -> "thé la de la,de;la.de",                // non-ASCII boundaries + punctuation
+      10L -> "a a a a und und ist"                       // en 'a' vs de 'und/ist'
+    ).toDF("doc_id", "text")
+    val fused = preds(TextOps.langId(docs))
+    val regex = preds(TextOps.langIdRegex(docs))
+    assert(fused == regex, s"fused $fused vs regex $regex")
+    assert(fused(5L) == "und" && fused(6L) == "und")
+    assert(fused(4L) == "zh")
+  }
+}
