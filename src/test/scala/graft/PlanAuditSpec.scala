@@ -54,6 +54,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(TextOps.qualityScore(Tables.documents(spark, sfDir)))
     assert(p.contains("*(1)"), "expected a codegen stage")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // counts must come from the fused single-pass kernel, not regexes
+    assert(p.contains("text_stats") && !p.contains("regexp_extract_all"),
+      "quality score must use the fused TextStats kernel")
+    val l = plan(TextOps.langId(Tables.documents(spark, sfDir)))
+    assert(l.contains("lang_stop_hits") && !l.contains("regexp_extract_all"),
+      "language-ID must use the fused LangStopHits kernel (5 alternation " +
+        "regex passes regress it ~6x)")
   }
 
   test("ANN index math stays fused: one kernel, not per-plane expressions") {
