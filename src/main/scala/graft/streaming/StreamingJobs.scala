@@ -53,6 +53,32 @@ object StreamingJobs {
         col("session_window.end").as("session_end_plus_gap"),
         col("n_events"), col("session_value"))
 
+  /** Streaming corpus ingest — the streaming twin of
+    * `CorpusPipeline.cleanCorpus` stages 1-2 (LLM-pipeline SURVEY block):
+    * quality-gate the document stream (stateless projection through the
+    * fused [[graft.operators.TextOps.qualityExpr]] kernel, so the gate
+    * costs one text scan per doc), then exact-dedup on the canonical
+    * normalized-text fingerprint with `dropDuplicatesWithinWatermark` —
+    * dedup state is bounded by the watermark horizon instead of growing
+    * with corpus size. Contract: the first occurrence wins; a duplicate
+    * arriving within the horizon is dropped; one arriving after state
+    * expiry is re-admitted as a new document (the standard
+    * streaming-dedup tradeoff — at-most-once dedup per horizon, exact
+    * batch dedup remains `Dedup.exactDups`).
+    *
+    * @param docs streaming frame with (ingest_ts timestamp, doc_id, text)
+    */
+  def corpusIngestStream(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermarkDelay)
+      .withColumn("quality_score", graft.operators.TextOps.qualityExpr(col("text")))
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("fp_md5", graft.operators.TextOps.fingerprintExpr(col("text")))
+      .dropDuplicatesWithinWatermark("fp_md5")
+
   /** Engine input bar (same canonical view as the batch engine). */
   final case class StreamBar(
       symbol: Long, ts_us: Long, event_id: Long, close: Double, buy: Int, sell: Int)

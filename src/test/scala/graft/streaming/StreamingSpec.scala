@@ -123,6 +123,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus ingest stream: quality gate + watermark-bounded exact dedup") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0.getTime + offsetMin * 60000L)
+    val good = "The quick brown fox jumps over the lazy dog and it is a fine day " * 8
+    val good2 = "Lorem ipsum dolor sit amet and the story goes on and on in that way " * 8
+    val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingJobs.corpusIngestStream(
+        stream.toDF().toDF("ingest_ts", "doc_id", "text"),
+        minQuality = 0.5, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("ingest").outputMode(OutputMode.Append).start()
+    try {
+      // b1: one good doc, one junk doc (gated), b2: an exact duplicate of
+      // the good doc within the horizon (dropped) + a new good doc
+      stream.addData(Seq((ts(0), 1L, good), (ts(0), 2L, junk)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(10), 3L, good), (ts(10), 4L, good2)))
+      q.processAllAvailable()
+      val ids1 = spark.table("ingest").collect().map(_.getLong(1)).toSet
+      assert(ids1 == Set(1L, 4L), s"expected quality-gated dedup'd {1,4}, got $ids1")
+      // advance event time far past the horizon: doc 1's fingerprint
+      // state expires, so a late re-ingest of the same text re-admits
+      stream.addData(Seq((ts(120), 5L, good2 + " tail marker of the third batch")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(125), 6L, good)))
+      q.processAllAvailable()
+      val ids2 = spark.table("ingest").collect().map(_.getLong(1)).toSet
+      assert(ids2 == Set(1L, 4L, 5L, 6L), s"expired duplicate should re-admit, got $ids2")
+    } finally q.stop()
+  }
+
   test("#30 MTM stream plan reuses the explicit exchange+sort (lazy time-ordered groups)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
