@@ -38,6 +38,26 @@ object Dedup {
       .distinct()
   }
 
+  /** The signature-space backbone: the same inverted index with the
+    * shingle hashed to 64 bits BEFORE the distinct, so the dedup
+    * exchange (and every downstream join) moves (doc_id, long) instead
+    * of (doc_id, string) — at corpus scale that is the difference
+    * between shuffling the corpus's shingle text and shuffling 16-byte
+    * rows. Only the approximate operators use it (MinHash, SimHash):
+    * their signatures are functions of xxhash64(shingle) anyway, and
+    * their verify counts become Jaccard over the hashed shingle space
+    * (collision probability ≈ n²/2⁶⁴ per doc pair — immaterial below
+    * ~10⁸ distinct shingles). The exact-string path for the oracle stays
+    * [[shingleIndex]] / [[ngramJaccardPairs]].
+    */
+  private[graft] def hashedShingleIndex(documents: DataFrame): DataFrame = {
+    graft.functions.ShingleGenerator.register(documents.sparkSession)
+    documents
+      .selectExpr("doc_id", "shingles(text) AS shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+  }
+
   /** SURVEY #21: exact duplicate groups by md5 of normalized text. One
     * shuffle (hash by fingerprint); emits every doc with its group size
     * and canonical (min doc_id) representative so downstream `keep
@@ -159,13 +179,13 @@ object Dedup {
     // are the signature aggregation plus the two verify join sides, and
     // each would otherwise re-run the shingle pipeline per branch
     // (measured ~3× the runtime). At corpus scale this is the "write the
-    // feature table once" step of any LSH dedup.
-    val inv = shingleIndex(documents).localCheckpoint(false)
+    // feature table once" step of any LSH dedup. Hashed form: every
+    // exchange from here on carries longs, never shingle text.
+    val inv = hashedShingleIndex(documents).localCheckpoint(false)
     val aggs =
       (0 until perms).map(s => min(xxhash64(col("h"), lit(s))).as(s"mh$s")) :+
         count(lit(1)).as("n")
     val perDoc = inv
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(
@@ -187,12 +207,12 @@ object Dedup {
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .distinct()
-    // Exact-Jaccard verify via the inverted index: expand each candidate
-    // pair by doc A's shingles, match them against doc B's rows, count.
-    // Joins move (pair, shingle) rows for candidate docs only.
+    // Jaccard verify over the hashed shingle space: expand each candidate
+    // pair by doc A's shingle hashes, match them against doc B's rows,
+    // count. Joins move (pair, long) rows for candidate docs only.
     val common = cands
-      .join(inv.select(col("doc_id").as("doc_id_a"), col("shingle")), "doc_id_a")
-      .join(inv.select(col("doc_id").as("doc_id_b"), col("shingle")), Seq("doc_id_b", "shingle"))
+      .join(inv.select(col("doc_id").as("doc_id_a"), col("h")), "doc_id_a")
+      .join(inv.select(col("doc_id").as("doc_id_b"), col("h")), Seq("doc_id_b", "h"))
       .groupBy("doc_id_a", "doc_id_b")
       .agg(count(lit(1)).as("n_common"))
     common
@@ -206,14 +226,14 @@ object Dedup {
   }
 
   /** Per-doc 64-bit SimHash: per bit, the sign of the ±1 vote sum across
-    * shingle hashes — 64 partial-aggregated sums over the inverted index;
-    * the shingle hash is projected once and every vote reuses it.
+    * shingle hashes — 64 partial-aggregated sums over the HASHED
+    * inverted index ([[hashedShingleIndex]]'s (doc_id, h) rows); every
+    * vote reuses the one projected hash column.
     */
   private[graft] def simhashes(inv: DataFrame): DataFrame = {
-    val hashed = inv.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
-    hashed.groupBy("doc_id")
+    inv.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(
         col("doc_id"),
@@ -244,7 +264,7 @@ object Dedup {
       maxBucketSize: Int = 4096,
       dropObs: Option[Observation] = None): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding is lossless only up to Hamming 3")
-    val sh = simhashes(shingleIndex(documents))
+    val sh = simhashes(hashedShingleIndex(documents))
     val chunks = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)), c =>
