@@ -244,6 +244,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("#30 streaming blotter parity holds across engine configs and chunkings") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+      .select("symbol", "ts_us", "event_id", "close", "buy", "sell")
+      .orderBy("ts_us", "event_id")
+      .collect()
+      .map(r => StreamingJobs.StreamBar(
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+    val trials = Seq(
+      ("fees_tax", PnlConfig(feeRate = 0.001, laidBackTax = 0.0001), 2),
+      ("lifo_maxpos", PnlConfig(enableShortPosition = true, maxPositionPerSymbol = 3,
+        inventoryMode = graft.core.InventoryMode.Lifo), 5),
+      ("roi_sl_fees", PnlConfig(roi = Map(0 -> 0.15, 120 -> 0.05), stoploss = -0.1,
+        enableShortPosition = true, feeRate = 0.0005), 4))
+    for (((name, cfg, nChunks), ti) <- trials.zipWithIndex) {
+      val stream = MemoryStream[StreamingJobs.StreamBar]
+      val q = StreamingJobs.mtmBlotterStream(stream.toDS(), cfg)
+        .writeStream.format("memory").queryName(s"bs$ti").outputMode(OutputMode.Append).start()
+      try {
+        bars.grouped(math.max(1, bars.length / nChunks + 1)).foreach { chunk =>
+          stream.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def bag(rows: Array[(Long, String, Long, Long, Double, String)]) =
+        rows.groupBy(identity).map { case (k, v) => k -> v.length }
+      val got = bag(spark.table(s"bs$ti").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4),
+          r.getDouble(6), r.getString(8))))
+      val exp = bag(MtmEngine.blotter(
+          MtmEngine.barsFromEvents(Tables.events(spark, sfDir)), cfg)
+        .filter(col("is_closed")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4),
+          r.getDouble(6), r.getString(7))))
+      assert(exp.nonEmpty && got == exp, s"trial $name ($nChunks chunks) diverged")
+    }
+  }
+
   test("#30 flatMapGroupsWithState MTM engine matches the batch engine") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
