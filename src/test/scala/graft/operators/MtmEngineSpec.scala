@@ -128,6 +128,44 @@ class MtmEngineSpec extends AnyFunSuite {
         s"\nunsliced-only: ${(expBl.toSet -- gotBl.toSet).take(5)}")
   }
 
+  test("time-sliced run matches under adversarial explicit cuts; bad cuts rejected") {
+    val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
+    val cfg = PnlConfig(roi = Map(0 -> 0.2), stoploss = -0.15, enableShortPosition = true)
+    val Array(minTs, maxTs) = bars
+      .agg(min(col("ts_us")), max(col("ts_us"))).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    def tlKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("symbol", "ts_us", "event_id", "mtm_ratio").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exact = tlKey(MtmEngine.timeline(bars, cfg))
+    val span = maxTs - minTs
+    // degenerate cut sets: empty slices at both ends (cuts outside the
+    // data range), a cut exactly ON the min (first slice empty), dense
+    // cuts clustered in one corner, and a seeded random ascending draw
+    val rnd = new scala.util.Random(11)
+    val randomCuts = Seq.fill(6)(minTs + (rnd.nextDouble() * span).toLong)
+      .distinct.sorted
+    val cutSets = Seq(
+      Seq(minTs - 1000L, maxTs + 1000L),
+      Seq(minTs),
+      Seq(minTs + span / 100, minTs + span / 50, minTs + span / 25),
+      randomCuts)
+    for (cuts <- cutSets) {
+      val sliced = tlKey(MtmEngine.runSliced(bars, cfg, cuts)._1)
+      assert(sliced.keySet == exact.keySet, s"row set diverged for cuts $cuts")
+      exact.foreach { case (k, v) =>
+        assert(java.lang.Double.compare(sliced(k), v) == 0, s"cuts $cuts bar $k")
+      }
+    }
+    // overlapping/unsorted cuts would silently duplicate rows — rejected
+    intercept[IllegalArgumentException] {
+      MtmEngine.runSliced(bars, cfg, Seq(minTs + 2000L, minTs + 1000L))
+    }
+    intercept[IllegalArgumentException] {
+      MtmEngine.runSliced(bars, cfg, Seq(minTs + 1000L, minTs + 1000L))
+    }
+  }
+
   test("engine is insensitive to input row order") {
     val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
     val scrambled = bars.orderBy(rand(seed = 7))
