@@ -182,15 +182,15 @@ object Dedup {
     // feature table once" step of any LSH dedup. Hashed form: every
     // exchange from here on carries longs, never shingle text.
     val inv = hashedShingleIndex(documents).localCheckpoint(false)
-    val aggs =
-      (0 until perms).map(s => min(xxhash64(col("h"), lit(s))).as(s"mh$s")) :+
-        count(lit(1)).as("n")
+    // one fused signature aggregate ([[graft.functions.MinHashSig]]):
+    // multiply-add-compare per permutation per row instead of 128
+    // two-long xxhash64 min columns and their 129-wide agg buffer
     val perDoc = inv
       .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(
-        col("doc_id"), col("n"),
-        array((0 until perms).map(i => col(s"mh$i")): _*).as("mh"))
+      .agg(
+        graft.functions.MinHashSig.column(col("h"), perms).as("mh"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"), col("mh"))
       .localCheckpoint(false)
     val buckets = perDoc.select(
       col("doc_id"),
