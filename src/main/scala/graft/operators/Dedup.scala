@@ -226,21 +226,15 @@ object Dedup {
   }
 
   /** Per-doc 64-bit SimHash: per bit, the sign of the ±1 vote sum across
-    * shingle hashes — 64 partial-aggregated sums over the HASHED
-    * inverted index ([[hashedShingleIndex]]'s (doc_id, h) rows); every
-    * vote reuses the one projected hash column.
+    * shingle hashes, computed by the one fused
+    * [[graft.functions.SimHashAgg]] aggregate over the HASHED inverted
+    * index ([[hashedShingleIndex]]'s (doc_id, h) rows) — bit-identical
+    * to the 64-sum-column formulation it replaced, at a 65-long object
+    * buffer instead of a 65-column one.
     */
-  private[graft] def simhashes(inv: DataFrame): DataFrame = {
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+  private[graft] def simhashes(inv: DataFrame): DataFrame =
     inv.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until 64)
-          .map(b => when(col(s"v$b") > 0L, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
-  }
+      .agg(graft.functions.SimHashAgg.column(col("h")).as("simhash"))
 
   /** SURVEY #24: SimHash near-dups with Hamming distance ≤ maxHamming.
     * Pigeonhole banding: with 4 chunks of 16 bits, any pair within
