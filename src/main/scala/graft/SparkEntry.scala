@@ -120,6 +120,10 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(
       Tables.documents(s, dir), dropObs = Some(newDropObs("q_dedup_simhash")))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupsExact(Tables.embeddings(s, dir))),
+    // scale-path sibling: LSH-bucketed candidates + exact-cosine verify
+    // (recall ~0.95 vs the exact operator, spec'd; drops observable)
+    "q_dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingNearDupsLsh(
+      Tables.embeddings(s, dir), dropObs = Some(newDropObs("q_dedup_embedding_lsh")))),
     // -- similarity search (LLM pipeline) --
     "q_ann_bruteforce_topk" -> ((s, dir) => Similarity.annBruteForceTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables.embeddings(s, dir))),

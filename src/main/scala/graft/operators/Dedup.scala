@@ -309,4 +309,64 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("vec_id_a", "vec_id_b", "cosine")
   }
+
+  /** SURVEY #25 (scale path): the same embedding near-dup pairs with
+    * hyperplane-LSH candidate generation instead of the O(n²) cross
+    * join: vectors hash into `tables` independent `bits`-bit sign
+    * buckets (the fused [[graft.functions.HyperplaneBuckets]] kernel,
+    * deterministic seeded planes shared with Similarity), candidate
+    * pairs share ≥1 bucket (group-then-pair under the same hot-bucket
+    * cap as the text dedups — a zero or degenerate vector mass is
+    * capped, not exploded), and the exact cosine verifies ≥ threshold.
+    * Shuffles move (table, bucket, vec_id) and capped in-bucket pairs
+    * only; precision is exact post-verify; recall is the sign-LSH curve
+    * — rising with cosine, so true duplicates are near-certain while
+    * borderline pairs may be missed (floor spec'd vs
+    * [[embeddingNearDupsExact]] in DedupSpec).
+    *
+    * Sizing at corpus scale: `bits` sets the bucket space (2^bits per
+    * table) — the 4-bit default matches this synthetic corpus's LOW
+    * 0.4 threshold (its near-dups top out at cosine ≈0.5, i.e.
+    * p_bit ≈ 0.63 vs 0.5 for a random pair — too narrow a gap for ANY
+    * sign-LSH family to prune hard, so the candidate fraction here
+    * stays ~0.6 and the win over the exact path is shape, not wall
+    * time). Production near-DUPLICATE detection (threshold ≥ 0.9,
+    * where p_bit ≥ 0.9) is the regime this operator exists for: run
+    * bits 16-24 with tables ~12 — recall stays high for true dups,
+    * candidates collapse to the near-dup population, and the bucket
+    * space scales to billions of rows without saturating the cap.
+    */
+  def embeddingNearDupsLsh(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      tables: Int = 16,
+      bits: Int = 4,
+      maxBucketSize: Int = 4096,
+      dropObs: Option[Observation] = None): DataFrame = {
+    DotProduct.register(embeddings.sparkSession)
+    val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tables, bits)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", call_function("dot_product", col("v"), col("v")))
+      .localCheckpoint(false) // consumers: bucketing + both verify sides
+    val buckets = e.select(
+      col("vec_id"),
+      posexplode(graft.functions.HyperplaneBuckets.buckets(col("v"), planes, tables, bits)))
+      .toDF("vec_id", "tbl", "bucket")
+    val cands = capBuckets(buckets, Seq("tbl", "bucket"), maxBucketSize, dropObs)
+      .groupBy("tbl", "bucket")
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na")), "vec_id_a")
+      .join(e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb")), "vec_id_b")
+      .withColumn(
+        "cosine",
+        call_function("dot_product", col("va"), col("vb")) / sqrt(col("na")) / sqrt(col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cosine")
+  }
 }

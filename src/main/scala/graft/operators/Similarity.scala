@@ -48,7 +48,7 @@ object Similarity {
           : Boolean = size() > 64
     }
 
-  private def dimOf(embeddings: DataFrame): Int = {
+  private[graft] def dimOf(embeddings: DataFrame): Int = {
     val key = embeddings.queryExecution.analyzed.canonicalized
     val hit = dimCache.synchronized(dimCache.get(key))
     if (hit != null) hit.intValue

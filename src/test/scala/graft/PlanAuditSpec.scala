@@ -73,6 +73,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "IVF assignment must go through the fused centroid kernel")
   }
 
+  test("signature aggregates keep map-side partial aggregation") {
+    // MinHashSig/SimHashAgg are object aggregates; losing the partial
+    // (map-side) half would shuffle every (doc_id, h) row to the final
+    // aggregation instead of one small buffer per doc per task
+    val p = plan(Dedup.simhashes(Dedup.hashedShingleIndex(Tables.documents(spark, sfDir))))
+    assert(p.contains("ObjectHashAggregate"), "expected object hash aggregation")
+    assert("partial_simhash_agg".r.findAllIn(p).nonEmpty, "map-side partial aggregate missing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      "expected exactly the distinct + doc_id exchanges")
+  }
+
   test("bucket cap: window count shares the pair aggregation's shuffle") {
     import spark.implicits._
     import org.apache.spark.sql.functions.collect_set
