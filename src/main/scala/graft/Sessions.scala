@@ -20,10 +20,11 @@ object Sessions {
     math.min(32, Runtime.getRuntime.availableProcessors()).toString
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCores)): SparkSession = {
+    // custom plan nodes (LocalSortHint) self-register their strategy on
+    // whatever session their dataframe carries — no extension injection
+    // here, so foreign/spark-submit sessions work identically
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      // custom plan nodes (streaming-legal partition-local sort)
-      .withExtensions(e => e.injectPlannerStrategy(_ => graft.plans.LocalSortStrategy))
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -24,12 +24,26 @@ object SparkEntry {
 
   /** dropped_memberships observed by `qname`'s most recent completed
     * action; None if the query wasn't run or publishes no drop metric.
+    * Observation metrics arrive on the ASYNC listener bus, which can lag
+    * a heavy job's end by more than the ~100 ms `getOrEmpty` waits — so
+    * poll briefly instead of sampling once (a silently-missed non-zero
+    * drop count is exactly the alert this hook exists for). Bounded:
+    * returns None after ~2 s for a query whose action never ran.
     */
   def reportedDrops(qname: String): Option[Long] =
-    dropObservations.get(qname)
-      .flatMap(o => Option(org.apache.spark.sql.classic.GraftInternal
-        .observedMetricsOrEmpty(o).getOrElse("dropped_memberships", null)))
-      .map { case n: java.lang.Number => n.longValue }
+    dropObservations.get(qname).flatMap { o =>
+      val deadline = System.nanoTime() + 2_000_000_000L
+      var metric: Option[Long] = None
+      var done = false
+      while (!done) {
+        metric = Option(org.apache.spark.sql.classic.GraftInternal
+          .observedMetricsOrEmpty(o).getOrElse("dropped_memberships", null))
+          .map { case n: java.lang.Number => n.longValue }
+        done = metric.isDefined || System.nanoTime() > deadline
+        if (!done) Thread.sleep(50)
+      }
+      metric
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The engine's reason to exist: full per-symbol Mtm_Result summary

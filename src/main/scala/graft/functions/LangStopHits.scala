@@ -89,33 +89,21 @@ object LangStopHits {
       nLangs: Int): ArrayData = {
     val str = s.toLowerCase.toString
     val out = new Array[Long](nLangs)
-    val n = str.length
-    var i = 0
-    while (i < n) {
-      if (isWordChar(str.charAt(i))) {
-        var j = i + 1
-        while (j < n && isWordChar(str.charAt(j))) j += 1
-        val hit = words.get(str.substring(i, j))
-        if (hit != null) {
-          var k = 0
-          while (k < hit.length) { out(hit(k)) += 1; k += 1 }
-        }
-        i = j
-      } else {
-        val hit = chars.get(Integer.valueOf(str.charAt(i).toInt))
-        if (hit != null) {
-          var k = 0
-          while (k < hit.length) { out(hit(k)) += 1; k += 1 }
-        }
-        i += 1
+    AsciiScan.scanWordRuns(str) { (i, j) =>
+      val hit = words.get(str.substring(i, j))
+      if (hit != null) {
+        var k = 0
+        while (k < hit.length) { out(hit(k)) += 1; k += 1 }
+      }
+    } { ch =>
+      val hit = chars.get(Integer.valueOf(ch.toInt))
+      if (hit != null) {
+        var k = 0
+        while (k < hit.length) { out(hit(k)) += 1; k += 1 }
       }
     }
     new GenericArrayData(out)
   }
-
-  // exactly java.util.regex \w so run boundaries equal \b positions
-  @inline private def isWordChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
   /** The kernel as a Column — direct construction, no session registry. */
   def hits(

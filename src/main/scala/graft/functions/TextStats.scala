@@ -98,28 +98,16 @@ object TextStats {
     // stopword hits over the lowered text's maximal \w runs
     val low = s.toLowerCase.toString
     var nStop = 0L
-    val m = low.length
-    var j = 0
-    while (j < m) {
-      if (isWordChar(low.charAt(j))) {
-        var k = j + 1
-        while (k < m && isWordChar(low.charAt(k))) k += 1
-        if (stops.contains(low.substring(j, k))) nStop += 1
-        j = k
-      } else j += 1
-    }
+    AsciiScan.scanWordRuns(low) { (j, k) =>
+      if (stops.contains(low.substring(j, k))) nStop += 1
+    } { _ => () }
     new GenericInternalRow(Array[Any](nWs, nSub, nPunct, nStop))
   }
 
-  // exactly java.util.regex \s (ASCII)
-  @inline private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-  @inline private def isLetter(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
-  // exactly java.util.regex \w
-  @inline private def isWordChar(c: Char): Boolean =
-    isLetter(c) || isDigit(c) || c == '_'
+  // character classes: the shared AsciiScan definitions
+  @inline private def isSpace(c: Char): Boolean = AsciiScan.isSpace(c)
+  @inline private def isLetter(c: Char): Boolean = AsciiScan.isLetter(c)
+  @inline private def isDigit(c: Char): Boolean = AsciiScan.isDigit(c)
 
   /** The kernel as a Column — direct construction, no session registry. */
   def stats(text: org.apache.spark.sql.Column, stopWords: Seq[String]): org.apache.spark.sql.Column = {

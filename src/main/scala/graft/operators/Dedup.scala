@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.DotProduct
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -296,16 +295,15 @@ object Dedup {
     * ascending-index fold matches DuckDB's list_sum bit-for-bit).
     */
   def embeddingNearDupsExact(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    DotProduct.register(embeddings.sparkSession)
-    val e = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", call_function("dot_product", col("v"), col("v")))
+    // norm projection + cosine come from Similarity — the ONE definition
+    // of the oracle-parity-critical expression shape, shared with the
+    // ANN paths and the LSH sibling below
+    val e = Similarity.withNorm(embeddings)
     val a = e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, col("vec_id_a") < col("vec_id_b"))
       .withColumn(
-        "cosine",
-        call_function("dot_product", col("va"), col("vb")) / sqrt(col("na")) / sqrt(col("nb")))
+        "cosine", Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("vec_id_a", "vec_id_b", "cosine")
   }
@@ -343,11 +341,8 @@ object Dedup {
       bits: Int = 4,
       maxBucketSize: Int = 4096,
       dropObs: Option[Observation] = None): DataFrame = {
-    DotProduct.register(embeddings.sparkSession)
     val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tables, bits)
-    val e = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", call_function("dot_product", col("v"), col("v")))
+    val e = Similarity.withNorm(embeddings)
       .localCheckpoint(false) // consumers: bucketing + both verify sides
     val buckets = e.select(
       col("vec_id"),
@@ -364,8 +359,7 @@ object Dedup {
       .join(e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na")), "vec_id_a")
       .join(e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb")), "vec_id_b")
       .withColumn(
-        "cosine",
-        call_function("dot_product", col("va"), col("vb")) / sqrt(col("na")) / sqrt(col("nb")))
+        "cosine", Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("vec_id_a", "vec_id_b", "cosine")
   }

@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[graft] def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     call_function("dot_product", va, vb) / sqrt(na) / sqrt(nb)
 
-  private def withNorm(embeddings: DataFrame): DataFrame = {
+  private[graft] def withNorm(embeddings: DataFrame): DataFrame = {
     DotProduct.register(embeddings.sparkSession)
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

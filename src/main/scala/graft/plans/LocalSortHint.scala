@@ -31,8 +31,16 @@ object LocalSortHint {
   /** `df` sorted within partitions by `cols` (ascending) — the streaming-
     * legal twin of `df.sortWithinPartitions(cols: _*)`. Column names are
     * resolved against the analyzed child so the node is born resolved.
+    * The planner strategy is self-registered on the dataframe's session
+    * (idempotently, via `experimental.extraStrategies`), so the node
+    * plans on ANY SparkSession — a plain `SparkSession.builder()` or a
+    * spark-submit session included; nothing needs
+    * `SparkSessionExtensions` wiring.
     */
   def apply(df: DataFrame, cols: String*): DataFrame = {
+    val em = df.sparkSession.experimental
+    if (!em.extraStrategies.contains(LocalSortStrategy))
+      em.extraStrategies = em.extraStrategies :+ LocalSortStrategy
     val analyzed = df.queryExecution.analyzed
     val order = cols.map { c =>
       val attr = analyzed.output.find(a => df.sparkSession.sessionState.analyzer.resolver(a.name, c))

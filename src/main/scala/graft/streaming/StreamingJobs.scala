@@ -145,9 +145,15 @@ object StreamingJobs {
     * [[orderedBySymbolTime]] and are consumed lazily; the state commit
     * rides the completion tail of the returned iterator (honored by the
     * stateful operator's completion callback). On timeout the group's
-    * state is flushed through `onEvict` and removed. Contract: bars must
-    * arrive in non-decreasing event-time order across batches for a
-    * symbol (in-order source or upstream watermark+sort).
+    * state is flushed through `onEvict` and removed. Contracts: (1) bars
+    * must arrive in non-decreasing event-time order across batches for a
+    * symbol (in-order source or upstream watermark+sort); (2) the
+    * consumer must DRAIN each group's output fully — every built-in
+    * streaming sink does — because a short-circuiting consumer (a
+    * limit/take inside foreachBatch) would skip the commit tail and
+    * lose the batch's state update for the cut-off groups. That is the
+    * price of O(open-positions) heap; the eager alternative pays
+    * O(micro-batch group) memory per task.
     */
   private def runSymbolBatch[T](
       cfg: PnlConfig, trackTrades: Boolean, streaming: Boolean, evictAfterMs: Long,

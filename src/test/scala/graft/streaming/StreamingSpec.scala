@@ -177,6 +177,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("#30 MTM streams plan on a vanilla SparkSession (strategy self-registers)") {
+    // a library user won't build sessions through graft.Sessions — the
+    // LocalSortHint strategy must self-register on whatever session the
+    // dataframe carries, or planning dies with 'no strategy for plan'
+    val plain = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("plain").getOrCreate()
+    import plain.implicits._
+    val bars = Seq(
+      StreamingJobs.StreamBar(1L, 1000000L, 1L, 10.0, 1, 0),
+      StreamingJobs.StreamBar(1L, 2000000L, 2L, 12.0, 0, 1)).toDS()
+    // batch-mode execution of the same flatMapGroupsWithState plan —
+    // exercises analysis + planning of LocalSortHint on the plain session
+    val out = StreamingJobs.mtmBlotterStream(bars, PnlConfig.default).collect()
+    assert(out.length == 1 && out.head.pnl_norm == 0.2)
+  }
+
   test("#30 idle symbol is evicted with an EVICTED flush and restores cleanly on re-appearance") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
