@@ -40,4 +40,42 @@ private[functions] object AsciiScan {
       }
     }
   }
+
+  /** java.util.regex's `\b` word class — NOT `\w`: even without
+    * UNICODE_CHARACTER_CLASS, Java's boundary node tests
+    * `Character.isLetterOrDigit(cp) || cp == '_'` over CODEPOINTS, so
+    * `é`, `是` or `𝒜` glue to an adjacent ASCII stopword ("le是" is one
+    * \b-word and `\b(le)\b` does NOT match it), while `\w` itself stays
+    * ASCII. RE2 (DuckDB) uses ASCII boundaries instead; the corpus
+    * oracles stay green because the two engines' formulations only
+    * diverge on non-ASCII-letter-adjacent stopwords, which the corpus
+    * lacks — but the kernels must mirror the JAVA shape they replace
+    * (the fuzz spec in TextOpsSpec caught exactly this).
+    */
+  @inline def isJavaBoundaryWord(cp: Int): Boolean =
+    cp == '_'.toInt || Character.isLetterOrDigit(cp)
+
+  /** Visit every maximal Java-`\b`-word codepoint run of `s` as
+    * [start, end) char offsets via `onRun` — the only spans a
+    * `\b(w1|w2|…)\b` alternation can match under java.util.regex.
+    */
+  @inline def scanJavaWordRuns(s: String)(onRun: (Int, Int) => Unit): Unit = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isJavaBoundaryWord(cp)) {
+        var j = i + Character.charCount(cp)
+        var done = false
+        while (j < n && !done) {
+          val c2 = s.codePointAt(j)
+          if (isJavaBoundaryWord(c2)) j += Character.charCount(c2) else done = true
+        }
+        onRun(i, j)
+        i = j
+      } else {
+        i += Character.charCount(cp)
+      }
+    }
+  }
 }

@@ -15,11 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the whole text, so language-ID paid 1 lowercase + 5 regex automaton
   * runs per row. Here the text is lowercased once (the same
   * `UTF8String.toLowerCase` the `lower` function uses) and scanned once:
-  * maximal `\\w` = `[a-zA-Z0-9_]` runs are hashed against the stopword
-  * table (a `\\b(w1|w2|…)\\b` alternation of word-only alternatives can
-  * only ever match a complete maximal run, so whole-run equality counts
-  * exactly what the regex counts), and single-char entries (the hanzi
-  * particles) are counted per occurrence. TextOpsSpec pins the fused
+  * maximal Java-`\\b`-word runs (Unicode letterOrDigit/underscore — see
+  * [[AsciiScan.isJavaBoundaryWord]] for why this is NOT `\\w`) are
+  * hashed against the stopword table (a `\\b(w1|w2|…)\\b` alternation of
+  * word-only alternatives can only ever match a complete maximal run,
+  * so whole-run equality counts exactly what the regex counts), and
+  * single-char entries (the hanzi particles, whose regex has no `\\b`)
+  * are counted per occurrence anywhere. TextOpsSpec pins the fused
   * kernel equal to the regex formulation on the real corpus.
   *
   * @param wordGroups per-language whole-word stopwords (ASCII, lowercase)
@@ -89,18 +91,28 @@ object LangStopHits {
       nLangs: Int): ArrayData = {
     val str = s.toLowerCase.toString
     val out = new Array[Long](nLangs)
-    AsciiScan.scanWordRuns(str) { (i, j) =>
+    // word stopwords: whole Java-\b-word runs (see AsciiScan scaladoc —
+    // the \b word class is Unicode letterOrDigit/underscore, so a run
+    // containing any non-ASCII letter simply equals no ASCII stopword)
+    AsciiScan.scanJavaWordRuns(str) { (i, j) =>
       val hit = words.get(str.substring(i, j))
       if (hit != null) {
         var k = 0
         while (k < hit.length) { out(hit(k)) += 1; k += 1 }
       }
-    } { ch =>
-      val hit = chars.get(Integer.valueOf(ch.toInt))
+    }
+    // char stopwords (the hanzi particles): the regex has NO \b, so
+    // every occurrence counts regardless of word context — including
+    // inside a \b-word run (hanzi ARE Java letters)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val hit = chars.get(Integer.valueOf(str.charAt(i).toInt))
       if (hit != null) {
         var k = 0
         while (k < hit.length) { out(hit(k)) += 1; k += 1 }
       }
+      i += 1
     }
     new GenericArrayData(out)
   }

@@ -95,12 +95,13 @@ object TextStats {
         }
       }
     }
-    // stopword hits over the lowered text's maximal \w runs
+    // stopword hits over the lowered text's maximal Java-\b-word runs
+    // (Unicode letterOrDigit boundary class — see AsciiScan scaladoc)
     val low = s.toLowerCase.toString
     var nStop = 0L
-    AsciiScan.scanWordRuns(low) { (j, k) =>
+    AsciiScan.scanJavaWordRuns(low) { (j, k) =>
       if (stops.contains(low.substring(j, k))) nStop += 1
-    } { _ => () }
+    }
     new GenericInternalRow(Array[Any](nWs, nSub, nPunct, nStop))
   }
 

@@ -51,6 +51,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(TextOps.qualityScore(docs)) == rows(TextOps.qualityScoreRegex(docs)))
   }
 
+  test("fused kernels equal the regex formulations on 300 random adversarial docs") {
+    import spark.implicits._
+    // seeded generator over a deliberately nasty alphabet: every Java \s
+    // char incl. VT, NBSP (not \s), '_' and digits (word chars), ASCII
+    // punct, uppercase, accented letters, hanzi stopwords, an emoji
+    // (surrogate pair), and the stopwords themselves as fragments
+    val atoms: Vector[String] = Vector(
+      " ", "\t", "\n", "\u000B", "\f", "\r", "\u00A0",
+      "the", "a", "and", "la", "de", "und", "ist", "el", "le", "dans",
+      "_", "5", "x", "Q", "é", "ß", "的", "是", "😀",
+      ",", ".", "!", "?", "#", "-", "'", "\"")
+    val rnd = new scala.util.Random(1234)
+    val docs = (1 to 300).map { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString)
+    }.toDF("doc_id", "text")
+    val fusedLang = preds(TextOps.langId(docs))
+    val regexLang = preds(TextOps.langIdRegex(docs))
+    assert(fusedLang == regexLang,
+      s"langId diverged: ${(fusedLang.toSet -- regexLang.toSet).take(3)}")
+    assert(rows(TextOps.tokenCount(docs)) == rows(TextOps.tokenCountRegex(docs)))
+    assert(rows(TextOps.qualityScore(docs)) == rows(TextOps.qualityScoreRegex(docs)))
+  }
+
   test("fused langId equals the regex formulation on boundary cases") {
     import spark.implicits._
     val docs = Seq(
