@@ -69,14 +69,19 @@ case class ShingleGenerator(child: Expression, n: Int = 3)
 }
 
 object ShingleGenerator {
-  /** lower → trim → split on whitespace runs: same token stream as the
-    * SQL `split(trim(regexp_replace(lower(text), '\s+', ' ')), ' ')`
-    * normalization for ASCII text.
+  /** lower → split on `\s+` runs → drop empty edge tokens: the same
+    * token stream as the SQL
+    * `split(trim(regexp_replace(lower(text), '\s+', ' ')), ' ')`
+    * normalization for every input whose whitespace is Java `\s`.
+    * NOT `String.trim`: that strips ALL controls ≤ U+0020 (a doc
+    * starting with U+0001 would lose the char), while SQL `trim`
+    * removes spaces only — and after the `\s+` collapse the edges are
+    * plain spaces, which is exactly what dropping empty split tokens
+    * reproduces (ShingleGeneratorSpec fuzzes this against a scalar
+    * replica of the SQL steps).
     */
-  private[graft] def tokenize(text: String): Array[String] = {
-    val t = text.toLowerCase.trim
-    if (t.isEmpty) Array.empty else t.split("\\s+")
-  }
+  private[graft] def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
   /** Register `shingles(str)` as a generator function. */
   def register(spark: SparkSession): Unit =

@@ -35,22 +35,48 @@ class ShingleGeneratorSpec extends AnyFunSuite {
     assert(shinglesOf(null) == Seq.empty)
   }
 
-  test("matches the SQL normalization on the real corpus") {
+  /** Compare the native generator against the SQL-side equivalent
+    * (split normalized text, slide via sequence) on the given docs.
+    */
+  private def assertMatchesSql(docs: org.apache.spark.sql.DataFrame): Unit = {
     ShingleGenerator.register(spark)
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val native = docs.selectExpr("doc_id", "shingles(text) AS shingle")
       .groupBy("doc_id").agg(sort_array(collect_list("shingle")).as("gs"))
-    // SQL-side equivalent: split normalized text, slide via sequence
     val tokens = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    // sequence(0, n-3) DESCENDS for n < 3 — emit no window starts there
+    val starts = when(size(tokens) >= 3, sequence(lit(0), size(tokens) - 3))
+      .otherwise(array().cast("array<int>"))
     val sql = docs.select(
         col("doc_id"),
-        explode(transform(sequence(lit(0), size(tokens) - 3), i =>
+        explode(transform(starts, i =>
           concat_ws(" ",
             element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3))))
           .as("shingle"))
       .groupBy("doc_id").agg(sort_array(collect_list("shingle")).as("gs"))
     val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     val e = sql.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    assert(n == e && n.nonEmpty)
+    // docs with <3 tokens appear on neither side — compare maps directly
+    if (n != e) {
+      val bad = (n.keySet ++ e.keySet).find(k => n.get(k) != e.get(k)).get
+      fail(s"doc $bad: native ${n.get(bad)} vs sql ${e.get(bad)}")
+    }
+  }
+
+  test("matches the SQL normalization on the real corpus") {
+    assertMatchesSql(Tables.documents(spark, "/root/testdata/sf0.001"))
+  }
+
+  test("matches the SQL normalization on adversarial random docs") {
+    import spark.implicits._
+    // control chars below U+0020 are the trap: String.trim strips them,
+    // SQL trim does not; plus every \s char, NBSP, unicode, surrogates
+    val atoms = Vector(
+      " ", "\t", "\n", "", "\f", "\r", " ", "", "",
+      "ab", "c", "Q", "_", "5", "é", "的", "😀", ",", ".", "x y z")
+    val rnd = new scala.util.Random(77)
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(atoms(rnd.nextInt(atoms.length))).mkString)
+    }.toDF("doc_id", "text")
+    assertMatchesSql(docs)
   }
 }
