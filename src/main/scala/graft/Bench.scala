@@ -16,17 +16,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    and the timed run pays janino/JIT (~7 s noise on heavy plans);
   *  - a query that throws is reported as -1 with its name in `errors`,
   *    never silently folded into the total.
+  *
+  * Output discipline: the driver captures only the TAIL of the build log
+  * (~2 KB), so the JSON line must stay small enough to survive whole —
+  * full-precision doubles for 38 queries × 2 maps overflowed it in
+  * rounds 3-5 and left the bench gate unparseable. Times are rounded to
+  * milliseconds and the per-query max-min spread map goes to stderr,
+  * keeping the stdout line well under the capture window.
+  *
+  * SPARK_GRAFT_BENCH_ONLY (comma-separated substrings) filters the query
+  * set for local iteration; the driver never sets it.
   */
 object Bench {
+  private def ms3(v: Double): String = {
+    if (v < 0) "-1"
+    else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
     val spark = Sessions.local()
 
     def materialize(fn: (SparkSession, String) => DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val nRuns = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(pats => pats.exists(name.contains)) }
+    val results = selected.map { case (name, fn) =>
       val warmOk =
         try { materialize(fn); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
@@ -34,8 +52,8 @@ object Bench {
       else {
         // best of nRuns timed runs: damps background-load / GC noise so
         // round-over-round comparisons track the plan, not the machine;
-        // the max-min spread is published so a round-over-round delta
-        // smaller than the spread reads as noise, not a plan change
+        // the max-min spread (stderr) lets a round-over-round delta
+        // smaller than the spread read as noise, not a plan change
         val times = (1 to nRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           try { materialize(fn); Some((System.nanoTime() - t0) / 1e9) }
@@ -51,13 +69,14 @@ object Bench {
         System.err.println(s"[bench] $name dropped_memberships=$n$tag")
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + ms3(s) }.mkString("{", ",", "}")
+    System.err.println(s"[bench] spread=$spreads")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
     val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""errors":$errors,"runs":$nRuns,"spread":$spreads}""")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""errors":$errors,"runs":$nRuns}""")
     spark.stop()
   }
 }
