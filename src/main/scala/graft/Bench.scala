@@ -42,9 +42,19 @@ object Bench {
     def materialize(fn: (SparkSession, String) => DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Each query build localCheckpoints its own shared branches; nothing
+    // references those blocks once the query's runs finish, but the
+    // ContextCleaner only frees them after a JVM GC notices the dropped
+    // DataFrames. 38 queries x 3 runs of leftovers is real block-manager
+    // pressure by the tail of the suite (late queries measured ~2x their
+    // isolated time), so drop them explicitly between queries.
+    def dropQueryPrivateBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(pats => pats.exists(name.contains)) }
     val results = selected.map { case (name, fn) =>
+      dropQueryPrivateBlocks()
       val warmOk =
         try { materialize(fn); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }

@@ -111,6 +111,14 @@ object SparkEntry {
     "q_top_customers_window" -> ((s, dir) =>
       Analytics.topCustomersByNation(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
+    // fact⋈fact join twins: same query, same oracle — the _colocated
+    // variant reads bucketed-by-orderkey table copies (BucketedTables),
+    // so the sort-merge join needs no exchange on either side
+    "q_join_shuffled" -> ((s, dir) =>
+      Analytics.orderRevenueByPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_join_colocated" -> ((s, dir) =>
+      Analytics.orderRevenueByPriority(
+        graft.sources.BucketedTables.orders(s, dir), graft.sources.BucketedTables.lineitem(s, dir))),
     "q_events_sessionize" -> ((s, dir) => Analytics.sessionize(Tables.events(s, dir))),
     "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir))),
     // -- text analysis (LLM pipeline) --
@@ -591,6 +599,18 @@ object SparkEntry {
         |WHERE c_mktsegment='BUILDING'
         |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_join_shuffled" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_join_colocated" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount)) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q6_revenue_delta" ->
       """SELECT CAST(SUM(CAST(floor((l_extendedprice*l_discount) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS revenue,
         |  count(*) AS n_items

@@ -78,6 +78,23 @@ object Analytics {
         count(lit(1)).as("n_items")
       )
 
+  /** Order revenue per priority class over the full orders⋈lineitem
+    * fact⋈fact join — the query shape where bucketing pays. The merge
+    * hint pins a sort-merge join on both callers: fed plain parquet both
+    * sides shuffle on the order key (the 100 TB worst case); fed
+    * [[graft.sources.BucketedTables]] copies, the bucketed scans already
+    * satisfy the join's distribution and the ONLY exchange left is the
+    * tiny 5-row priority rollup (asserted in BucketedJoinSpec). Same
+    * results either way — layout changes the plan, not the answer.
+    */
+  def orderRevenueByPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.hint("merge")
+      .join(lineitem.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** Top-3 customers by order revenue within each nation: broadcast the
     * 25-row nation dim, aggregate orders per customer (shuffle on
     * custkey), then a nation-partitioned rank window. Unique-key
