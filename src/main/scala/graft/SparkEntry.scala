@@ -119,6 +119,7 @@ object SparkEntry {
     "q_join_colocated" -> ((s, dir) =>
       Analytics.orderRevenueByPriority(
         graft.sources.BucketedTables.orders(s, dir), graft.sources.BucketedTables.lineitem(s, dir))),
+    "q_asof_join" -> ((s, dir) => Analytics.asofPurchaseClicks(Tables.events(s, dir))),
     "q_events_sessionize" -> ((s, dir) => Analytics.sessionize(Tables.events(s, dir))),
     "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir))),
     // -- text analysis (LLM pipeline) --
@@ -627,6 +628,14 @@ object SparkEntry {
         |  FROM customer JOIN rev ON c_custkey=o_custkey
         |    JOIN nation ON c_nationkey=n_nationkey) t
         |WHERE rank <= 3""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type FROM events),
+        |p AS (SELECT user_id, ts, event_id, value FROM e WHERE event_type='purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+        |      FROM e WHERE event_type='click' GROUP BY user_id, ts)
+        |SELECT p.user_id, p.ts, p.event_id, p.value,
+        |  c.ts AS r_ts, c.event_id AS r_event_id, c.value AS r_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "q_events_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
         |flagged AS (

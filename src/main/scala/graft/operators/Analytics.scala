@@ -111,6 +111,25 @@ object Analytics {
       .filter(col("rank") <= 3)
   }
 
+  /** As-of join headline: each purchase matched to the user's latest
+    * click at-or-before it ([[AsofJoin]] — union + one shuffle + window,
+    * no join node). Clicks dedup to one row per (user, ts) first
+    * (max_by on event_id) so the prevailing row is well-defined; the
+    * DuckDB oracle is a native ASOF LEFT JOIN over the same dedup.
+    */
+  def asofPurchaseClicks(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(
+        max(col("event_id")).as("event_id"),
+        max_by(col("value"), col("event_id")).as("value"))
+    AsofJoin(purchases, clicks, Seq("user_id"), "ts")
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap) of the event
     * stream per user: classic lag + cumulative-sum session ids, one
     * shuffle on user_id. Micros arithmetic keeps both engines exact.
