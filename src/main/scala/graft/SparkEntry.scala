@@ -120,6 +120,7 @@ object SparkEntry {
       Analytics.orderRevenueByPriority(
         graft.sources.BucketedTables.orders(s, dir), graft.sources.BucketedTables.lineitem(s, dir))),
     "q_asof_join" -> ((s, dir) => Analytics.asofPurchaseClicks(Tables.events(s, dir))),
+    "q_join_salted" -> ((s, dir) => Analytics.saltedEventRollup(Tables.events(s, dir))),
     "q_events_sessionize" -> ((s, dir) => Analytics.sessionize(Tables.events(s, dir))),
     "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir))),
     // -- text analysis (LLM pipeline) --
@@ -628,6 +629,13 @@ object SparkEntry {
         |  FROM customer JOIN rev ON c_custkey=o_custkey
         |    JOIN nation ON c_nationkey=n_nationkey) t
         |WHERE rank <= 3""".stripMargin,
+    "q_join_salted" ->
+      """WITH e AS (SELECT user_id, event_type, value FROM events),
+        |d AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(SUM(CAST(floor((value*n_events) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS weighted_value
+        |FROM e JOIN d USING(user_id)
+        |GROUP BY event_type""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type FROM events),
         |p AS (SELECT user_id, ts, event_id, value FROM e WHERE event_type='purchase'),

@@ -111,6 +111,22 @@ object Analytics {
       .filter(col("rank") <= 3)
   }
 
+  /** Salted-join headline: events joined back to a per-user activity
+    * dim through [[SkewJoin.salted]], then rolled up per event type.
+    * The merge hint forces the shuffle-join path the salt exists for
+    * (a broadcastable dim needs no salt; at 100 TB user dims aren't).
+    * Result is salt-invariant, so the oracle is the plain USING join.
+    */
+  def saltedEventRollup(events: DataFrame, saltFactor: Int = 8): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("value"))
+    val dim = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    SkewJoin.salted(e, dim.hint("merge"), Seq("user_id"), saltFactor)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("value") * col("n_events")).as("weighted_value"))
+  }
+
   /** As-of join headline: each purchase matched to the user's latest
     * click at-or-before it ([[AsofJoin]] — union + one shuffle + window,
     * no join node). Clicks dedup to one row per (user, ts) first
