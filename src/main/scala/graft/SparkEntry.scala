@@ -121,6 +121,8 @@ object SparkEntry {
         graft.sources.BucketedTables.orders(s, dir), graft.sources.BucketedTables.lineitem(s, dir))),
     "q_asof_join" -> ((s, dir) => Analytics.asofPurchaseClicks(Tables.events(s, dir))),
     "q_join_salted" -> ((s, dir) => Analytics.saltedEventRollup(Tables.events(s, dir))),
+    "q_percentiles" -> ((s, dir) => Analytics.percentiles(Tables.events(s, dir))),
+    "q_percentiles_approx" -> ((s, dir) => Analytics.percentilesApprox(Tables.events(s, dir))),
     "q_events_sessionize" -> ((s, dir) => Analytics.sessionize(Tables.events(s, dir))),
     "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir))),
     // -- text analysis (LLM pipeline) --
@@ -629,6 +631,12 @@ object SparkEntry {
         |  FROM customer JOIN rev ON c_custkey=o_custkey
         |    JOIN nation ON c_nationkey=n_nationkey) t
         |WHERE rank <= 3""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_join_salted" ->
       """WITH e AS (SELECT user_id, event_type, value FROM events),
         |d AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id)

@@ -111,6 +111,32 @@ object Analytics {
       .filter(col("rank") <= 3)
   }
 
+  /** Exact value percentiles per event type. Exact `percentile` sorts
+    * every group's values — the right tool up to the scale where one
+    * group's values overflow a task, after which [[percentilesApprox]]
+    * is the path (its sketch is partial-aggregable, so it map-side
+    * combines and never concentrates raw values). Interpolation
+    * (continuous quantile) matches DuckDB's quantile_cont definition.
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      expr("percentile(value, 0.5)").as("p50"),
+      expr("percentile(value, 0.95)").as("p95"),
+      expr("percentile(value, 0.99)").as("p99"))
+
+  /** The 100 TB percentile path: approx_percentile's sketch combines
+    * map-side, so no task ever holds a group's raw values. Accuracy is
+    * spec'd against [[percentiles]] (PercentileSpec), not oracled —
+    * the sketch is engine-specific by construction.
+    */
+  def percentilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+      expr(s"approx_percentile(value, 0.95, $accuracy)").as("p95"),
+      expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+
   /** Salted-join headline: events joined back to a per-user activity
     * dim through [[SkewJoin.salted]], then rolled up per event type.
     * The merge hint forces the shuffle-join path the salt exists for
