@@ -29,6 +29,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed tables must ALWAYS read one-task-per-bucket: the
+      // planner's auto-disable (when it sees no join/agg benefit) falls
+      // back to size-based file splitting, which at scale can split one
+      // bucket across tasks — silently breaking the co-location the
+      // zero-exchange engine path (MtmEngine colocated=true) relies on
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -90,6 +90,10 @@ object SparkEntry {
               .toInstant.toEpochMilli * 1000L))._2)),
     "q_trades_long_short" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), longShortCfg)),
     "q_mtm_timeline" -> ((s, dir) => MtmEngine.timelineQuery(bars(s, dir), PnlConfig.default)),
+    // same engine over symbol-bucketed bars: the engine's one exchange
+    // is already done on disk (BucketedTables.bars + colocated=true)
+    "q_mtm_timeline_colocated" -> ((s, dir) => MtmEngine.timelineQuery(
+      graft.sources.BucketedTables.bars(s, dir), PnlConfig.default, colocated = true)),
     "q_mtm_timeline_fees" -> ((s, dir) => MtmEngine.timelineQuery(bars(s, dir), feesCfg)),
     "q_max_drawdown" -> ((s, dir) => MtmEngine.maxDrawdown(bars(s, dir), PnlConfig.default)),
     "q_sharpe_ratio" -> ((s, dir) => MtmEngine.sharpeRatio(bars(s, dir), PnlConfig.default)),
@@ -330,7 +334,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  /** q_mtm_timeline_colocated changes the LAYOUT, not the semantics —
+    * it answers against q_mtm_timeline's oracle verbatim.
+    */
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_mtm_timeline_colocated" -> oracleSqlBase("q_mtm_timeline"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_signals_prep" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type FROM events)
         |SELECT user_id AS symbol, ts, event_id, value AS close,

@@ -63,15 +63,23 @@ object MtmEngine {
     * coalescing is safe: symbol runs stay contiguous because a symbol
     * hashes to exactly one pre-coalesce partition.
     */
-  private def sortedBars(bars: DataFrame): Dataset[EngineBar] = {
+  private def sortedBars(bars: DataFrame, colocated: Boolean = false): Dataset[EngineBar] = {
     val spark = bars.sparkSession
     import spark.implicits._
-    bars
+    val projected = bars
       .select(
         col("symbol").cast("long"), col("ts_us").cast("long"),
         col("event_id").cast("long"), col("close").cast("double"),
         col("buy").cast("int"), col("sell").cast("int"))
-      .repartition(col("symbol"))
+    // colocated: the caller guarantees each symbol's bars already share
+    // a partition (a symbol-bucketed table scan — BucketedTables.bars),
+    // so the engine's one exchange is elided and only the in-partition
+    // secondary sort remains. Opt-in and UNCHECKED: verifying the claim
+    // would itself shuffle, and split symbol runs would silently reset
+    // book state mid-run — callers own the layout contract
+    // (ColocatedEngineSpec pins bit-equality on the bucketed layout).
+    val dist = if (colocated) projected else projected.repartition(col("symbol"))
+    dist
       .sortWithinPartitions("symbol", "ts_us", "event_id")
       .as[EngineBar]
   }
@@ -115,10 +123,10 @@ object MtmEngine {
     * mtm_ratio) — the reference's `mtm_history` (trade_reward.py:109,166),
     * one row per input bar.
     */
-  def timeline(bars: DataFrame, cfg: PnlConfig): DataFrame = {
+  def timeline(bars: DataFrame, cfg: PnlConfig, colocated: Boolean = false): DataFrame = {
     val spark = bars.sparkSession
     import spark.implicits._
-    sortedBars(bars).mapPartitions { it =>
+    sortedBars(bars, colocated).mapPartitions { it =>
       // trackTrades=false: timeline consumers never drain the blotter, so
       // recording closed trades would grow per-task memory with the
       // symbol's trade count instead of O(open positions)
@@ -136,11 +144,11 @@ object MtmEngine {
     * pnl_norm is the reference's fee-included `pnl_normalized`
     * (models.py:60-91): ((±(exit−entry)) − fee·entry − fee·entry)/entry.
     */
-  def blotter(bars: DataFrame, cfg: PnlConfig): DataFrame = {
+  def blotter(bars: DataFrame, cfg: PnlConfig, colocated: Boolean = false): DataFrame = {
     val spark = bars.sparkSession
     import spark.implicits._
     val feeRate = cfg.feeRate
-    sortedBars(bars).mapPartitions { it =>
+    sortedBars(bars, colocated).mapPartitions { it =>
       val r = new SymbolRunner(cfg)
       def toRec(sym: Long, t: BookTrade): BlotterRec =
         if (t.isClosed) {
@@ -382,8 +390,8 @@ object MtmEngine {
   /** SURVEY #4/#5: per-bar mtm_ratio + cumulative pnl_ratio
     * (reference pnl_timeline: runner_mtm.py:136-183).
     */
-  def timelineQuery(bars: DataFrame, cfg: PnlConfig): DataFrame =
-    timelineQueryFrom(timeline(bars, cfg))
+  def timelineQuery(bars: DataFrame, cfg: PnlConfig, colocated: Boolean = false): DataFrame =
+    timelineQueryFrom(timeline(bars, cfg, colocated))
 
   private[graft] def timelineQueryFrom(tl: DataFrame): DataFrame =
     tl.withColumn("pnl_ratio", ExactNum.toDouble(cumUnits(col("mtm_ratio")), 1e9))
@@ -392,8 +400,8 @@ object MtmEngine {
         col("close"), col("buy"), col("sell"), col("mtm_ratio"), col("pnl_ratio"))
 
   /** SURVEY #2/#3: the trade blotter as a query. */
-  def blotterQuery(bars: DataFrame, cfg: PnlConfig): DataFrame =
-    blotterQueryFrom(blotter(bars, cfg))
+  def blotterQuery(bars: DataFrame, cfg: PnlConfig, colocated: Boolean = false): DataFrame =
+    blotterQueryFrom(blotter(bars, cfg, colocated))
 
   /** `pnl` is the reference's raw (price-unit) pnl alongside the
     * normalized one — ProxyTrade exposes both (models.py:60-83,117-131).

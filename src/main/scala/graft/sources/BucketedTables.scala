@@ -40,11 +40,25 @@ object BucketedTables {
       sfDir: String,
       name: String,
       bucketCol: String,
-      nBuckets: Int = 32): String = synchronized {
+      nBuckets: Int = 32): String =
+    ensureFrom(spark, sfDir, name, bucketCol, nBuckets)(
+      graft.Tables.table(spark, sfDir, name))
+
+  private def ensureFrom(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      bucketCol: String,
+      nBuckets: Int)(build: => DataFrame): String = synchronized {
+    // self-healing (same pattern as Tables.events): a foreign session
+    // without Sessions.local's config would let the planner fall back
+    // to size-based splitting of bucket files, breaking the
+    // co-location contract downstream paths rely on
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val tbl = s"graft_b_${name}_${tag(sfDir)}"
     if (!spark.catalog.tableExists(tbl)) {
       import org.apache.spark.sql.functions.col
-      graft.Tables.table(spark, sfDir, name)
+      build
         // one writer task per bucket: without this, EVERY writer task
         // emits a file for every bucket it sees (writers×buckets small
         // files), and multi-file buckets force the read side to re-sort
@@ -65,4 +79,14 @@ object BucketedTables {
 
   def lineitem(spark: SparkSession, sfDir: String, nBuckets: Int = 32): DataFrame =
     spark.table(ensure(spark, sfDir, "lineitem", "l_orderkey", nBuckets))
+
+  /** Engine bars bucketed by symbol — the layout under the
+    * zero-exchange MTM engine path (`MtmEngine.timeline/blotter` with
+    * `colocated = true`): every symbol's bars land in exactly one
+    * bucket, so the engine's repartition is already done on disk and
+    * only the in-partition secondary sort remains at read time.
+    */
+  def bars(spark: SparkSession, sfDir: String, nBuckets: Int = 32): DataFrame =
+    spark.table(ensureFrom(spark, sfDir, "bars", "symbol", nBuckets)(
+      graft.operators.MtmEngine.barsFromEvents(graft.Tables.events(spark, sfDir))))
 }
