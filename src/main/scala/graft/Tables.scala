@@ -36,4 +36,29 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Schema-explicit CSV reader that round-trips arbitrary text payloads
+    * (embedded newlines, quotes, unicode): multiLine + RFC-4180-style
+    * doubled-quote escaping. FAILFAST — at 100 TB a PERMISSIVE reader
+    * silently nulls corrupt rows, which reads as data loss downstream;
+    * fail the task instead.
+    */
+  def fromCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** Schema-explicit JSON-lines reader (nested arrays/structs land as
+    * their Spark types, no inference pass over the data). FAILFAST for
+    * the same reason as [[fromCsv]].
+    */
+  def fromJson(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
 }

@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-format breadth: the engine ingests CSV and JSON with explicit
+  * schemas and round-trips the awkward payloads — documents (embedded
+  * newlines/quotes/unicode) through CSV, embeddings (float arrays)
+  * through JSON — bit-identically to the parquet read.
+  */
+class SourceFormatsSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.local("4")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("documents round-trip through CSV (multiline text, quotes) bit-identically") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_csv").toString + "/docs"
+    docs.write.option("header", "true").option("escape", "\"").csv(dir)
+    val back = Tables.fromCsv(spark, dir, docs.schema)
+    assert(back.schema == docs.schema)
+    val a = docs.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("embeddings round-trip through JSON (float arrays) bit-identically") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_json").toString + "/emb"
+    emb.write.json(dir)
+    val back = Tables.fromJson(spark, dir, emb.schema)
+    assert(back.schema == emb.schema)
+    val a = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet
+    assert(a.nonEmpty && a == b)
+  }
+}
