@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, octet_length}
 import graft.core.{InventoryMode, PnlConfig}
 import graft.operators._
 import scala.collection.concurrent.TrieMap
@@ -163,6 +164,10 @@ object SparkEntry {
       Multimodal.metaExtract(Multimodal.withPayload(Tables.documents(s, dir)))),
     "q_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
+          octet_length(col("frame_payload")).cast("bigint").as("n_bytes"))),
     // -- composed corpus-cleaning pipeline (rows + spec'd invariants) --
     "q_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.cleanCorpus(Tables.documents(s, dir)).drop("text"))

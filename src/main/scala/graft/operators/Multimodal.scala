@@ -73,6 +73,74 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Resized-media row (what a real resize kernel would emit). */
+  final case class ResizedPayload(
+      doc_id: Long, kind: String, width: Int, height: Int, payload: Array[Byte])
+
+  /** Batched binary→binary resize stage. Real parts: batch shape,
+    * binary-in/binary-out schema, magic preservation, bounded output
+    * size per row (a resized image is O(width·height), independent of
+    * input size — the property that makes resize-early the standard
+    * scale move). STUB part: the "pixels" are a deterministic prefix of
+    * the source payload instead of an actual rescale.
+    */
+  def resize(
+      payloads: DataFrame, width: Int = 256, height: Int = 256,
+      batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    require(width > 0 && height > 0, s"bad target dims ${width}x$height")
+    val ds = payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val body = bytes.drop(4).take(math.max(16, width * height / 64))
+        ResizedPayload(id, sniffKind(bytes), width, height, bytes.take(4) ++ body)
+      })
+    }.toDF()
+  }
+
+  /** Sampled video frame (what a real frame extractor would emit). */
+  final case class Frame(
+      doc_id: Long, frame_idx: Int, frame_ms: Long, frame_payload: Array[Byte])
+
+  /** Batched one-to-many frame sampler: every `everyMs` of (stub)
+    * duration emits one frame, hard-capped at `maxFrames` per doc —
+    * the cap is the real scale contract (an unbounded per-doc fan-out
+    * is how a single 10-hour video OOMs a task); non-video payloads
+    * emit their single "frame". STUB part: the frame payload is a
+    * deterministic byte slice, the duration the same hash the decode
+    * stub reports.
+    */
+  def frameSample(
+      payloads: DataFrame, everyMs: Long = 5000L, maxFrames: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    require(everyMs > 0 && maxFrames > 0, s"bad sampling ($everyMs ms, $maxFrames frames)")
+    val ds = payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        val kind = sniffKind(bytes)
+        val h = graft.functions.RollingHash.hashBytes(bytes)
+        val durationMs = if (kind == "riff") math.abs(h % 60000L) else 0L
+        val n = math.min(durationMs / everyMs + 1, maxFrames.toLong).toInt
+        (0 until n).map { i =>
+          val off = 4 + ((bytes.length - 4) * i.toLong / n).toInt
+          Frame(id, i, i * everyMs, bytes.slice(off, math.min(off + 64, bytes.length)))
+        }
+      })
+    }.toDF()
+  }
+
+  private def sniffKind(bytes: Array[Byte]): String = bytes.take(4) match {
+    case b if b.sameElements(PngMagic) => "png"
+    case b if b.sameElements(JpegMagic) => "jpeg"
+    case b if b.sameElements(RiffMagic) => "riff"
+    case _ => "unknown"
+  }
+
   /** DETERMINISTIC FAKE DECODE — ??? in spirit: derives "dimensions"
     * from payload bytes so tests are reproducible. A real implementation
     * decodes the batch with a native codec and returns true dimensions.
@@ -80,12 +148,7 @@ object Multimodal {
   private def decodeBatchStub(
       batch: Seq[(Long, Array[Byte])], batchSize: Int): Seq[DecodedMeta] =
     batch.map { case (id, bytes) =>
-      val kind = bytes.take(4) match {
-        case b if b.sameElements(PngMagic) => "png"
-        case b if b.sameElements(JpegMagic) => "jpeg"
-        case b if b.sameElements(RiffMagic) => "riff"
-        case _ => "unknown"
-      }
+      val kind = sniffKind(bytes)
       val h = graft.functions.RollingHash.hashBytes(bytes)
       DecodedMeta(
         doc_id = id, kind = kind,
