@@ -146,6 +146,9 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), maxShingleDf = Some(1000))),
     // capped bucketing with drop observability wired: hot-bucket drops
     // surface through reportedDrops (Verify/Bench print them to stderr)
+    // pair chains -> canonical groups (A~B, B~C collapse even without A~C)
+    "q_dedup_groups" -> ((s, dir) => ConnectedComponents.dupGroups(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), maxShingleDf = Some(1000)))),
     "q_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(
       Tables.documents(s, dir), dropObs = Some(newDropObs("q_dedup_minhash_lsh")))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(
@@ -341,9 +344,24 @@ object SparkEntry {
     */
   /** q_mtm_timeline_colocated changes the LAYOUT, not the semantics —
     * it answers against q_mtm_timeline's oracle verbatim.
+    * q_dedup_groups' oracle composes the jaccard-pair oracle with a
+    * recursive-CTE transitive closure + min-reachable-id label, so both
+    * engines derive groups from the SAME pair set.
     */
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("q_mtm_timeline_colocated" -> oracleSqlBase("q_mtm_timeline"))
+    oracleSqlBase +
+      ("q_mtm_timeline_colocated" -> oracleSqlBase("q_mtm_timeline")) +
+      ("q_dedup_groups" ->
+        s"""WITH RECURSIVE pairs AS (
+           |${oracleSqlBase("q_dedup_ngram_jaccard")}
+           |),
+           |edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+           |          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+           |reach(v, u) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+           |SELECT v AS doc_id, min(u) AS group_id FROM reach GROUP BY v""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_signals_prep" ->

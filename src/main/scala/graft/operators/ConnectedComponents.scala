@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-dup pair list: pairs → canonical
+  * dup GROUPS (doc_id, group_id = min doc_id in its component). Pair
+  * emission alone under-deletes: A~B and B~C chains must collapse to
+  * one group even when A~C was never emitted.
+  *
+  * Algorithm: min-label propagation — every vertex starts labeled with
+  * itself; each round takes the min of its own and its neighbors'
+  * labels; fixpoint when no label changes. Each round is one
+  * join + partial-aggregated groupBy (labels and edges shuffle, never
+  * payloads); rounds = component diameter, and near-dup components are
+  * shallow in practice (stars around a canonical doc). Convergence is
+  * detected by the label-sum invariant: labels only ever decrease, so
+  * the sum (exact, DECIMAL — a 1e9-vertex sum overflows int64) is
+  * strictly monotone until fixpoint — no per-row diff join needed.
+  * For adversarially deep graphs the published fix is large-star /
+  * small-star contraction (Kiveris et al., "Connected Components in
+  * MapReduce"), which squares the label-jump per round; the operator
+  * caps at `maxIter` and raises rather than silently emitting a
+  * half-converged labeling.
+  *
+  * Only vertices that appear in a pair are labeled — singleton docs
+  * need no group and would dominate the output at corpus scale.
+  */
+object ConnectedComponents {
+
+  def dupGroups(
+      pairs: DataFrame,
+      aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
+      .distinct()
+      .localCheckpoint() // consumed once per round — never recompute the pair lineage
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      require(iter <= maxIter,
+        s"connected components did not converge in $maxIter rounds — " +
+          "adversarially deep graph; raise maxIter or switch to star contraction")
+      val nbrMin = edges.join(labels, edges("src") === labels("v"))
+        .groupBy(edges("dst"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
+        .select(labels("v"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(updated)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = updated
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("group_id"))
+  }
+}
