@@ -36,10 +36,12 @@ object ConnectedComponents {
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
       .distinct()
-      .localCheckpoint() // consumed once per round — never recompute the pair lineage
+      // lazy: the first round's join materializes it; stored partitions
+      // serve every later round without recomputing the pair lineage
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -57,7 +59,9 @@ object ConnectedComponents {
         .agg(min(col("label")).as("nbr_label"))
       val updated = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
         .select(labels("v"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+        // lazy: the labelSum action below materializes it — one job per
+        // round instead of two (eager checkpoint + sum)
+        .localCheckpoint(eager = false)
       val s = labelSum(updated)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
