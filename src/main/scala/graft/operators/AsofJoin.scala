@@ -37,7 +37,13 @@ object AsofJoin {
       keyCols: Seq[String],
       tsCol: String,
       rightPrefix: String = "r_"): DataFrame = {
+    val internal = Set("__ts", "__side", "__l", "__r", "__asof")
+    require(!left.columns.exists(internal) && !right.columns.exists(internal),
+      s"input columns collide with AsofJoin internals ${internal.mkString(", ")}")
     val rPayloadCols = tsCol +: right.columns.filterNot(c => keyCols.contains(c) || c == tsCol).toSeq
+    val outNames = left.columns.toSeq ++ rPayloadCols.map(rightPrefix + _)
+    require(outNames.distinct.size == outNames.size,
+      s"output name collision (rightPrefix='$rightPrefix'): ${outNames.diff(outNames.distinct).mkString(", ")}")
     val lType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
     val rType = right.select(struct(rPayloadCols.map(col): _*)).schema.head.dataType
 

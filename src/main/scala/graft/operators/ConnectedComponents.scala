@@ -47,6 +47,9 @@ object ConnectedComponents {
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
     var prevSum = labelSum(labels)
+    // an empty pair set has no components: sum(empty) is SQL NULL, and
+    // looping on it would NPE — return the (empty) labeling directly
+    if (prevSum == null) return labels.select(col("v").as("doc_id"), col("label").as("group_id"))
     var iter = 0
     var converged = false
     while (!converged) {

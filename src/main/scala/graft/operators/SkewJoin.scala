@@ -33,6 +33,8 @@ object SkewJoin {
       keys: Seq[String],
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input columns collide with SkewJoin's internal __salt column")
     val f = facts.withColumn(
       "__salt", pmod(xxhash64(facts.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val d = dim.withColumn("__salt", explode(lit((0 until saltFactor).toArray)))

@@ -51,6 +51,16 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"asof join must not plan a join node:\n$p")
   }
 
+  test("name collisions with internals or the right prefix fail loudly") {
+    intercept[IllegalArgumentException] {
+      AsofJoin(left.withColumnRenamed("ltag", "__side"), right, Seq("k"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      // left already owns r_ts — silent duplicate output names forbidden
+      AsofJoin(left.withColumnRenamed("ltag", "r_ts"), right, Seq("k"), "ts")
+    }
+  }
+
   // getTime is millis; keep the sub-ms micros the events table carries
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000

@@ -36,6 +36,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 50L, 60L -> 50L))
   }
 
+  test("an empty pair set yields an empty labeling, not an NPE") {
+    assert(run(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
   test("seeded random graphs match a scalar union-find") {
     val rnd = new Random(20260812L)
     for (round <- 1 to 6) {
