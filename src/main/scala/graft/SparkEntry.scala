@@ -167,6 +167,9 @@ object SparkEntry {
       Multimodal.metaExtract(Multimodal.withPayload(Tables.documents(s, dir)))),
     "q_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
+    // real (non-stub) byte-histogram features, ANN-schema-compatible
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.featureExtract(Multimodal.withPayload(Tables.documents(s, dir)))),
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, dir)))
         .select(col("doc_id"), col("frame_idx"), col("frame_ms"),

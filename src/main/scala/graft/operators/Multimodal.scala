@@ -100,6 +100,37 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Feature row: an L1-normalized 256-bin byte histogram. Unlike the
+    * decode/resize stubs this extractor is fully REAL — byte histograms
+    * are a legitimate (if crude) content feature — so the multimodal →
+    * similarity composition is testable end-to-end: its output schema
+    * (id + float vector) is exactly what the ANN and embedding-dedup
+    * operators consume.
+    */
+  final case class FeatureRow(vec_id: Long, embedding: Array[Float])
+
+  /** Batched payload → feature-vector extraction (the "feature-extract"
+    * stage of the multimodal pipeline). One pass per payload, fixed
+    * 256-float output per row regardless of input size.
+    */
+  def featureExtract(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val ds = payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val h = new Array[Float](256)
+        var i = 0
+        while (i < bytes.length) { h(bytes(i) & 0xff) += 1f; i += 1 }
+        val n = math.max(1, bytes.length).toFloat
+        var j = 0
+        while (j < 256) { h(j) /= n; j += 1 }
+        FeatureRow(id, h)
+      })
+    }.toDF()
+  }
+
   /** Sampled video frame (what a real frame extractor would emit). */
   final case class Frame(
       doc_id: Long, frame_idx: Int, frame_ms: Long, frame_payload: Array[Byte])

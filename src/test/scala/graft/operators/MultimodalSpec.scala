@@ -45,6 +45,28 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload").toSeq)).toSet)
   }
 
+  test("featureExtract: real L1-normalized histograms that compose into the ANN operator") {
+    val feats = Multimodal.featureExtract(payloads)
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length == 256)
+      assert(math.abs(v.sum - 1.0f) < 1e-3, s"doc ${r.getLong(0)} histogram sums to ${v.sum}")
+    }
+    // multimodal → similarity composition: identical payloads are each
+    // other's nearest neighbors at cosine ~1 through the real ANN path
+    val twin = payloads.limit(1).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+    val emb = Multimodal.featureExtract(payloads.limit(1).union(twin))
+    val top = Similarity.annBruteForceTopK(emb, k = 1, nQueries = 2000000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(top.length == 2)
+    top.foreach { case (q, n, cos) =>
+      assert(math.abs(cos - 1.0) < 1e-6, s"twin of $q should be cosine~1, got $cos (nbr $n)")
+    }
+  }
+
   test("frameSample: fan-out capped, non-video docs emit one frame, frames deterministic") {
     val frames = Multimodal.frameSample(payloads, everyMs = 5000L, maxFrames = 8)
     val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
