@@ -167,9 +167,13 @@ object SparkEntry {
       Multimodal.metaExtract(Multimodal.withPayload(Tables.documents(s, dir)))),
     "q_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
-    // real (non-stub) byte-histogram features, ANN-schema-compatible
+    // real (non-stub) byte-histogram features; wired as the scalar
+    // summary (integer-exact count recovery — see featureSummary's
+    // scaladoc) because a raw array<float> column crashes tabular
+    // harnesses, and because the recovered-count checksum lets DuckDB
+    // hash-gate the feature VALUES from the payload bytes directly
     "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.featureExtract(Multimodal.withPayload(Tables.documents(s, dir)))),
+      Multimodal.featureSummary(Multimodal.withPayload(Tables.documents(s, dir)))),
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, dir)))
         .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
@@ -805,6 +809,31 @@ object SparkEntry {
         |  CASE left(hex(payload), 8)
         |    WHEN '89504E47' THEN 'png' WHEN 'FFD8FFE0' THEN 'jpeg'
         |    WHEN '52494646' THEN 'riff' ELSE 'unknown' END AS kind
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    // Derives the SAME integers the Spark side recovers from its float
+    // histogram (Multimodal.featureSummary) straight from the payload
+    // bytes: per-position byte values via the hex string (DuckDB 1.0
+    // has no blob subscript), nnz = distinct bytes, and
+    // sum_b count_b*(b+1) = n + sum(byte values) since every occurrence
+    // of byte b contributes (b+1). Integer-only — no float parity risk.
+    "q_multimodal_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB
+        |          WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+        |          ELSE '\x52\x49\x46\x46'::BLOB END) || encode(text) AS payload
+        |  FROM documents),
+        |h AS (SELECT doc_id, hex(payload) AS ph, octet_length(payload) AS n FROM p),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    [ (strpos('0123456789ABCDEF', ph[2*i+1]) - 1) * 16
+        |      + strpos('0123456789ABCDEF', ph[2*i+2]) - 1 FOR i IN range(n) ] AS bytes
+        |  FROM h)
+        |SELECT doc_id AS vec_id,
+        |  CAST(256 AS BIGINT) AS dim,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(len(list_distinct(bytes)) AS BIGINT) AS nnz,
+        |  CAST(list_sum(bytes) + n AS BIGINT) AS byte_checksum
+        |FROM b""".stripMargin
   )
 }

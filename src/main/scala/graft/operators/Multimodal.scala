@@ -131,6 +131,43 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Harness-safe scalar summary of [[featureExtract]]'s histogram
+    * vectors: (vec_id, dim, n_bytes, nnz, byte_checksum), all BIGINT.
+    * The raw `array<float>` column crashes tabular consumers that sort
+    * or hash rows (pandas can't factorize ndarrays), so the wired query
+    * projects to scalars — and does so via an INTEGER-EXACT recovery of
+    * the original byte counts from the normalized floats:
+    * `count_b = round(double(h_b) * n)` is exact whenever n < 2^23
+    * (float32 has 24 mantissa bits, so the relative quantization error
+    * `n * 2^-24` stays below the 0.5 rounding radius), which any sanely
+    * sized media payload satisfies. That makes the checksum
+    * `sum_b count_b * (b+1)` a bit-exact gate on the FEATURE VALUES
+    * themselves — an independent engine can derive the same integers
+    * straight from the payload bytes with no float parity risk.
+    *
+    * The n_bytes join is sf-scale plumbing: at 100 TB the extractor
+    * would carry n through its own output row instead of re-deriving it
+    * from the payload branch (both branches here are cheap projections
+    * of the same scan).
+    */
+  def featureSummary(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val feats = featureExtract(payloads, batchSize)
+    val nBytes = payloads.select(
+      col("doc_id"), octet_length(col("payload")).cast("bigint").as("n_bytes"))
+    val counts = transform(
+      col("embedding"), x => round(x.cast("double") * col("n_bytes")).cast("long"))
+    feats.join(nBytes, col("vec_id") === col("doc_id"))
+      .withColumn("counts", counts)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        col("n_bytes"),
+        size(filter(col("counts"), _ > lit(0L))).cast("bigint").as("nnz"),
+        aggregate(
+          transform(col("counts"), (c, i) => c * (i.cast("long") + lit(1L))),
+          lit(0L), (acc, x) => acc + x).as("byte_checksum"))
+  }
+
   /** Sampled video frame (what a real frame extractor would emit). */
   final case class Frame(
       doc_id: Long, frame_idx: Int, frame_ms: Long, frame_payload: Array[Byte])

@@ -67,6 +67,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("featureSummary: integer-exact count recovery from the float histogram") {
+    // scalar replica: recompute (n, nnz, checksum) straight from the
+    // payload bytes and demand equality with the recovered-count path —
+    // the same identity the DuckDB oracle uses, so a drift here is a
+    // CORRECTNESS red row, not a tolerance question
+    val expected = payloads.collect().map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]]("payload")
+      val counts = new Array[Long](256)
+      bytes.foreach(b => counts(b & 0xff) += 1L)
+      id -> (bytes.length.toLong, counts.count(_ > 0).toLong,
+        counts.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum)
+    }.toMap
+    val out = Multimodal.featureSummary(payloads).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (id, dim) = (r.getLong(0), r.getLong(1))
+      assert(dim == 256L)
+      val (n, nnz, csum) = expected(id)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((n, nnz, csum)),
+        s"doc $id summary mismatch")
+    }
+  }
+
   test("frameSample: fan-out capped, non-video docs emit one frame, frames deterministic") {
     val frames = Multimodal.frameSample(payloads, everyMs = 5000L, maxFrames = 8)
     val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
