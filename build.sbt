@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked run's stdout raw (no "[info] " logger prefix): the
+// driver parses Bench's one-line JSON out of the captured log tail, and
+// the sbt prefix is the last plausible reason BENCH_r*.json reports
+// parsed:null on an otherwise intact line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

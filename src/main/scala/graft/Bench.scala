@@ -36,7 +36,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    // fail fast with the env var's name on junk: a bare toInt would
+    // crash with a naked NumberFormatException before any query, and a
+    // silently-accepted 0 would report every query as -1
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { raw =>
+      val n = raw.trim.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an int >= 1, got '$raw'"))
+      require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+      n
+    }.getOrElse(2)
     val spark = Sessions.local()
 
     def materialize(fn: (SparkSession, String) => DataFrame): Unit =
@@ -46,15 +54,23 @@ object Bench {
     // references those blocks once the query's runs finish, but the
     // ContextCleaner only frees them after a JVM GC notices the dropped
     // DataFrames. 38 queries x 3 runs of leftovers is real block-manager
-    // pressure by the tail of the suite (late queries measured ~2x their
-    // isolated time), so drop them explicitly between queries.
-    def dropQueryPrivateBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // pressure by the tail of the suite — r6's driver run measured some
+    // queries 3-7x their isolated time (q_max_drawdown 5.33 s vs
+    // 0.81 s). Between queries: unpersist BLOCKING (async frees were
+    // still pending when the next timed run started), then force a GC so
+    // the ContextCleaner's weak refs fire for broadcast/shuffle
+    // leftovers too, and give its queue a moment to drain — each query
+    // should measure its plan, not its predecessors' heap history.
+    def settleBetweenQueries(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(200)
+    }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(pats => pats.exists(name.contains)) }
     val results = selected.map { case (name, fn) =>
-      dropQueryPrivateBlocks()
+      settleBetweenQueries()
       val warmOk =
         try { materialize(fn); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
