@@ -28,13 +28,34 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Unpersist the block-manager blocks behind a localCheckpointed
+    * DataFrame (its analyzed plan is the `LogicalRDD` wrapping the
+    * checkpointed RDD). `Dataset.unpersist` only touches the cache
+    * manager, not checkpoint blocks — without this, a 50-round
+    * propagation holds every superseded round's labels in memory until
+    * the JVM GCs the references (linear block growth with diameter).
+    * Callers must be DONE with the DataFrame: a lazily-checkpointed
+    * RDD's lineage is truncated, so unpersisted blocks cannot be
+    * recomputed.
+    */
+  private def dropCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+    }
+
   def dupGroups(
       pairs: DataFrame,
       aCol: String = "doc_id_a",
       bCol: String = "doc_id_b",
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
+    // checkpoint the PAIRS before building edges: the union below reads
+    // its input twice (forward + reversed branch), which without this
+    // evaluated the whole upstream pair lineage — for the wired dedup
+    // query, the shingle inverted index + self-join — twice inside the
+    // edges job
+    val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint(eager = false)
+    val edges = p.union(p.select(col("dst"), col("src")))
       .distinct()
       // lazy: the first round's join materializes it; stored partitions
       // serve every later round without recomputing the pair lineage
@@ -66,6 +87,8 @@ object ConnectedComponents {
         // round instead of two (eager checkpoint + sum)
         .localCheckpoint(eager = false)
       val s = labelSum(updated)
+      if (iter == 1) dropCheckpointBlocks(p) // edges are materialized now
+      dropCheckpointBlocks(labels) // superseded by `updated`
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = updated
