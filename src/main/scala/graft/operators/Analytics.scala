@@ -111,12 +111,17 @@ object Analytics {
       .filter(col("rank") <= 3)
   }
 
-  /** Exact value percentiles per event type. Exact `percentile` sorts
-    * every group's values — the right tool up to the scale where one
-    * group's values overflow a task, after which [[percentilesApprox]]
-    * is the path (its sketch is partial-aggregable, so it map-side
-    * combines and never concentrates raw values). Interpolation
-    * (continuous quantile) matches DuckDB's quantile_cont definition.
+  /** Exact value percentiles per event type. Exact `percentile`
+    * materializes and sorts EVERY group's values inside one final-agg
+    * task — parallelism is the grouping-key cardinality, so 5 event
+    * types means 5 working tasks no matter how many executors exist,
+    * and a single group's values must fit one task's heap. That is the
+    * wrong shape the moment rows/group reaches the tens of millions;
+    * [[percentilesApprox]] is the 100 TB path (its sketch is
+    * partial-aggregable, so it map-side combines and never concentrates
+    * raw values), and [[percentilesAuto]] encodes the routing decision.
+    * Interpolation (continuous quantile) matches DuckDB's quantile_cont
+    * definition.
     */
   def percentiles(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(
@@ -136,6 +141,24 @@ object Analytics {
       expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
       expr(s"approx_percentile(value, 0.95, $accuracy)").as("p95"),
       expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+
+  /** The grouped-scale guard: route to [[percentiles]] while every
+    * group's value set comfortably fits one task, else to
+    * [[percentilesApprox]]. The probe (row count + approx group count)
+    * is one cheap partial-aggregated job — noise next to the per-group
+    * sort the exact path would run, and the honest alternative to
+    * letting a low-cardinality groupBy concentrate a 100 TB column into
+    * a handful of tasks. Callers that know their shape statically
+    * should call the specific operator; this exists so a generic
+    * entry point cannot pick the non-scaling plan by default.
+    */
+  def percentilesAuto(events: DataFrame, maxExactRowsPerGroup: Long = 10000000L): DataFrame = {
+    val probe = events.agg(
+      count(lit(1)).as("n"), approx_count_distinct(col("event_type")).as("g")).head()
+    val (n, g) = (probe.getLong(0), probe.getLong(1))
+    if (g > 0 && n / g > maxExactRowsPerGroup) percentilesApprox(events)
+    else percentiles(events)
+  }
 
   /** Salted-join headline: events joined back to a per-user activity
     * dim through [[SkewJoin.salted]], then rolled up per event type.

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * Callers dedup first (`max_by` per (key, ts), see the q_asof_join
   * wiring); left duplicates are fine (each gets the same match).
   *
+  * NULL keys follow SQL equality, not window-partition grouping: a
+  * NULL never equals anything, so NULL-key right rows are filtered out
+  * before the union (they could match no left row) and NULL-key left
+  * rows come back with NULL right columns — the same answer DuckDB's
+  * ASOF LEFT JOIN gives, where partitionBy alone would have matched
+  * the two NULL groups to each other.
+  *
   * Output: every left column, plus each right payload column (ts
   * included) as `rightPrefix + name` — NULL where no right row precedes
   * the left row (a LEFT asof join).
@@ -53,12 +60,18 @@ object AsofJoin {
         lit(1).as("__side"),
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast(rType).as("__r")): _*)
-    val rU = right.select(
-      keyCols.map(col) ++ Seq(
-        col(tsCol).as("__ts"),
-        lit(0).as("__side"),
-        lit(null).cast(lType).as("__l"),
-        struct(rPayloadCols.map(col): _*).as("__r")): _*)
+    val rU = right
+      // NULL-key right rows can match no left row under SQL equality;
+      // dropping them here (one codegen'd filter, no extra job) keeps
+      // them out of the window's NULL partition, where they would
+      // otherwise become "the prevailing row" for NULL-key left rows
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(tsCol).as("__ts"),
+          lit(0).as("__side"),
+          lit(null).cast(lType).as("__l"),
+          struct(rPayloadCols.map(col): _*).as("__r")): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)

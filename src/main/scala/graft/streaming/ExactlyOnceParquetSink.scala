@@ -47,6 +47,13 @@ object ExactlyOnceParquetSink {
     Files.createDirectories(commits)
     val marker = commits.resolve(batchId.toString)
     if (!Files.exists(marker)) {
+      // an empty micro-batch (watermark-only trigger) can arrive with
+      // ZERO partitions; parquet then writes a batch dir with no part
+      // files, and schema inference over that dir poisons the read()
+      // union for every committed batch. Nothing would become visible
+      // anyway — skip both the write and the marker (idempotent: a
+      // replay re-skips).
+      if (batch.isEmpty) return
       batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       Files.createFile(marker)
     }

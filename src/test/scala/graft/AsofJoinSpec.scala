@@ -44,6 +44,18 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("NULL keys never match (SQL equality, not window-partition grouping)") {
+    val l = Seq((Option(1L), 10L, "l"), (Option.empty[Long], 10L, "lnull"))
+      .toDF("k", "ts", "ltag")
+    val r = Seq((Option(1L), 5L, "r"), (Option.empty[Long], 5L, "rnull"))
+      .toDF("k", "ts", "rtag")
+    val got = AsofJoin(l, r, Seq("k"), "ts").collect()
+      .map(x => (x.getString(2), Option(x.getString(4)).getOrElse("-"))).toSet
+    // DuckDB ASOF LEFT JOIN: the NULL-key left row matches nothing —
+    // in particular NOT the NULL-key right row sharing its partition
+    assert(got == Set(("l", "r"), ("lnull", "-")))
+  }
+
   test("plan: one hash shuffle, no join node") {
     val p = AsofJoin(left, right, Seq("k"), "ts").queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -33,6 +33,20 @@ class PercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("auto routing: big groups get the sketch plan, small groups the exact plan") {
+    val events = Tables.events(spark, sfDir)
+    // sf0.01 events >> 1 row/group: a 1-row threshold must flip to approx
+    val sketchPlan = Analytics.percentilesAuto(events, maxExactRowsPerGroup = 1L)
+      .queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("partial_approx_percentile"),
+      s"low threshold must route to the map-side-combining sketch:\n$sketchPlan")
+    // and a generous threshold keeps the exact (oracle-matched) plan
+    val exactPlan = Analytics.percentilesAuto(events, maxExactRowsPerGroup = 10000000L)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("percentile(") && !exactPlan.contains("approx_percentile"),
+      s"small groups must keep the exact path:\n$exactPlan")
+  }
+
   test("approx plan partial-aggregates map-side (sketch combines before the shuffle)") {
     val p = Analytics.percentilesApprox(Tables.events(spark, sfDir))
       .queryExecution.executedPlan.toString

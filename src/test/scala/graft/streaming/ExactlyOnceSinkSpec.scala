@@ -43,6 +43,26 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0)))
   }
 
+  test("an empty zero-partition micro-batch commits nothing and cannot poison read()") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val out = freshDir("empty")
+    ExactlyOnceParquetSink.writeBatch(Seq((1L, 1.0)).toDF("id", "v"), out, 0L)
+    // a watermark-only trigger's batch: correct schema, ZERO partitions —
+    // written as-is it produces a part-file-less dir that breaks schema
+    // inference across the whole committed union
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    assert(empty.rdd.getNumPartitions == 0, "test premise: zero partitions")
+    ExactlyOnceParquetSink.writeBatch(empty, out, 1L)
+    assert(!Files.exists(Paths.get(out, "_commits", "1")), "empty batch must not commit")
+    ExactlyOnceParquetSink.writeBatch(Seq((2L, 2.0)).toDF("id", "v"), out, 2L)
+    val got = ExactlyOnceParquetSink.read(spark, out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0)))
+  }
+
   test("a torn write (no commit marker) is invisible, and its replay heals it") {
     import spark.implicits._
     val out = freshDir("torn")
