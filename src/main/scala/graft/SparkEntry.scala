@@ -165,8 +165,14 @@ object SparkEntry {
     // -- multimodal plumbing (LLM pipeline) --
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaExtract(Multimodal.withPayload(Tables.documents(s, dir)))),
+    // batch_size is dropped from the wired entry: it reports the ACTUAL
+    // batch each row rode in (partition-dependent), so it belongs to
+    // MultimodalSpec's bounded-batching assertions, not a deterministic
+    // oracle compare; the remaining columns hash-gate the decode stub's
+    // full arithmetic via the rolling-hash replay oracle
     "q_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
+      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))
+        .drop("batch_size")),
     // real (non-stub) byte-histogram features; wired as the scalar
     // summary (integer-exact count recovery — see featureSummary's
     // scaladoc) because a raw array<float> column crashes tabular
@@ -193,6 +199,44 @@ object SparkEntry {
   // Every double expression mirrors the Scala shape token-for-token so
   // results are bit-identical (the driver compares check_exact).
   // ------------------------------------------------------------------
+
+  /** Shared DuckDB fragment: the synthetic media payload (magic header
+    * by doc_id mod 3 + utf-8 text), mirroring Multimodal.withPayload.
+    */
+  private val MM_PAYLOAD =
+    """p AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB
+      |          WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+      |          ELSE '\x52\x49\x46\x46'::BLOB END) || encode(text) AS payload
+      |  FROM documents)""".stripMargin
+
+  /** Shared DuckDB fragment replaying graft's native rolling hash
+    * (h ← h·31 + byte, wrapping 64-bit) over a `p(doc_id, payload)`
+    * CTE: per-position byte values via the hex string (DuckDB 1.0 has
+    * no blob subscript), a HUGEINT fold mod 2^64, mapped back to signed
+    * BIGINT exactly as Java long arithmetic wraps. Yields
+    * `s(doc_id, n, hh)`. Integer-only — the stub arithmetic downstream
+    * (Java truncating `/` = DuckDB `//`, same-sign `%`) mirrors
+    * bit-exactly.
+    */
+  private val ROLLING_HASH_OF_PAYLOAD =
+    """h AS (SELECT doc_id, hex(payload) AS ph, octet_length(payload) AS n FROM p),
+      |b AS (
+      |  SELECT doc_id, n,
+      |    [ ((strpos('0123456789ABCDEF', ph[2*i+1]) - 1) * 16
+      |      + strpos('0123456789ABCDEF', ph[2*i+2]) - 1)::HUGEINT FOR i IN range(n) ] AS bytes
+      |  FROM h),
+      |r AS (
+      |  SELECT doc_id, n,
+      |    list_reduce([0::HUGEINT] || bytes,
+      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS uh
+      |  FROM b),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+      |              THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS hh
+      |  FROM r)""".stripMargin
 
   private val BARS_PM =
     """bars AS (
@@ -817,12 +861,7 @@ object SparkEntry {
     // sum_b count_b*(b+1) = n + sum(byte values) since every occurrence
     // of byte b contributes (b+1). Integer-only — no float parity risk.
     "q_multimodal_features" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB
-        |          WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
-        |          ELSE '\x52\x49\x46\x46'::BLOB END) || encode(text) AS payload
-        |  FROM documents),
+      s"""WITH $MM_PAYLOAD,
         |h AS (SELECT doc_id, hex(payload) AS ph, octet_length(payload) AS n FROM p),
         |b AS (
         |  SELECT doc_id, n,
@@ -834,6 +873,41 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_bytes,
         |  CAST(len(list_distinct(bytes)) AS BIGINT) AS nnz,
         |  CAST(list_sum(bytes) + n AS BIGINT) AS byte_checksum
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    // replays RollingHash over the raw text bytes — hash-gates the
+    // native Catalyst expression itself, not just its plumbing
+    "q_doc_fingerprint_rolling" ->
+      s"""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        |$ROLLING_HASH_OF_PAYLOAD
+        |SELECT doc_id, hh AS fp_rolling FROM s""".stripMargin,
+    // the decode stub's full arithmetic (dims/duration from the payload
+    // hash) replayed byte-for-byte; batch_size is partition-dependent
+    // and lives in MultimodalSpec instead
+    "q_multimodal_decode" ->
+      s"""WITH $MM_PAYLOAD,
+        |$ROLLING_HASH_OF_PAYLOAD
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'riff' END AS kind,
+        |  CAST(abs(hh) % 1920 + 1 AS INTEGER) AS width,
+        |  CAST(abs(hh // 7) % 1080 + 1 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN abs(hh % 60000) ELSE 0 END AS BIGINT) AS duration_ms
+        |FROM s""".stripMargin,
+    // frame fan-out replay: per-doc frame count from the stub duration,
+    // per-frame byte offsets with Java truncating division — the
+    // anti-OOM cap (min(.., 8)) included in the oracle
+    "q_multimodal_frames" ->
+      s"""WITH $MM_PAYLOAD,
+        |$ROLLING_HASH_OF_PAYLOAD,
+        |d AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN doc_id % 3 = 2 THEN abs(hh % 60000) ELSE 0 END AS dur
+        |  FROM s),
+        |f AS (SELECT doc_id, n, LEAST(dur // 5000 + 1, 8) AS nf FROM d)
+        |SELECT doc_id,
+        |  CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 5000 AS BIGINT) AS frame_ms,
+        |  CAST(GREATEST(0, LEAST(4 + ((n - 4) * i) // nf + 64, n)
+        |    - (4 + ((n - 4) * i) // nf)) AS BIGINT) AS n_bytes
+        |FROM f, unnest(range(nf)) AS t(i)""".stripMargin
   )
 }
