@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   *
   * Only vertices that appear in a pair are labeled — singleton docs
   * need no group and would dominate the output at corpus scale.
+  *
+  * For adversarially deep graphs (rounds = diameter makes a long chain
+  * pathological), [[dupGroups]]' `starContraction = true` switches to
+  * large-star/small-star contraction (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond"): alternating rounds rewire
+  * every node to its neighborhood minimum, squaring the label-jump per
+  * round — O(log n) rounds for ANY topology, at the cost of two
+  * groupBy+join passes per round instead of one. Near-dup graphs are
+  * shallow stars in practice, so propagation stays the default.
   */
 object ConnectedComponents {
 
@@ -47,7 +56,9 @@ object ConnectedComponents {
       pairs: DataFrame,
       aCol: String = "doc_id_a",
       bCol: String = "doc_id_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      starContraction: Boolean = false): DataFrame = {
+    if (starContraction) return dupGroupsStar(pairs, aCol, bCol, maxIter)
     // checkpoint the PAIRS before building edges: the union below reads
     // its input twice (forward + reversed branch), which without this
     // evaluated the whole upstream pair lineage — for the wired dedup
@@ -94,5 +105,83 @@ object ConnectedComponents {
       labels = updated
     }
     labels.select(col("v").as("doc_id"), col("label").as("group_id"))
+  }
+
+  /** Large-star/small-star contraction. Edge orientation is kept
+    * canonical (hi, lo) throughout:
+    *  - large-star groups the SYMMETRIC neighborhood of u, finds
+    *    m = min(N(u) ∪ {u}), and rewires every larger neighbor v > u
+    *    to (v, m) — long tails collapse toward minima from both ends;
+    *  - small-star groups the smaller neighbors of each hi node,
+    *    rewires them all to the group minimum and keeps (u, m).
+    * Alternating the two is the paper's O(log n)-round convergence; at
+    * fixpoint the edge set IS the answer: every edge is
+    * (member, component-min). Convergence is detected by a cheap
+    * (count, checksum) pair over the canonical edge set and CONFIRMED
+    * with an exact anti-join before returning — a checksum collision
+    * can delay a round but never yield a wrong labeling. Per round:
+    * two partial-aggregated groupBys + two broadcast-free joins, all
+    * shuffling (long, long) rows only.
+    */
+  private def dupGroupsStar(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    var edges = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m: stays (hi, lo)
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v")) // rewire smaller nbrs to min
+        .union(mins.select(col("u"), col("m").as("v"))) // keep (u, min)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        // bit_xor: order-independent and overflow-free under ANSI mode
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = fingerprint(edges)
+    if (prev._1 == 0L) // empty pair set: no components
+      return edges.select(col("u").as("doc_id"), col("v").as("group_id"))
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      require(iter <= maxIter,
+        s"star contraction did not converge in $maxIter rounds (O(log n) expected) — " +
+          "malformed edge set or maxIter set below log2(vertex count)")
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val fp = fingerprint(next)
+      if (fp == prev) {
+        // exact confirmation: fixpoint means the edge SETS are equal,
+        // not merely checksum-equal
+        converged = next.except(edges).isEmpty
+      }
+      prev = fp
+      val superseded = edges
+      edges = next
+      dropCheckpointBlocks(superseded)
+    }
+    edges.select(col("u").as("doc_id"), col("v").as("group_id"))
+      .union(edges.select(col("v"), col("v")).distinct())
   }
 }

@@ -27,8 +27,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     verts.map(v => v -> find(v)).toMap
   }
 
-  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.dupGroups(pairs.toDF("doc_id_a", "doc_id_b"))
+  private def run(pairs: Seq[(Long, Long)], star: Boolean = false): Map[Long, Long] =
+    ConnectedComponents.dupGroups(pairs.toDF("doc_id_a", "doc_id_b"),
+        starContraction = star)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("a chain collapses to one group (the transitive case pairs alone miss)") {
@@ -47,6 +48,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val pairs = (1 to n).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
         .filter(p => p._1 != p._2)
       assert(run(pairs) == unionFind(pairs), s"round $round")
+    }
+  }
+
+  test("star contraction matches union-find and propagation on seeded graphs") {
+    val rnd = new Random(20260807L)
+    for (round <- 1 to 4) {
+      val n = 20 + rnd.nextInt(60)
+      val pairs = (1 to n).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val expected = unionFind(pairs)
+      assert(run(pairs, star = true) == expected, s"round $round (vs union-find)")
+      assert(run(pairs, star = true) == run(pairs), s"round $round (vs propagation)")
+    }
+    assert(run(Seq.empty[(Long, Long)], star = true).isEmpty)
+  }
+
+  test("star contraction collapses an adversarially deep chain in O(log n) rounds") {
+    // a 2000-link path has diameter 2000: propagation would need 2000
+    // rounds (and raises at its default 50); contraction must finish
+    // well inside its default O(log n) budget
+    val chain = (0L until 2000L).map(i => (i, i + 1))
+    val got = run(chain, star = true)
+    assert(got.size == 2001 && got.values.forall(_ == 0L),
+      "every chain vertex must label to the global min")
+    intercept[IllegalArgumentException] {
+      run(chain) // propagation: rounds = diameter > maxIter -> loud raise
     }
   }
 
