@@ -184,10 +184,36 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, dir)))
         .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
           octet_length(col("frame_payload")).cast("bigint").as("n_bytes"))),
-    // -- composed corpus-cleaning pipeline (rows + spec'd invariants) --
+    // -- composed corpus-cleaning pipeline --
+    // hash-gated end-to-end: quality + exact-dedup stages replay in SQL
+    // directly, and the near-dup stage's MinHash-LSH emits exactly the
+    // Jaccard-≥-threshold pair set (see jaccardPairsSql's scaladoc)
     "q_corpus_clean" -> ((s, dir) =>
-      CorpusPipeline.cleanCorpus(Tables.documents(s, dir)).drop("text"))
+      CorpusPipeline.cleanCorpus(Tables.documents(s, dir)).drop("text")),
+    // -- sampling / packing / corpus stats (LLM pipeline) --
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.events(s, dir), sampleRates.toMap)),
+    "q_sample_fixed_k" -> ((s, dir) =>
+      Sampling.fixedSizePerStratum(Tables.events(s, dir), fixedSampleK)),
+    "q_ngram_topk" -> ((s, dir) => TextOps.ngramTopK(Tables.documents(s, dir), ngramK)),
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(Tables.documents(s, dir), packBudget)),
+    // O(log n) star-contraction sibling of q_dedup_groups: component
+    // labels are canonical (min reachable id), so it answers the SAME
+    // oracle as the propagation variant
+    "q_dedup_groups_star" -> ((s, dir) => ConnectedComponents.dupGroups(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), maxShingleDf = Some(1000)),
+      starContraction = true))
   )
+
+  /** Stratum → keep-rate for the wired stratified sample; unlisted
+    * strata (error, signup) are dropped — the oracle CASE and the Scala
+    * wiring both derive from this one list.
+    */
+  private val sampleRates = Seq("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.05)
+  private val fixedSampleK = 100
+  private val ngramK = 50
+  private val packBudget = 2048
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL. Shared CTE fragments keep the engine oracles in
@@ -237,6 +263,62 @@ object SparkEntry {
       |    CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
       |              THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS hh
       |  FROM r)""".stripMargin
+
+  /** Shared DuckDB fragment: word-3-gram Jaccard ≥ 0.8 pairs over a
+    * relation `docs(doc_id, text, ...)`, optionally df-capped —
+    * mirrors Dedup.ngramJaccardPairs. Yields `jpairs(doc_id_a,
+    * doc_id_b, jaccard)`.
+    *
+    * This is ALSO the oracle for the MinHash-LSH path
+    * (Dedup.minhashLshPairs): every LSH candidate is verified with
+    * exact Jaccard before emission (precision 1), and with 128
+    * permutations in 32 bands a true pair at the 0.8 threshold misses
+    * all 32 band buckets with probability (1−0.8⁴)³² < 5·10⁻⁸ — over
+    * the few hundred true pairs of any tested sf the expected miss
+    * count is ~10⁻⁵, and the seeded permutations make the outcome
+    * deterministic (re-verified at sf0.01 and sf0.1, not left to
+    * chance per-run). Jaccard over the hashed shingle space equals the
+    * string-space value barring 64-bit collisions (≈n²/2⁶⁴ — immaterial
+    * below ~10⁸ distinct shingles).
+    */
+  private def jaccardPairsSql(docs: String, dfCap: Option[Int]): String = {
+    val filtered = dfCap match {
+      case Some(cap) =>
+        s"""jj AS (SELECT doc_id, n, shingle
+           |      FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM jinv)
+           |      WHERE df <= $cap),""".stripMargin
+      case None => "jj AS (SELECT doc_id, n, shingle FROM jinv),"
+    }
+    s"""jsh AS (
+       |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s)-1)]) AS gs
+       |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS s
+       |        FROM $docs)),
+       |jinv AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS shingle FROM jsh),
+       |$filtered
+       |jp AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb, count(*) AS c
+       |      FROM jj a JOIN jj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1,2,3,4),
+       |jpairs AS (
+       |  SELECT doc_id_a, doc_id_b, CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) AS jaccard
+       |  FROM jp WHERE CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) >= 0.8)""".stripMargin
+  }
+
+  /** Shared DuckDB fragment replaying Sampling.sampleKey over a CTE
+    * `src` carrying `sid` (an id's decimal string): rolling hash of the
+    * ASCII bytes (HUGEINT fold mod 2^64), Fibonacci multiply — the
+    * 128-bit HUGEINT overflow of uh·C is avoided by a 32/32 split
+    * multiply — then the top 24 bits. Yields `k(..., skey)`.
+    */
+  private val SAMPLE_KEY =
+    """kb AS (SELECT *, [ascii(sid[i])::HUGEINT FOR i IN range(1, len(sid)+1)] AS kbytes FROM src),
+      |kr AS (SELECT *, list_reduce([0::HUGEINT] || kbytes,
+      |         (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS kuh FROM kb),
+      |k AS (SELECT *,
+      |  (((kuh % 4294967296::HUGEINT) * 11400714819323198485::HUGEINT
+      |    + (((kuh // 4294967296::HUGEINT) * 11400714819323198485::HUGEINT) % 4294967296::HUGEINT)
+      |      * 4294967296::HUGEINT)
+      |   % 18446744073709551616::HUGEINT) // 1099511627776::HUGEINT AS skey
+      |  FROM kr)""".stripMargin
 
   private val BARS_PM =
     """bars AS (
@@ -402,17 +484,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q_mtm_timeline_colocated" -> oracleSqlBase("q_mtm_timeline")) +
-      ("q_dedup_groups" ->
-        s"""WITH RECURSIVE pairs AS (
-           |${oracleSqlBase("q_dedup_ngram_jaccard")}
-           |),
-           |edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-           |          UNION SELECT doc_id_b, doc_id_a FROM pairs),
-           |reach(v, u) AS (
-           |  SELECT DISTINCT a, a FROM edges
-           |  UNION
-           |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
-           |SELECT v AS doc_id, min(u) AS group_id FROM reach GROUP BY v""".stripMargin)
+      ("q_dedup_groups" -> dupGroupsOracle) +
+      // component labels are canonical (min reachable id) — algorithm-
+      // independent, so contraction answers propagation's oracle
+      ("q_dedup_groups_star" -> dupGroupsOracle)
+
+  private lazy val dupGroupsOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${oracleSqlBase("q_dedup_ngram_jaccard")}
+       |),
+       |edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+       |          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+       |SELECT v AS doc_id, min(u) AS group_id FROM reach GROUP BY v""".stripMargin
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_signals_prep" ->
@@ -809,19 +896,48 @@ object SparkEntry {
         |  doc_id = min(doc_id) OVER (PARTITION BY fp_md5) AS is_canonical
         |FROM f""".stripMargin,
     "q_dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s)-1)]) AS gs
-        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
-        |        FROM documents)),
-        |inv AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS shingle FROM sh),
-        |j AS (SELECT doc_id, n, shingle
-        |      FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
-        |      WHERE df <= 1000),
-        |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb, count(*) AS c
-        |      FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1,2,3,4)
-        |SELECT doc_id_a, doc_id_b, CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) AS jaccard
-        |FROM p WHERE CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) >= 0.8""".stripMargin,
+      s"""WITH ${jaccardPairsSql("documents", Some(1000))}
+        |SELECT doc_id_a, doc_id_b, jaccard FROM jpairs""".stripMargin,
+    // exact-Jaccard gate for the LSH path — see jaccardPairsSql's
+    // scaladoc for why the probabilistic operator answers a
+    // deterministic oracle (exact verify + <5e-8 per-pair miss odds +
+    // seeded permutations). UNCAPPED: the wired minhash entry applies no
+    // df cap, so at sfs where a shingle tops df 1000 the capped oracle
+    // would diverge.
+    "q_dedup_minhash_lsh" ->
+      s"""WITH ${jaccardPairsSql("documents", None)}
+        |SELECT doc_id_a, doc_id_b, jaccard FROM jpairs""".stripMargin,
+    // the full pipeline replay: quality gate (q_quality_score's exact
+    // expression shapes) → md5 exact-dedup canonicals → drop the b side
+    // of Jaccard-≥-0.8 pairs among canonicals (the MinHash-LSH stage's
+    // exact pair set, per jaccardPairsSql's scaladoc)
+    "q_corpus_clean" ->
+      s"""WITH qm AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        |    len(regexp_extract_all(text, '\\S+')) AS n_ws,
+        |    len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|that|it|on)\\b')) AS n_stop
+        |  FROM documents),
+        |qr AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN n_ws = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_ws AS DOUBLE) END AS stop_ratio,
+        |    LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS len_score
+        |  FROM qm),
+        |qs AS (
+        |  SELECT doc_id, text,
+        |    0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * LEAST(1.0, stop_ratio * 5.0) AS quality_score
+        |  FROM qr),
+        |qf AS (SELECT * FROM qs WHERE quality_score >= 0.5),
+        |fp AS (SELECT doc_id, text, quality_score,
+        |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5 FROM qf),
+        |canon AS (
+        |  SELECT doc_id, text, quality_score FROM
+        |    (SELECT *, min(doc_id) OVER (PARTITION BY fp_md5) AS cid FROM fp)
+        |  WHERE doc_id = cid),
+        |${jaccardPairsSql("canon", None)}
+        |SELECT doc_id, quality_score FROM canon
+        |WHERE doc_id NOT IN (SELECT doc_id_b FROM jpairs)""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
@@ -892,6 +1008,49 @@ object SparkEntry {
         |  CAST(abs(hh // 7) % 1080 + 1 AS INTEGER) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN abs(hh % 60000) ELSE 0 END AS BIGINT) AS duration_ms
         |FROM s""".stripMargin,
+    // sampling keys replayed via SAMPLE_KEY (rolling hash of the decimal
+    // id + Fibonacci finisher, top 24 bits) — thresholds derive from the
+    // SAME sampleRates list the Scala wiring uses
+    "q_sample_stratified" ->
+      s"""WITH src AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+        |              CAST(event_id AS VARCHAR) AS sid FROM events),
+        |$SAMPLE_KEY
+        |SELECT event_id, user_id, event_type, ts, value, CAST(skey AS BIGINT) AS sample_key
+        |FROM k
+        |WHERE skey < (CASE event_type
+        |  ${sampleRates.map { case (s, r) =>
+             s"WHEN '$s' THEN ${math.floor(r * graft.operators.Sampling.KeySpace).toLong}"
+           }.mkString("\n  ")}
+        |  ELSE -1 END)""".stripMargin,
+    "q_sample_fixed_k" ->
+      s"""WITH src AS (SELECT event_id, event_type, CAST(event_id AS VARCHAR) AS sid FROM events),
+        |$SAMPLE_KEY
+        |SELECT event_type, CAST(row_number() OVER w AS BIGINT) AS rank, event_id,
+        |  CAST(skey AS BIGINT) AS sample_key
+        |FROM k WINDOW w AS (PARTITION BY event_type ORDER BY skey, event_id)
+        |QUALIFY row_number() OVER w <= $fixedSampleK""".stripMargin,
+    "q_ngram_topk" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s)-1)]) AS gs
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)),
+        |inv AS (SELECT doc_id, unnest(gs) AS shingle FROM sh)
+        |SELECT shingle, count(*) AS doc_freq FROM inv GROUP BY shingle
+        |ORDER BY doc_freq DESC, shingle LIMIT $ngramK""".stripMargin,
+    // integer-exact: the pack coordinates are pure functions of the
+    // exclusive prefix sum of whitespace-token counts in doc_id order
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pstart
+        |      FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(pstart // $packBudget AS BIGINT) AS pack_id,
+        |  CAST(pstart % $packBudget AS BIGINT) AS pack_offset,
+        |  CAST((pstart + GREATEST(n_tokens, 1) - 1) // $packBudget - pstart // $packBudget + 1 AS BIGINT) AS n_packs_spanned
+        |FROM c""".stripMargin,
     // frame fan-out replay: per-doc frame count from the stub duration,
     // per-frame byte offsets with Java truncating division — the
     // anti-OOM cap (min(.., 8)) included in the oracle

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training batches (SURVEY §2 — LLM-pipeline
+  * block): documents are conceptually concatenated in doc_id order and
+  * chunked into fixed token-budget packs ("concat-then-chunk"), the
+  * layout step between a cleaned corpus and a tokenized training shard.
+  * The reference has no packing surface; engine-native design.
+  *
+  * Each document's pack coordinates are a pure function of the EXCLUSIVE
+  * prefix sum of token counts in doc_id order. A naive global
+  * `Window.orderBy(doc_id)` computes that with ONE task holding the
+  * whole corpus — the classic unpartitioned-window scale killer. This
+  * operator runs the textbook two-phase distributed prefix sum instead:
+  *
+  *   1. bucket docs by contiguous doc_id range (pure arithmetic — no
+  *      shuffle beyond the per-bucket hash exchange);
+  *   2. per-bucket prefix sums via a PARTITIONED window (parallel across
+  *      buckets);
+  *   3. per-bucket totals (#buckets rows) get their own exclusive prefix
+  *      sum on a single tiny task, then broadcast back as offsets.
+  *
+  * Wall-clock is dominated by phase 2, which parallelizes across
+  * `buckets`; the serial phase 3 touches `buckets` rows total. At
+  * 100 TB, raise `buckets` toward the cluster's task count — the
+  * broadcast stays KB-sized.
+  */
+object Packing {
+
+  /** Pack coordinates per document: the pack its first token lands in,
+    * the offset inside that pack, and how many packs it spans (an empty
+    * document spans the 1 pack it sits at the boundary of). Token counts
+    * are whitespace tokens (TextOps.tokenCount's n_ws_tokens), the same
+    * notion the token-count query oracles.
+    */
+  def packSequences(
+      documents: DataFrame,
+      tokenBudget: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // (doc_id, n_tokens) only — the corpus text never leaves the scan
+    // stage; everything after this line moves two longs per doc. The
+    // checkpoint makes the stats single-pass: bounds, per-bucket sums,
+    // and the final projection would each re-run the text scan otherwise.
+    val t = TextOps.tokenCount(documents)
+      .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens"))
+      .localCheckpoint(false)
+    val bounds = t.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    // contiguous doc_id ranges -> bucket index (integer DIV: doubles
+    // lose id precision past 2^53)
+    val bucketed = t.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"CAST(((doc_id - lo) * $buckets) DIV (hi - lo + 1) AS INT)"))
+      .drop("lo", "hi")
+    val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+    val local = bucketed.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+    // phase 3: exclusive prefix sum over the per-bucket totals — a
+    // deliberately unpartitioned window over exactly `buckets` rows
+    val wOffset = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+      .withColumn("bucket_offset", coalesce(sum("btot").over(wOffset), lit(0L)))
+      .select("bucket", "bucket_offset")
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("pstart", col("bucket_offset") + col("lcum") - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr(s"pstart DIV $tokenBudget").as("pack_id"),
+        pmod(col("pstart"), lit(tokenBudget.toLong)).as("pack_offset"),
+        (expr(s"(pstart + greatest(n_tokens, 1) - 1) DIV $tokenBudget")
+          - expr(s"pstart DIV $tokenBudget") + lit(1L)).as("n_packs_spanned"))
+  }
+}

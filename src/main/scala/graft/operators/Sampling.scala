@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines
+  * (SURVEY §2 — LLM-pipeline block). Re-expresses the downsampling /
+  * train-eval split step every corpus build runs; the reference has no
+  * sampling surface, so this is engine-native design.
+  *
+  * Both operators key off a CONTENT-DERIVED hash, not `rand()`: the
+  * sample is a pure function of the row, so re-runs, retried tasks, and
+  * incremental reprocessing select the same rows (rand() resamples per
+  * task attempt — silent train/eval contamination at scale). The raw
+  * rolling hash of a decimal id string has most of its entropy in the
+  * low bits (sequential ids differ only in the last digits), so the key
+  * is finished with a Fibonacci multiply — golden-ratio multiplicative
+  * hashing (Knuth, TAOCP §6.4): the wrapping 64-bit product spreads any
+  * input stride across the high bits, and the TOP 24 bits become the
+  * key. Every step (wrapping multiply, unsigned shift) is replayable in
+  * the DuckDB oracle via HUGEINT arithmetic, which is what hash-gates
+  * these queries.
+  *
+  * Scale shape: [[stratifiedSample]] is a stateless projection + filter
+  * — no shuffle, fully pushdown-compatible, embarrassingly parallel at
+  * any scale. [[fixedSizePerStratum]] is one partial-aggregated shuffle
+  * whose map-side output is a k-entry heap per (task, stratum) — the
+  * same bounded-heap contract as ANN's top-k (TopKByScore), so a
+  * 100 TB stratum ships k rows per task, never its data.
+  */
+object Sampling {
+
+  /** Sample keys are uniform in [0, 2^24). */
+  val KeySpace: Long = 1L << 24
+
+  /** 24-bit deterministic sample key of an id column: rolling-hash the
+    * decimal string, then the FibFinish native finisher (wrapping
+    * golden-ratio multiply, top 24 bits — ANSI-mode `*` would throw on
+    * the wrap).
+    */
+  private[graft] def sampleKey(id: Column): Column =
+    call_function("fib_finish", call_function("rolling_hash", id.cast("string")))
+
+  private def keyed(events: DataFrame): DataFrame = {
+    graft.functions.RollingHash.register(events.sparkSession)
+    graft.functions.FibFinish.register(events.sparkSession)
+    events.withColumn("sample_key", sampleKey(col("event_id")))
+  }
+
+  /** Per-stratum Bernoulli downsampling: keep a row iff its sample key
+    * falls under its stratum's rate threshold. `rates` is an explicit
+    * allowlist — strata not listed are dropped entirely (the common
+    * corpus-build contract: name what you keep). rate 1.0 keeps every
+    * row of the stratum; the expected kept fraction of stratum s is
+    * rates(s) to within the 2^-24 threshold quantization.
+    */
+  def stratifiedSample(events: DataFrame, rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "rates must name at least one stratum")
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), s"rates must be in [0,1]: $rates")
+    val threshold = rates.foldLeft(lit(-1L)) { case (acc, (stratum, rate)) =>
+      when(col("event_type") === lit(stratum),
+        lit(math.floor(rate * KeySpace).toLong)).otherwise(acc)
+    }
+    keyed(events)
+      .filter(col("sample_key") < threshold)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"), col("sample_key"))
+  }
+
+  /** Fixed-size deterministic sample: the k rows of each stratum with
+    * the smallest sample keys (ties broken by event_id), emitted as a
+    * ranked manifest (stratum, rank, event_id, sample_key). Because the
+    * key is uniform, this is a uniform without-replacement sample of
+    * exactly min(k, |stratum|) rows — and because it runs on the
+    * bounded-heap TopKByScore aggregate, each map task ships a k-entry
+    * heap per stratum instead of sorting the stratum (the window
+    * row_number() formulation would sort every stratum end-to-end).
+    */
+  def fixedSizePerStratum(events: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.TopKByScore.register(events.sparkSession)
+    keyed(events)
+      .groupBy("event_type")
+      // TopKByScore keeps the HIGHEST scores; negate the key so the
+      // smallest keys win (tiebreak inside the heap is already id ASC)
+      .agg(call_function("topk_by_score",
+        -col("sample_key").cast("double"), col("event_id"), lit(k)).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(
+        col("event_type"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"),
+        (-col("col.score")).cast("long").as("sample_key"))
+  }
+}

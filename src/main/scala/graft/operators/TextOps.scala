@@ -198,4 +198,20 @@ object TextOps {
     RollingHash.register(documents.sparkSession)
     documents.select(col("doc_id"), expr("rolling_hash(text)").as("fp_rolling"))
   }
+
+  /** Corpus-level top-k n-grams by document frequency (ties broken by
+    * shingle text, so the cut is a total order and the result
+    * deterministic) — the "what's boilerplate in this crawl" probe run
+    * before choosing dedup thresholds. Shares Dedup's word-3-gram
+    * inverted index, counts with map-side partial aggregation, and the
+    * `orderBy.limit` compiles to TakeOrderedAndProject: each reduce task
+    * keeps a k-row heap and the driver merges #partitions × k rows —
+    * no global sort at any scale (pinned in PlanAuditSpec).
+    */
+  def ngramTopK(documents: DataFrame, k: Int = 50): DataFrame =
+    Dedup.shingleIndex(documents)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle").asc)
+      .limit(k)
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Sessions, Tables}
+import graft.functions.{FibFinish, RollingHash}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the deterministic sampling operators: both must equal an
+  * independent scalar replay of the key math (RollingHash.hashBytes +
+  * FibFinish.finish over the collected input), the Bernoulli fractions
+  * must track the configured rates, and the plans must keep their scale
+  * shape (no shuffle for the stateless filter; partial-aggregated
+  * bounded heaps for the fixed-k sample).
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.local("4")
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def scalarKey(id: Long): Long =
+    FibFinish.finish(RollingHash.hashBytes(id.toString.getBytes("UTF-8")))
+
+  private lazy val allEvents: Seq[(Long, String)] =
+    Tables.events(spark, sfDir).select("event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("stratified sample equals the scalar replay of the key math") {
+    val rates = Map("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.05)
+    val got = Sampling.stratifiedSample(Tables.events(spark, sfDir), rates)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val expected = allEvents.collect {
+      case (id, tpe) if rates.contains(tpe) &&
+        scalarKey(id) < math.floor(rates(tpe) * Sampling.KeySpace).toLong => id
+    }.toSet
+    assert(got == expected,
+      s"missed: ${(expected -- got).take(5)}, extra: ${(got -- expected).take(5)}")
+  }
+
+  test("kept fractions track the configured rates (3-sigma Bernoulli band)") {
+    val rates = Map("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.05)
+    val kept = Sampling.stratifiedSample(Tables.events(spark, sfDir), rates)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = allEvents.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // rate-1.0 strata keep everything; unlisted strata are dropped
+    assert(kept("purchase") == totals("purchase"))
+    assert(!kept.contains("error") && !kept.contains("signup"))
+    for ((stratum, r) <- rates if r < 1.0) {
+      val n = totals(stratum).toDouble
+      val sigma = math.sqrt(n * r * (1 - r))
+      assert(math.abs(kept(stratum) - n * r) <= 3 * sigma,
+        s"$stratum kept ${kept(stratum)} of $n at rate $r (expected ${n * r} ± ${3 * sigma})")
+    }
+  }
+
+  test("stratified sample is a stateless filter: no exchange in the plan") {
+    val plan = Sampling.stratifiedSample(
+      Tables.events(spark, sfDir), Map("purchase" -> 0.5))
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"stratified sampling must not shuffle:\n$plan")
+  }
+
+  test("fixed-k sample equals the scalar top-k replay, ranks contiguous") {
+    val k = 100
+    val got = Sampling.fixedSizePerStratum(Tables.events(spark, sfDir), k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = allEvents
+      .map { case (id, tpe) => (tpe, scalarKey(id), id) }
+      .groupBy(_._1)
+      .flatMap { case (tpe, rows) =>
+        rows.sortBy(t => (t._2, t._3)).take(k).zipWithIndex.map {
+          case ((_, key, id), i) => (tpe, (i + 1).toLong, id, key)
+        }
+      }.toSet
+    assert(got.toSet == expected,
+      s"missed: ${(expected -- got.toSet).take(5)}, extra: ${(got.toSet -- expected).take(5)}")
+    assert(got.length == expected.size)
+  }
+
+  test("fixed-k runs on map-side partial bounded heaps") {
+    val plan = Sampling.fixedSizePerStratum(Tables.events(spark, sfDir), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by_score"),
+      s"fixed-k sample must partial-aggregate its heaps:\n$plan")
+    assert(plan.split("topk_by_score").length >= 3, // partial + final
+      "expected both partial and final heap aggregation")
+  }
+}
