@@ -938,6 +938,46 @@ object SparkEntry {
         |${jaccardPairsSql("canon", None)}
         |SELECT doc_id, quality_score FROM canon
         |WHERE doc_id NOT IN (SELECT doc_id_b FROM jpairs)""".stripMargin,
+    // full SimHash replay: RollingHash over each shingle's UTF-8 bytes
+    // (HUGEINT fold), murmur3 fmix64 (xor = HUGEINT xor; wrapping
+    // multiplies via 32/32 split), per-bit ±1 vote sums with the
+    // strictly-positive tie rule, then ALL Hamming-≤3 pairs — the 4×16
+    // chunk banding is lossless for Hamming ≤ 3 (pigeonhole, spec'd),
+    // so the banded operator answers the brute-force oracle exactly.
+    "q_dedup_simhash" ->
+      """WITH jsh AS (
+        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s)-1)]) AS gs
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)),
+        |inv AS (SELECT doc_id, unnest(gs) AS shingle FROM jsh),
+        |hx AS (SELECT doc_id, hex(encode(shingle)) AS ph, octet_length(encode(shingle)) AS n FROM inv),
+        |bt AS (SELECT doc_id, [ ((strpos('0123456789ABCDEF', ph[2*i+1]) - 1) * 16
+        |        + strpos('0123456789ABCDEF', ph[2*i+2]) - 1)::HUGEINT FOR i IN range(n) ] AS bytes FROM hx),
+        |rh AS (SELECT doc_id, list_reduce([0::HUGEINT] || bytes,
+        |        (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS h FROM bt),
+        |f0 AS (SELECT doc_id, xor(h, h // 8589934592::HUGEINT) AS h FROM rh),
+        |f1 AS (SELECT doc_id, ((h % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+        |        + (((h // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |        ) % 18446744073709551616::HUGEINT AS h FROM f0),
+        |f2 AS (SELECT doc_id, xor(h, h // 8589934592::HUGEINT) AS h FROM f1),
+        |f3 AS (SELECT doc_id, ((h % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+        |        + (((h // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |        ) % 18446744073709551616::HUGEINT AS h FROM f2),
+        |f4 AS (SELECT doc_id, xor(h, h // 8589934592::HUGEINT) AS h FROM f3),
+        |dh AS (SELECT DISTINCT doc_id,
+        |        CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |                  THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS hs
+        |       FROM f4),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (hs >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |         FROM dh, unnest(range(64)) AS t(b) GROUP BY doc_id, b),
+        |sg AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE 0::HUGEINT END) AS us
+        |       FROM bits GROUP BY doc_id),
+        |shs AS (SELECT doc_id, CAST(CASE WHEN us >= 9223372036854775808::HUGEINT
+        |              THEN us - 18446744073709551616::HUGEINT ELSE us END AS BIGINT) AS simhash FROM sg)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),

@@ -57,6 +57,27 @@ object Dedup {
       .distinct()
   }
 
+  /** [[hashedShingleIndex]]'s oracle-replayable twin for SimHash:
+    * RollingHash ∘ Mix64 instead of xxhash64. Equal hash quality —
+    * fmix64 is a bijective full-avalanche finalizer, so every one of
+    * the 64 bits SimHash votes on is uniform even though the raw
+    * polynomial hash concentrates its structure in the low bits — but
+    * every step replays exactly in DuckDB (see SparkEntry's
+    * q_dedup_simhash oracle), which is what hash-gates the SimHash
+    * query. MinHash keeps xxhash64: its oracle (the verified exact-
+    * Jaccard pair set) never inspects the hash values.
+    */
+  private[graft] def mixedShingleIndex(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    graft.functions.ShingleGenerator.register(spark)
+    graft.functions.RollingHash.register(spark)
+    graft.functions.Mix64.register(spark)
+    documents
+      .selectExpr("doc_id", "shingles(text) AS shingle")
+      .selectExpr("doc_id", "mix64(rolling_hash(shingle)) AS h")
+      .distinct()
+  }
+
   /** SURVEY #21: exact duplicate groups by md5 of normalized text. One
     * shuffle (hash by fingerprint); emits every doc with its group size
     * and canonical (min doc_id) representative so downstream `keep
@@ -257,7 +278,7 @@ object Dedup {
       maxBucketSize: Int = 4096,
       dropObs: Option[Observation] = None): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding is lossless only up to Hamming 3")
-    val sh = simhashes(hashedShingleIndex(documents))
+    val sh = simhashes(mixedShingleIndex(documents))
     val chunks = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)), c =>

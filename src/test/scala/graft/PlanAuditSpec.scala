@@ -77,7 +77,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // MinHashSig/SimHashAgg are object aggregates; losing the partial
     // (map-side) half would shuffle every (doc_id, h) row to the final
     // aggregation instead of one small buffer per doc per task
-    val p = plan(Dedup.simhashes(Dedup.hashedShingleIndex(Tables.documents(spark, sfDir))))
+    val p = plan(Dedup.simhashes(Dedup.mixedShingleIndex(Tables.documents(spark, sfDir))))
     assert(p.contains("ObjectHashAggregate"), "expected object hash aggregation")
     assert("partial_simhash_agg".r.findAllIn(p).nonEmpty, "map-side partial aggregate missing")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,

@@ -30,7 +30,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash chunk-join equals brute-force hamming<=3 pairs") {
     val docs = Tables.documents(spark, sfDir)
-    val sh = Dedup.simhashes(Dedup.hashedShingleIndex(docs))
+    val sh = Dedup.simhashes(Dedup.mixedShingleIndex(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       (ida, ha) <- sh
