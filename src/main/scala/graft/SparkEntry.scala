@@ -195,6 +195,18 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.events(s, dir), sampleRates.toMap)),
     "q_sample_fixed_k" -> ((s, dir) =>
       Sampling.fixedSizePerStratum(Tables.events(s, dir), fixedSampleK)),
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.events(s, dir), splitWeights)),
+    // eval set = every 7th doc (guaranteed to intersect the corpus's
+    // planted near-dups at both test sfs); flagged pairs are the audit
+    // artifact, Decontaminate.clean is the anti-join composition
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontaminate.flagged(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        minContainment = 0.5)
+    }),
     "q_ngram_topk" -> ((s, dir) => TextOps.ngramTopK(Tables.documents(s, dir), ngramK)),
     "q_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), packBudget)),
@@ -211,6 +223,7 @@ object SparkEntry {
     * wiring both derive from this one list.
     */
   private val sampleRates = Seq("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.05)
+  private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val fixedSampleK = 100
   private val ngramK = 50
   private val packBudget = 2048
@@ -1062,6 +1075,33 @@ object SparkEntry {
              s"WHEN '$s' THEN ${math.floor(r * graft.operators.Sampling.KeySpace).toLong}"
            }.mkString("\n  ")}
         |  ELSE -1 END)""".stripMargin,
+    // group-keyed (user_id) so the leakage-safe property is in the
+    // oracle too; thresholds are the cumulative splitWeights ladder
+    "q_split_assign" ->
+      s"""WITH src AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+        |              CAST(user_id AS VARCHAR) AS sid FROM events),
+        |$SAMPLE_KEY
+        |SELECT event_id, user_id, event_type, ts, value,
+        |  CASE
+        |  ${splitWeights.init.zip(splitWeights.map(_._2).scanLeft(0.0)(_ + _).tail.init)
+             .map { case ((name, _), cum) =>
+               s"WHEN skey < ${math.floor(cum * graft.operators.Sampling.KeySpace).toLong} THEN '$name'"
+             }.mkString("\n  ")}
+        |  ELSE '${splitWeights.last._1}' END AS split
+        |FROM k""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s)-1)]) AS gs
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)),
+        |inv AS (SELECT doc_id, unnest(gs) AS shingle FROM sh),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM inv WHERE eval_id % 7 = 0),
+        |evn AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |co AS (SELECT doc_id, shingle FROM inv WHERE doc_id % 7 <> 0),
+        |hits AS (SELECT co.doc_id, ev.eval_id, count(*) AS c FROM co JOIN ev USING(shingle) GROUP BY 1,2),
+        |j AS (SELECT doc_id, eval_id, CAST(c AS DOUBLE) / CAST(n_eval AS DOUBLE) AS containment
+        |      FROM hits JOIN evn USING(eval_id))
+        |SELECT doc_id, eval_id, containment FROM j WHERE containment >= 0.5""".stripMargin,
     "q_sample_fixed_k" ->
       s"""WITH src AS (SELECT event_id, event_type, CAST(event_id AS VARCHAR) AS sid FROM events),
         |$SAMPLE_KEY

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination (SURVEY §2 — LLM-pipeline block): find and
+  * remove training documents that contain a benchmark/eval document,
+  * the step every corpus build runs so the model isn't graded on its
+  * own training data. The reference has no decontamination surface;
+  * engine-native design.
+  *
+  * Overlap metric: Jaccard CONTAINMENT of the eval doc in the training
+  * doc — |shingles(train) ∩ shingles(eval)| / |shingles(eval)| — the
+  * standard decontamination measure (symmetric Jaccard under-fires
+  * when a long training doc embeds a short eval doc verbatim).
+  *
+  * Scale shape: the eval set is SMALL by construction (benchmarks are
+  * thousands of docs, the corpus is billions), so its shingle index is
+  * BROADCAST — the corpus side is scanned once, joined map-side with
+  * no shuffle, and the only exchange is the partial-aggregated overlap
+  * count keyed by (train doc, eval doc) — a join hit, not a corpus
+  * row. A 100 TB corpus passes through in one wave of map tasks.
+  */
+object Decontaminate {
+
+  /** Flagged (doc_id, eval_id, containment) pairs at or above the
+    * containment floor — the audit artifact reviewed before dropping.
+    */
+  def flagged(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      minContainment: Double = 0.5): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1], got $minContainment")
+    val evalInv = Dedup.shingleIndex(evalDocs)
+    val evalSizes = evalInv.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
+    val evalSide = evalInv.join(evalSizes, "doc_id")
+      .select(col("doc_id").as("eval_id"), col("shingle"), col("n_eval"))
+    // The corpus side stays RAW (duplicate shingles included): a
+    // distinct here would shuffle the whole corpus index before the
+    // join. Instead the broadcast join filters to eval hits map-side
+    // and countDistinct dedupes only those — so every exchange in the
+    // plan moves join hits, never corpus rows.
+    graft.functions.ShingleGenerator.register(corpus.sparkSession)
+    corpus.selectExpr("doc_id", "shingles(text) AS shingle")
+      .join(broadcast(evalSide), "shingle")
+      .groupBy(col("doc_id"), col("eval_id"), col("n_eval"))
+      .agg(countDistinct(col("shingle")).as("n_common"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_eval").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("doc_id", "eval_id", "containment")
+  }
+
+  /** The corpus minus every document flagged against any eval doc. */
+  def clean(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      minContainment: Double = 0.5): DataFrame =
+    corpus.join(
+      flagged(corpus, evalDocs, minContainment).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+}

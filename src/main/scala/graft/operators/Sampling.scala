@@ -67,6 +67,37 @@ object Sampling {
         col("value"), col("sample_key"))
   }
 
+  /** Deterministic, leakage-safe train/val/test split: every row is
+    * labeled by where its GROUP key's sample key falls in the
+    * cumulative weight ladder, so all rows of a user land in the same
+    * split (splitting i.i.d. by row would leak a user's behavior
+    * across train and eval — the classic contamination bug). A pure
+    * projection: no shuffle, no state, stable across re-runs and
+    * backfills because the key derives from row content.
+    *
+    * @param weights ordered (split-name, weight) list, weights summing
+    *        to 1 (±1e-9); the LAST split absorbs the key-space
+    *        remainder so rounding never drops a row.
+    */
+  def splitAssign(events: DataFrame, weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.size >= 2, "need at least two splits")
+    require(weights.forall(_._2 > 0.0), s"weights must be positive: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: $weights")
+    graft.functions.RollingHash.register(events.sparkSession)
+    graft.functions.FibFinish.register(events.sparkSession)
+    val key = sampleKey(col("user_id"))
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail // cumulative
+    val label = weights.init.zip(cuts.init).foldRight(lit(weights.last._1)) {
+      case (((name, _), cut), acc) =>
+        when(key < lit(math.floor(cut * KeySpace).toLong), lit(name)).otherwise(acc)
+    }
+    // when() chains evaluate in order, so the FIRST matching threshold
+    // wins — foldRight builds exactly that ladder
+    events.select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+      col("value"), label.as("split"))
+  }
+
   /** Fixed-size deterministic sample: the k rows of each stratum with
     * the smallest sample keys (ties broken by event_id), emitted as a
     * ranked manifest (stratum, rank, event_id, sample_key). Because the

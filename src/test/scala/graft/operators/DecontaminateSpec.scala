@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{Sessions, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for eval-set decontamination: planted-containment semantics
+  * (a training doc embedding an eval doc is flagged; disjoint text is
+  * not), the clean() anti-join composition, a scalar replay on the real
+  * corpus, and the broadcast-join scale shape.
+  */
+class DecontaminateSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.local("4")
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def shingleSet(text: String): Set[String] = {
+    val words = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq
+    if (words.size < 3) Set.empty
+    else words.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("planted containment: embedding flagged, disjoint not; clean drops flagged") {
+    import spark.implicits._
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains ALL eval shingles (containment 1.0)
+      (1L, "intro words alpha beta gamma delta epsilon and a long tail of more text"),
+      // shares nothing
+      (2L, "completely different content nothing shared here at all"),
+      // shares 1 of the eval doc's 3 shingles (containment 1/3 < 0.5)
+      (3L, "alpha beta gamma but then it diverges")
+    ).toDF("doc_id", "text")
+    val flagged = Decontaminate.flagged(corpus, evalDocs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.toSeq == Seq((1L, 100L, 1.0)), s"got ${flagged.toSeq}")
+    val kept = Decontaminate.clean(corpus, evalDocs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("flagged pairs equal the scalar replay on the real corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val all = docs.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), shingleSet(r.getString(1))))
+    val ev = all.filter(_._1 % 7 == 0)
+    val co = all.filter(_._1 % 7 != 0)
+    val expected = (for {
+      (cid, cs) <- co
+      (eid, es) <- ev
+      if es.nonEmpty
+      c = (cs & es).size
+      containment = c.toDouble / es.size
+      if containment >= 0.5
+    } yield (cid, eid, containment)).toSet
+    val got = Decontaminate.flagged(
+      docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missed: ${(expected -- got).take(3)}, extra: ${(got -- expected).take(3)}")
+    assert(got.nonEmpty, "eval set should intersect planted near-dups")
+  }
+
+  test("scale shape: eval side broadcast, never a sort-merge join") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = Decontaminate.flagged(
+      docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not sort-merge")
+  }
+}

@@ -79,6 +79,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.length == expected.size)
   }
 
+  test("split assignment is leakage-safe and tracks the weights") {
+    val got = Sampling.splitAssign(Tables.events(spark, sfDir),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("user_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // every row of a user lands in the same split — the anti-leak contract
+    val perUser = got.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(perUser.values.forall(_.size == 1),
+      s"split leaked across rows of: ${perUser.filter(_._2.size > 1).keys.take(3)}")
+    // the split matches the scalar key ladder
+    val cut1 = math.floor(0.8 * Sampling.KeySpace).toLong
+    val cut2 = math.floor(0.9 * Sampling.KeySpace).toLong
+    for ((u, splits) <- perUser) {
+      val k = scalarKey(u)
+      val expected = if (k < cut1) "train" else if (k < cut2) "val" else "test"
+      assert(splits.head == expected, s"user $u key $k: ${splits.head} != $expected")
+    }
+    // group-level fractions are Bernoulli around the weights (150 users
+    // -> 3-sigma bands are wide; this guards gross ladder bugs only)
+    val users = perUser.size.toDouble
+    val trainFrac = perUser.values.count(_.head == "train") / users
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction off: $trainFrac")
+    assert(perUser.values.exists(_.head == "val") && perUser.values.exists(_.head == "test"))
+  }
+
   test("fixed-k runs on map-side partial bounded heaps") {
     val plan = Sampling.fixedSizePerStratum(Tables.events(spark, sfDir), 10)
       .queryExecution.executedPlan.toString
