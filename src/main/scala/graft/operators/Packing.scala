@@ -56,11 +56,15 @@ object Packing {
       .withColumn("bucket", expr(s"CAST(((doc_id - lo) * $buckets) DIV (hi - lo + 1) AS INT)"))
       .drop("lo", "hi")
     val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+    // materialized once (4 longs per doc): both consumers — the final
+    // projection and the per-bucket totals — would otherwise each run
+    // their own bucket shuffle + window over the stats table
     val local = bucketed.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+      .localCheckpoint(false)
     // phase 3: exclusive prefix sum over the per-bucket totals — a
-    // deliberately unpartitioned window over exactly `buckets` rows
+    // deliberately unpartitioned window over exactly `buckets` rows.
     val wOffset = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+    val offsets = local.groupBy("bucket").agg(sum("n_tokens").as("btot"))
       .withColumn("bucket_offset", coalesce(sum("btot").over(wOffset), lit(0L)))
       .select("bucket", "bucket_offset")
     local.join(broadcast(offsets), "bucket")

@@ -44,6 +44,14 @@ class PackingSpec extends AnyFunSuite {
     assert(collectPacked(buckets = 5) == base)
   }
 
+  test("the stats table is bucket-shuffled exactly once") {
+    val plan = Packing.packSequences(Tables.documents(spark, sfDir), budget, 32)
+      .queryExecution.executedPlan.toString
+    val bucketShuffles = "Exchange hashpartitioning\\(bucket".r.findAllIn(plan).length
+    assert(bucketShuffles == 1,
+      s"expected one bucket exchange (checkpointed window), got $bucketShuffles:\n$plan")
+  }
+
   test("empty documents span exactly the pack at their boundary") {
     import spark.implicits._
     val docs = Seq(

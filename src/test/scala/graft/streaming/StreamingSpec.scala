@@ -298,6 +298,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sampling and split assignment run unchanged on streams") {
+    // both are stateless projections/filters, so the SAME operator code
+    // applies to a readStream DataFrame — and because the keys are
+    // content-derived (never rand()), the streamed sample equals the
+    // batch sample row-for-row regardless of chunking
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rates = Map("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.05)
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, java.sql.Timestamp, Double)]
+      .collect()
+    val stream = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      stream.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"), rates)
+    assert(sampled.isStreaming, "operator must compose with readStream")
+    val q = sampled.writeStream.format("memory").queryName("stream_sample")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 3)
+      stream.addData(h1.toSeq); q.processAllAvailable()
+      stream.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_sample").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.Sampling.stratifiedSample(Tables.events(spark, sfDir), rates)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == batch, s"streamed sample diverged: ±${(got diff batch).size + (batch diff got).size}")
+    // splitAssign composes the same way
+    val split = graft.operators.Sampling.splitAssign(
+      stream.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.isStreaming)
+  }
+
   test("#30 flatMapGroupsWithState MTM engine matches the batch engine") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
