@@ -208,6 +208,7 @@ object SparkEntry {
         minContainment = 0.5)
     }),
     "q_ngram_topk" -> ((s, dir) => TextOps.ngramTopK(Tables.documents(s, dir), ngramK)),
+    "q_repetition_ratio" -> ((s, dir) => TextOps.repetitionRatio(Tables.documents(s, dir))),
     "q_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), packBudget)),
     // O(log n) star-contraction sibling of q_dedup_groups: component
@@ -1117,6 +1118,21 @@ object SparkEntry {
         |inv AS (SELECT doc_id, unnest(gs) AS shingle FROM sh)
         |SELECT shingle, count(*) AS doc_freq FROM inv GROUP BY shingle
         |ORDER BY doc_freq DESC, shingle LIMIT $ngramK""".stripMargin,
+    // the string-space counts equal the hashed-space counts the Spark
+    // side aggregates, barring 64-bit collisions (same argument as the
+    // minhash gate); a doc too short for any 3-gram scores 0.0
+    "q_repetition_ratio" ->
+      """WITH sh AS (
+        |  SELECT doc_id, [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s)-1)] AS gs
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents))
+        |SELECT doc_id,
+        |  CAST(len(gs) AS BIGINT) AS n_ngrams,
+        |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(gs) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+        |  END AS repetition_ratio
+        |FROM sh""".stripMargin,
     // integer-exact: the pack coordinates are pure functions of the
     // exclusive prefix sum of whitespace-token counts in doc_id order
     "q_pack_sequences" ->

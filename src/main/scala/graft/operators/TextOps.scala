@@ -214,4 +214,35 @@ object TextOps {
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("shingle").asc)
       .limit(k)
+
+  /** Within-document repetition signal (the classic repeated-n-gram
+    * quality rule: templated/spam text repeats its own 3-grams):
+    * `1 − distinct/total` word-3-grams per doc; a doc too short for any
+    * 3-gram scores 0.0. Counts aggregate over the HASHED raw shingle
+    * stream (RollingHash ∘ Mix64 — 64-bit collisions immaterial, see
+    * Dedup.hashedShingleIndex), so the per-doc shuffle carries
+    * (doc_id, long), never shingle text; both count and distinct-count
+    * are two-phase map-side partials. The left join restores docs with
+    * zero 3-grams — a doc_id equi-join against an at-most-one-row-per-
+    * doc right side.
+    */
+  def repetitionRatio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    graft.functions.ShingleGenerator.register(spark)
+    RollingHash.register(spark)
+    graft.functions.Mix64.register(spark)
+    val counts = documents
+      .selectExpr("doc_id", "shingles(text) AS shingle") // duplicates kept
+      .selectExpr("doc_id", "mix64(rolling_hash(shingle)) AS h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), countDistinct(col("h")).as("n_distinct"))
+    documents.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_ngrams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+          .as("repetition_ratio"))
+  }
 }
