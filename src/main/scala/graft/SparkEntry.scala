@@ -75,6 +75,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- core MTM engine (reference surface) --
     "q_signals_prep" -> ((s, dir) => SignalPrep.prepared(Tables.events(s, dir))),
+    // strategy feature columns: one symbol exchange + one sort shared by
+    // all four rolling indicators (20-bar trailing frame)
+    "q_bar_indicators" -> ((s, dir) => SignalPrep.indicators(Tables.events(s, dir))),
     "q_trades_long_only" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), PnlConfig.default)),
     // the time-sliced engine (mega-symbol / straggler mitigation), wired
     // the production way: 4 slices on explicit natural boundaries
@@ -523,6 +526,25 @@ object SparkEntry {
         |  CASE WHEN event_type='click' THEN 1 ELSE 0 END AS sell,
         |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS price_movement
         |FROM e""".stripMargin,
+    // SMA/momentum run over floor(close·1e6 + 0.5) unit decimals on BOTH
+    // sides — a raw double AVG would diverge in summation order
+    "q_bar_indicators" ->
+      """WITH b AS (
+        |  SELECT user_id AS symbol, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS close,
+        |    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS buy,
+        |    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS sell
+        |  FROM events),
+        |u AS (SELECT *, CAST(floor(close * 1e6 + 0.5) AS DECIMAL(30,0)) AS cu FROM b)
+        |SELECT symbol, ts, event_id, close, buy, sell,
+        |  close - lag(close) OVER w AS price_movement,
+        |  (CAST(SUM(cu) OVER f AS DOUBLE) / 1e6) / CAST(COUNT(*) OVER f AS DOUBLE) AS sma,
+        |  MIN(close) OVER f AS roll_min,
+        |  MAX(close) OVER f AS roll_max,
+        |  CAST(cu - lag(cu, 19) OVER w AS DOUBLE) / 1e6 AS momentum,
+        |  COUNT(*) OVER f AS n_in_frame
+        |FROM u
+        |WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id),
+        |       f AS (PARTITION BY symbol ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_trades_long_only" -> longOnlyBlotterSql,
     // the sliced engine is spec'd bit-identical to the unsliced blotter,
     // so it answers to the SAME oracle — a real hash gate, not rows-only

@@ -50,4 +50,33 @@ object SignalPrep {
 
   /** Full prepared view straight from the raw events table. */
   def prepared(events: DataFrame): DataFrame = withPriceMovement(bars(events))
+
+  /** Rolling bar indicators over an n-bar trailing frame — the feature
+    * columns a signal-generation strategy reads (SMA, rolling high/low,
+    * n-bar momentum, bars-in-frame count). All four share ONE window
+    * frame over the engine's canonical (symbol, ts, event_id) order, so
+    * the plan is a single symbol exchange + one sort — the same
+    * partitioning the MTM engine reuses downstream.
+    *
+    * Numeric discipline: the SMA is an order-dependent float sum, so the
+    * frame sum runs over `floor(close·1e6 + 0.5)` unit longs and divides
+    * back in doubles (the engine-agnostic quantization every cumulative
+    * oracle here uses — a raw double `avg` would disagree with any other
+    * engine's summation order in the last ulps). min/max/momentum/count
+    * are exact as-is.
+    */
+  def indicators(events: DataFrame, nBars: Int = 20): DataFrame = {
+    require(nBars >= 1, s"nBars must be >= 1, got $nBars")
+    val frame = barWindow.rowsBetween(-(nBars - 1), Window.currentRow)
+    val unit = ExactNum.units(col("close"), 1e6)
+    withPriceMovement(bars(events))
+      .withColumn("sma",
+        (sum(unit).over(frame).cast("double") / lit(1e6)) /
+          count(lit(1)).over(frame).cast("double"))
+      .withColumn("roll_min", min(col("close")).over(frame))
+      .withColumn("roll_max", max(col("close")).over(frame))
+      .withColumn("momentum",
+        (unit - lag(unit, nBars - 1).over(barWindow)).cast("double") / lit(1e6))
+      .withColumn("n_in_frame", count(lit(1)).over(frame))
+  }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Sessions, Tables}
 import graft.functions.{FibFinish, RollingHash}
-import org.apache.spark.sql.execution.exchange.Exchange
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Gates for the deterministic sampling operators: both must equal an
@@ -54,10 +53,12 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("stratified sample is a stateless filter: no exchange in the plan") {
+    // string match, not collect(): AQE's adaptive root hides children
+    // from collect until execution, which would make the assert vacuous
     val plan = Sampling.stratifiedSample(
       Tables.events(spark, sfDir), Map("purchase" -> 0.5))
-      .queryExecution.executedPlan
-    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
       s"stratified sampling must not shuffle:\n$plan")
   }
 
