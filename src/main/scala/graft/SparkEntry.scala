@@ -133,6 +133,7 @@ object SparkEntry {
     "q_percentiles_approx" -> ((s, dir) => Analytics.percentilesApprox(Tables.events(s, dir))),
     "q_events_sessionize" -> ((s, dir) => Analytics.sessionize(Tables.events(s, dir))),
     "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir))),
+    "q_events_hopping_agg" -> ((s, dir) => Analytics.hoppingAgg(Tables.events(s, dir))),
     // -- text analysis (LLM pipeline) --
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
@@ -881,6 +882,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor((value) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2""".stripMargin,
+    // each row lands in exactly 4 epoch-aligned sliding windows:
+    // wstart = floor(us/slide)·slide − k·slide for k in 0..3 (slide
+    // 15 min, window 1 h) — pure integer µs arithmetic on both sides
+    "q_events_hopping_agg" ->
+      """SELECT make_timestamp(
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000 - k * 900000000) AS wstart,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(floor((value) * 1e6 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1e6 AS total_value
+        |FROM events, unnest(range(4)) AS t(k)
+        |GROUP BY 1, 2""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,

@@ -235,6 +235,24 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users")
       )
 
+  /** Hopping (sliding) window aggregation: 1-hour windows advancing
+    * every 15 minutes, the third classic window family beside tumbling
+    * and session. Spark's `window()` explodes each row into
+    * windowDur/slide = 4 epoch-aligned windows BEFORE the partial
+    * aggregation, so the exchange moves (window, type) partials — the
+    * ×4 fan-out never crosses the wire. Same quantized value sum as the
+    * tumbling twin.
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value")
+      )
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** The 100 TB variant of [[tumblingAgg]]: exact `countDistinct` plans
     * an Expand (one row copy per aggregate) plus a distinct shuffle —
     * at corpus scale that multiplies the exchange by the distinct-column
