@@ -194,6 +194,11 @@ object SparkEntry {
     // Jaccard-≥-threshold pair set (see jaccardPairsSql's scaladoc)
     "q_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.cleanCorpus(Tables.documents(s, dir)).drop("text")),
+    // the pipeline's audit trail (silent shrinkage is how corpus bugs
+    // ship): per-stage survivor counts, gated against the same staged
+    // SQL replay as q_corpus_clean
+    "q_corpus_stage_report" -> ((s, dir) =>
+      CorpusPipeline.stageReport(Tables.documents(s, dir))),
     // -- sampling / packing / corpus stats (LLM pipeline) --
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.events(s, dir), sampleRates.toMap)),
@@ -986,6 +991,38 @@ object SparkEntry {
         |${jaccardPairsSql("canon", None)}
         |SELECT doc_id, quality_score FROM canon
         |WHERE doc_id NOT IN (SELECT doc_id_b FROM jpairs)""".stripMargin,
+    // same staged replay, surfaced as the survivor-count audit table
+    "q_corpus_stage_report" ->
+      s"""WITH qm AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        |    len(regexp_extract_all(text, '\\S+')) AS n_ws,
+        |    len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|that|it|on)\\b')) AS n_stop
+        |  FROM documents),
+        |qr AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN n_ws = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_ws AS DOUBLE) END AS stop_ratio,
+        |    LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS len_score
+        |  FROM qm),
+        |qs AS (
+        |  SELECT doc_id, text,
+        |    0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * LEAST(1.0, stop_ratio * 5.0) AS quality_score
+        |  FROM qr),
+        |qf AS (SELECT * FROM qs WHERE quality_score >= 0.5),
+        |fp AS (SELECT doc_id, text, quality_score,
+        |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5 FROM qf),
+        |canon AS (
+        |  SELECT doc_id, text, quality_score FROM
+        |    (SELECT *, min(doc_id) OVER (PARTITION BY fp_md5) AS cid FROM fp)
+        |  WHERE doc_id = cid),
+        |${jaccardPairsSql("canon", None)},
+        |cleaned AS (SELECT doc_id FROM canon
+        |            WHERE doc_id NOT IN (SELECT doc_id_b FROM jpairs))
+        |SELECT 'input' AS stage, (SELECT count(*) FROM documents) AS n_docs
+        |UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM qf)
+        |UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM canon)
+        |UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM cleaned)""".stripMargin,
     // full SimHash replay: RollingHash over each shingle's UTF-8 bytes
     // (HUGEINT fold), murmur3 fmix64 (xor = HUGEINT xor; wrapping
     // multiplies via 32/32 split), per-bit ±1 vote sums with the
