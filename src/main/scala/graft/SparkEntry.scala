@@ -78,6 +78,9 @@ object SparkEntry {
     // strategy feature columns: one symbol exchange + one sort shared by
     // all four rolling indicators (20-bar trailing frame)
     "q_bar_indicators" -> ((s, dir) => SignalPrep.indicators(Tables.events(s, dir))),
+    // order-dependent recurrence -> the engine's iterator shape, not a
+    // window; oracle = recursive-CTE walk with the identical IEEE step
+    "q_ema" -> ((s, dir) => SignalPrep.ema(Tables.events(s, dir), emaAlpha)),
     "q_trades_long_only" -> ((s, dir) => MtmEngine.blotterQuery(bars(s, dir), PnlConfig.default)),
     // the time-sliced engine (mega-symbol / straggler mitigation), wired
     // the production way: 4 slices on explicit natural boundaries
@@ -237,6 +240,7 @@ object SparkEntry {
   private val fixedSampleK = 100
   private val ngramK = 50
   private val packBudget = 2048
+  private val emaAlpha = 0.1
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL. Shared CTE fragments keep the engine oracles in
@@ -551,6 +555,22 @@ object SparkEntry {
         |FROM u
         |WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id),
         |       f AS (PARTITION BY symbol ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // the step expression `α·close + (1.0 − α)·ema` is written the same
+    // way on both sides — (1.0 − α) is COMPUTED, not a pre-folded
+    // literal, so the doubles agree exactly
+    "q_ema" ->
+      s"""WITH RECURSIVE b AS (
+        |  SELECT user_id AS symbol, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |    value AS close,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT symbol, rn, ts_us, event_id, close, close AS ema FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b.ts_us, b.event_id, b.close,
+        |    $emaAlpha * b.close + (1.0 - $emaAlpha) * w.ema
+        |  FROM walk w JOIN b ON b.symbol = w.symbol AND b.rn = w.rn + 1)
+        |SELECT symbol, ts_us, event_id, close, ema FROM walk""".stripMargin,
     "q_trades_long_only" -> longOnlyBlotterSql,
     // the sliced engine is spec'd bit-identical to the unsliced blotter,
     // so it answers to the SAME oracle — a real hash gate, not rows-only

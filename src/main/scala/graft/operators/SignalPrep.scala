@@ -51,6 +51,49 @@ object SignalPrep {
   /** Full prepared view straight from the raw events table. */
   def prepared(events: DataFrame): DataFrame = withPriceMovement(bars(events))
 
+  // private[graft], not private: Catalyst's generated (de)serializers
+  // live outside this class and cannot touch java-private types
+  private[graft] final case class EmaBar(
+      symbol: Long, ts_us: Long, event_id: Long, close: Double)
+  private[graft] final case class EmaPoint(
+      symbol: Long, ts_us: Long, event_id: Long, close: Double, ema: Double)
+
+  /** Exponential moving average — the genuinely ORDER-DEPENDENT
+    * indicator no window frame can express (every bar's value depends
+    * on the whole prefix): ema₀ = close₀; emaₜ = α·closeₜ + (1−α)·emaₜ₋₁.
+    * Runs in the MTM engine's distributed shape: ONE symbol exchange,
+    * in-partition secondary sort, an O(1)-state iterator per symbol run
+    * — a skewed mega-symbol streams through, never buffers. The
+    * recurrence is evaluated as the identical IEEE double expression on
+    * both the engine and the DuckDB recursive-CTE oracle, so outputs
+    * hash-match bit-for-bit.
+    */
+  def ema(events: DataFrame, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col("user_id").cast("long").as("symbol"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"),
+        col("value").cast("double").as("close"))
+      .repartition(col("symbol"))
+      .sortWithinPartitions("symbol", "ts_us", "event_id")
+      .as[EmaBar]
+      .mapPartitions { it =>
+        var sym = 0L
+        var e = 0.0
+        var first = true
+        it.map { b =>
+          if (first || b.symbol != sym) { sym = b.symbol; e = b.close; first = false }
+          else e = alpha * b.close + (1.0 - alpha) * e
+          EmaPoint(b.symbol, b.ts_us, b.event_id, b.close, e)
+        }
+      }
+      .toDF()
+  }
+
   /** Rolling bar indicators over an n-bar trailing frame — the feature
     * columns a signal-generation strategy reads (SMA, rolling high/low,
     * n-bar momentum, bars-in-frame count). All four share ONE window

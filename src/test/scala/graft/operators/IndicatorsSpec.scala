@@ -38,6 +38,24 @@ class IndicatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ema equals the scalar sequential recurrence exactly") {
+    val alpha = 0.1
+    val got = SignalPrep.ema(Tables.events(spark, sfDir), alpha)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getDouble(3), r.getDouble(4)))
+    val bySymbol = got.groupBy(_._1._1)
+    assert(bySymbol.nonEmpty)
+    bySymbol.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._1._2, r._1._3))
+      var e = 0.0
+      ordered.zipWithIndex.foreach { case ((_, (close, gotEma)), i) =>
+        e = if (i == 0) close else alpha * close + (1.0 - alpha) * e
+        // == on doubles: the distributed iterator must be bit-identical
+        assert(gotEma == e, s"ema diverged at row $i")
+      }
+    }
+  }
+
   test("all indicators share one symbol exchange") {
     // string match, not collect(): AQE's adaptive root hides children
     // from collect until execution, which would make the assert vacuous
