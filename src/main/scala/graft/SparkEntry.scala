@@ -330,6 +330,39 @@ object SparkEntry {
        |  FROM jp WHERE CAST(c AS DOUBLE)/CAST(na+nb-c AS DOUBLE) >= 0.8)""".stripMargin
   }
 
+  /** Shared DuckDB fragment: CorpusPipeline's staged replay — quality
+    * gate (q_quality_score's exact expression shapes) at the 0.5 floor
+    * → md5 exact-dedup canonicals. Yields `qf` (quality survivors) and
+    * `canon(doc_id, text, quality_score)`; callers append
+    * `jaccardPairsSql("canon", ...)` for the near-dup stage. ONE
+    * definition for both q_corpus_clean and q_corpus_stage_report, so
+    * the two gates can never drift apart.
+    */
+  private val CORPUS_STAGES =
+    """qm AS (
+      |  SELECT doc_id, text, length(text) AS n_chars,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+      |    len(regexp_extract_all(text, '\S+')) AS n_ws,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in|that|it|on)\b')) AS n_stop
+      |  FROM documents),
+      |qr AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+      |    CASE WHEN n_ws = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_ws AS DOUBLE) END AS stop_ratio,
+      |    LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS len_score
+      |  FROM qm),
+      |qs AS (
+      |  SELECT doc_id, text,
+      |    0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * LEAST(1.0, stop_ratio * 5.0) AS quality_score
+      |  FROM qr),
+      |qf AS (SELECT * FROM qs WHERE quality_score >= 0.5),
+      |fp AS (SELECT doc_id, text, quality_score,
+      |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5 FROM qf),
+      |canon AS (
+      |  SELECT doc_id, text, quality_score FROM
+      |    (SELECT *, min(doc_id) OVER (PARTITION BY fp_md5) AS cid FROM fp)
+      |  WHERE doc_id = cid)""".stripMargin
+
   /** Shared DuckDB fragment replaying Sampling.sampleKey over a CTE
     * `src` carrying `sid` (an id's decimal string): rolling hash of the
     * ASCII bytes (HUGEINT fold mod 2^64), Fibonacci multiply — the
@@ -985,57 +1018,14 @@ object SparkEntry {
     // of Jaccard-≥-0.8 pairs among canonicals (the MinHash-LSH stage's
     // exact pair set, per jaccardPairsSql's scaladoc)
     "q_corpus_clean" ->
-      s"""WITH qm AS (
-        |  SELECT doc_id, text, length(text) AS n_chars,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-        |    len(regexp_extract_all(text, '\\S+')) AS n_ws,
-        |    len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|that|it|on)\\b')) AS n_stop
-        |  FROM documents),
-        |qr AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
-        |    CASE WHEN n_ws = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_ws AS DOUBLE) END AS stop_ratio,
-        |    LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS len_score
-        |  FROM qm),
-        |qs AS (
-        |  SELECT doc_id, text,
-        |    0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * LEAST(1.0, stop_ratio * 5.0) AS quality_score
-        |  FROM qr),
-        |qf AS (SELECT * FROM qs WHERE quality_score >= 0.5),
-        |fp AS (SELECT doc_id, text, quality_score,
-        |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5 FROM qf),
-        |canon AS (
-        |  SELECT doc_id, text, quality_score FROM
-        |    (SELECT *, min(doc_id) OVER (PARTITION BY fp_md5) AS cid FROM fp)
-        |  WHERE doc_id = cid),
+      s"""WITH $CORPUS_STAGES,
         |${jaccardPairsSql("canon", None)}
         |SELECT doc_id, quality_score FROM canon
         |WHERE doc_id NOT IN (SELECT doc_id_b FROM jpairs)""".stripMargin,
-    // same staged replay, surfaced as the survivor-count audit table
+    // the SAME staged replay (shared fragment — the two oracles can
+    // never drift apart), surfaced as the survivor-count audit table
     "q_corpus_stage_report" ->
-      s"""WITH qm AS (
-        |  SELECT doc_id, text, length(text) AS n_chars,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-        |    len(regexp_extract_all(text, '\\S+')) AS n_ws,
-        |    len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|that|it|on)\\b')) AS n_stop
-        |  FROM documents),
-        |qr AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
-        |    CASE WHEN n_ws = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_ws AS DOUBLE) END AS stop_ratio,
-        |    LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS len_score
-        |  FROM qm),
-        |qs AS (
-        |  SELECT doc_id, text,
-        |    0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * LEAST(1.0, stop_ratio * 5.0) AS quality_score
-        |  FROM qr),
-        |qf AS (SELECT * FROM qs WHERE quality_score >= 0.5),
-        |fp AS (SELECT doc_id, text, quality_score,
-        |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5 FROM qf),
-        |canon AS (
-        |  SELECT doc_id, text, quality_score FROM
-        |    (SELECT *, min(doc_id) OVER (PARTITION BY fp_md5) AS cid FROM fp)
-        |  WHERE doc_id = cid),
+      s"""WITH $CORPUS_STAGES,
         |${jaccardPairsSql("canon", None)},
         |cleaned AS (SELECT doc_id FROM canon
         |            WHERE doc_id NOT IN (SELECT doc_id_b FROM jpairs))

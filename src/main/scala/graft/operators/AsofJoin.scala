@@ -64,8 +64,10 @@ object AsofJoin {
       // NULL-key right rows can match no left row under SQL equality;
       // dropping them here (one codegen'd filter, no extra job) keeps
       // them out of the window's NULL partition, where they would
-      // otherwise become "the prevailing row" for NULL-key left rows
-      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      // otherwise become "the prevailing row" for NULL-key left rows.
+      // foldLeft(lit(true)), not reduce: an EMPTY keyCols is the legal
+      // keyless global asof join, and empty.reduce throws
+      .filter(keyCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
       .select(
         keyCols.map(col) ++ Seq(
           col(tsCol).as("__ts"),

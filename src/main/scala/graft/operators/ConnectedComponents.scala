@@ -127,6 +127,12 @@ object ConnectedComponents {
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
+    // the vertex set BEFORE dropping self-loops: a vertex appearing only
+    // as a (v, v) pair is its own component and must still be labeled —
+    // propagation mode and the recursive-closure oracle both emit it
+    val verts = pairs.select(a.as("x")).union(pairs.select(b.as("x")))
+      .distinct()
+      .localCheckpoint(eager = false)
     var edges = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
@@ -160,8 +166,8 @@ object ConnectedComponents {
     }
 
     var prev = fingerprint(edges)
-    if (prev._1 == 0L) // empty pair set: no components
-      return edges.select(col("u").as("doc_id"), col("v").as("group_id"))
+    if (prev._1 == 0L) // no non-self edges: every vertex is its own group
+      return verts.select(col("x").as("doc_id"), col("x").as("group_id"))
     var iter = 0
     var converged = false
     while (!converged) {
@@ -181,7 +187,11 @@ object ConnectedComponents {
       edges = next
       dropCheckpointBlocks(superseded)
     }
-    edges.select(col("u").as("doc_id"), col("v").as("group_id"))
+    val labeled = edges.select(col("u").as("doc_id"), col("v").as("group_id"))
       .union(edges.select(col("v"), col("v")).distinct())
+    // restore self-loop-only vertices (dropped from the edge set) as
+    // their own singleton groups
+    verts.join(labeled, verts("x") === labeled("doc_id"), "left")
+      .select(col("x").as("doc_id"), coalesce(col("group_id"), col("x")).as("group_id"))
   }
 }

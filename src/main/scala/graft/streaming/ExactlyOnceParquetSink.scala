@@ -53,7 +53,12 @@ object ExactlyOnceParquetSink {
       // union for every committed batch. Nothing would become visible
       // anyway — skip both the write and the marker (idempotent: a
       // replay re-skips).
-      if (batch.isEmpty) return
+      // the poison case is ZERO PARTITIONS (no part files at all, so
+      // schema inference over the dir fails); a row-empty batch with
+      // partitions writes schema-bearing empty part files and is
+      // harmless. Checking partitions is plan-side — batch.isEmpty ran
+      // an extra limit-1 job per micro-batch on the hot path
+      if (batch.rdd.getNumPartitions == 0) return
       batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       Files.createFile(marker)
     }

@@ -64,6 +64,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(run(Seq.empty[(Long, Long)], star = true).isEmpty)
   }
 
+  test("self-loop pairs label the vertex as its own group in BOTH modes") {
+    // a (v, v) pair must not vanish: the recursive-closure oracle seeds
+    // every edge endpoint, so both algorithms must emit the singleton
+    val pairs = Seq((5L, 5L), (10L, 20L))
+    val expected = Map(5L -> 5L, 10L -> 10L, 20L -> 10L)
+    assert(run(pairs) == expected, "propagation")
+    assert(run(pairs, star = true) == expected, "star contraction")
+    // self-loops only: every vertex is its own component
+    assert(run(Seq((7L, 7L)), star = true) == Map(7L -> 7L))
+  }
+
   test("star contraction collapses an adversarially deep chain in O(log n) rounds") {
     // a 2000-link path has diameter 2000: propagation would need 2000
     // rounds (and raises at its default 50); contraction must finish
