@@ -56,6 +56,18 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Set(("l", "r"), ("lnull", "-")))
   }
 
+  test("empty keyCols is the keyless GLOBAL asof join (regression: empty.reduce)") {
+    val got = AsofJoin(left.drop("k"), right.drop("k"), Seq.empty, "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    // all right rows form one global timeline (ts 9, 10, 15)
+    assert(got == Set(
+      (10L, "l10", 10L), (20L, "l20", 15L), (20L, "l20b", 15L),
+      (5L, "l5", -1L), (7L, "m7", -1L)))
+  }
+
   test("plan: one hash shuffle, no join node") {
     val p = AsofJoin(left, right, Seq("k"), "ts").queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
