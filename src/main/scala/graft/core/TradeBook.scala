@@ -114,7 +114,13 @@ final class TradeBook(cfg: PnlConfig, trackTrades: Boolean = true) extends Seria
         best
     }
 
-  /** Scan a side for ROI / stop-loss closes over a snapshot; returns fee. */
+  /** Scan a side for ROI / stop-loss closes; returns the fee charged.
+    * The scan mutates the LIVE buffer in place (remove-without-increment
+    * on a close keeps the cursor valid) — correct because each close
+    * decision depends only on its own position, never on the list. If a
+    * future rule inspects the list (e.g. inventory-aware ROI), snapshot
+    * it first.
+    */
   private def scanCloses(list: ArrayBuffer[OpenPos], price: Double, tsUs: Long): Double = {
     var fee = 0.0
     var i = 0

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * approximate variant.
   *
   * 100 TB shape: the query set is small and BROADCAST; the corpus is
-  * scanned exactly once; per-query top-k runs through the bounded-heap
+  * scanned once (the LSH/IVF paths materialize the (vec_id, v, norm)
+  * projection before fanning out to their multiple consumers — r7: they
+  * previously rescanned the source per consumer); per-query top-k runs
+  * through the bounded-heap
   * [[graft.functions.TopKByScore]] aggregate, so each task ships one
   * k-entry heap per query and the only shuffle is Q heap buffers — no
   * crossJoin materialization, no N·Q-row exchange. The LSH variant
@@ -31,29 +34,34 @@ object Similarity {
 
   /** Embedding dimension, read from the first row — ANN paths must never
     * guess it (the kernels raise on mismatch rather than truncating).
-    * Cached by canonicalized logical plan so repeated ANN calls over the
-    * same source (a tuning sweep, the spec suite) pay the one-row job
-    * once. Bounded as a true access-order LRU of 64 analyzed plans:
-    * distinct-plan churn (e.g. per-call localCheckpoints) evicts the
-    * coldest entry instead of wiping the working set. A stale hit is
-    * possible only if the SAME path is rewritten with different-width
-    * vectors mid-session — the kernel dimension check then fails loudly
-    * rather than degrading.
+    * Cached so repeated ANN calls over the same source (a tuning sweep,
+    * the spec suite) pay the one-row job once. The key is the plan's
+    * SEMANTIC HASH + schema, never the plan object: a retained
+    * LogicalPlan pins everything it references (LocalRelation rows,
+    * localCheckpoint RDDs and their executor blocks) for the cache's
+    * lifetime — a multi-GB leak per entry. A hash collision at equal
+    * schema could only return a wrong dim, which the kernels' dimension
+    * checks catch loudly. Bounded as a true access-order LRU of 64.
     */
   private val dimCache =
-    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer](
+    new java.util.LinkedHashMap[(Int, String), Integer](
       16, 0.75f, /* accessOrder = */ true) {
       override protected def removeEldestEntry(
-          e: java.util.Map.Entry[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer])
-          : Boolean = size() > 64
+          e: java.util.Map.Entry[(Int, String), Integer]): Boolean = size() > 64
     }
 
   private[graft] def dimOf(embeddings: DataFrame): Int = {
-    val key = embeddings.queryExecution.analyzed.canonicalized
+    val analyzed = embeddings.queryExecution.analyzed
+    val key = (analyzed.semanticHash(), analyzed.schema.catalogString)
     val hit = dimCache.synchronized(dimCache.get(key))
     if (hit != null) hit.intValue
     else {
-      val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+      val row = embeddings.select(size(col("embedding"))).limit(1).collect()
+      require(row.nonEmpty,
+        "dimOf: embeddings input is empty — ANN needs at least one vector to size its index")
+      require(!row.head.isNullAt(0),
+        "dimOf: the sampled embedding is NULL — clean NULL vectors out before indexing")
+      val d = row.head.getInt(0)
       dimCache.synchronized(dimCache.put(key, Integer.valueOf(d)))
       d
     }
@@ -221,7 +229,9 @@ object Similarity {
       lloydIters: Int = 1): DataFrame = {
     TopKByScore.register(embeddings.sparkSession)
     val centroids = ivfCentroids(embeddings, nCentroids, lloydIters)
-    val e = withNorm(embeddings)
+    // materialized once — the corpus assignment and the query projection
+    // would otherwise each rescan the source and recompute norms
+    val e = withNorm(embeddings).localCheckpoint(false)
     val corpus = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
     // nProbe nearest cells per query: sort (−score, idx) structs, slice
     val probes = {
@@ -243,6 +253,16 @@ object Similarity {
       k)
   }
 
+  /** The LSH feature stage BEFORE materialization: (vec_id, v, norm,
+    * bkts) with bucketing through the fused HyperplaneBuckets kernel.
+    * Split out so the plan audit can assert the kernel (the checkpoint
+    * in annLshTopK hides the producing plan from downstream explain).
+    */
+  private[graft] def lshFeatures(embeddings: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val planes = hyperplanes(dimOf(embeddings), tables, bits)
+    withNorm(embeddings).withColumn("bkts", bucketsFor(col("v"), planes, tables, bits))
+  }
+
   def annLshTopK(
       embeddings: DataFrame,
       k: Int = 10,
@@ -252,9 +272,11 @@ object Similarity {
     TopKByScore.register(embeddings.sparkSession)
     // hyperplane width must match the data — a guessed default would
     // now crash in the kernel's dimension check instead of degrading
-    val planes = hyperplanes(dimOf(embeddings), tables, bits)
-    val e = withNorm(embeddings)
-      .withColumn("bkts", bucketsFor(col("v"), planes, tables, bits))
+    // materialized once: FOUR consumers (corpus buckets, query buckets,
+    // the vector rejoin, the query vectors) would otherwise each rescan
+    // the source and recompute the norms — the "write the feature table
+    // once" step, same as the dedup LSH paths
+    val e = lshFeatures(embeddings, tables, bits).localCheckpoint(false)
     // Candidate (query_id, vec_id) pairs are deduped BEFORE any cosine is
     // computed: a pair colliding in several of the `tables` buckets would
     // otherwise be scored up to `tables`× (and deduping scored rows would

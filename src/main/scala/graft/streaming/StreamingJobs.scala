@@ -177,28 +177,45 @@ object StreamingJobs {
           s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
       }
       val stepped = it.flatMap { b =>
-        val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
-        prevClose = b.close
-        lastTsUs = b.ts_us
-        val mtm = book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
-        emit(book, b, mtm)
+        // a bar newer than the watermark but older than this symbol's
+        // last PROCESSED bar (cross-batch disorder the watermark cannot
+        // catch) must not step the book: its price diff would accrue
+        // against the wrong previous close, holding times would go
+        // negative, and lastTsUs would regress the eviction clock.
+        // Dropping enforces contract (1) instead of assuming it.
+        if (b.ts_us < lastTsUs) Iterator.empty
+        else {
+          val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
+          prevClose = b.close
+          lastTsUs = b.ts_us
+          val mtm = book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
+          emit(book, b, mtm)
+        }
       }
       // completion tail: runs after the last bar is consumed, before the
       // operator's completion callback persists the group state
       stepped ++ {
         val (ol, os) = book.snapshotOpen()
-        state.update(BookState(
+        val snap = BookState(
           prevClose, !prevClose.isNaN, lastTsUs,
           ol.map(p => (p.entryUs, p.entryPrice)),
-          os.map(p => (p.entryUs, p.entryPrice))))
+          os.map(p => (p.entryUs, p.entryPrice)))
         if (streaming) {
+          state.update(snap)
           // evict once event time moves evictAfterMs past this symbol's
           // newest bar; clamp above the current watermark (a lagging
           // group may already be older than watermark - evictAfter)
           state.setTimeoutTimestamp(
             math.max(lastTsUs / 1000L + evictAfterMs, state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        } else {
+          // BATCH execution: GroupState is discarded when the job ends
+          // and the eviction timeout never fires, so open positions
+          // would silently vanish. Flush them through the same eviction
+          // path — the stream's open-flush analog — so a batch run of
+          // the stream job accounts for every position.
+          onEvict(snap)
         }
-        Iterator.empty
       }
     }
   }

@@ -64,7 +64,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("ANN index math stays fused: one kernel, not per-plane expressions") {
-    val lsh = plan(Similarity.annLshTopK(Tables.embeddings(spark, sfDir)))
+    // audit the feature stage pre-checkpoint: annLshTopK materializes it
+    // (one scan for four consumers), which hides the producing plan
+    val lsh = plan(Similarity.lshFeatures(Tables.embeddings(spark, sfDir), 12, 4))
     assert(lsh.contains("hyperplane_buckets"),
       "LSH bucketing must go through the fused kernel (per-plane literal " +
         "DotProducts regress codegen size and bucketing cost ~5x)")

@@ -233,6 +233,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("#30 cross-batch out-of-order bar is dropped, never stepped backward") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingJobs.StreamBar
+    val us = 1000000L; val hour = 3600L * us
+    val t0 = 1700000000L * us
+    val stream = MemoryStream[StreamBar]
+    // generous watermark: the 11:30-style bar below is NOT late by the
+    // watermark's standard — only by the symbol's own processed clock
+    val q = StreamingJobs.mtmTimelineStream(stream.toDS(), PnlConfig.default,
+        watermarkDelay = "24 hours")
+      .writeStream.format("memory").queryName("ooo").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Seq(
+        StreamBar(1, t0, 1, 100.0, 1, 0),
+        StreamBar(1, t0 + 2 * hour, 2, 110.0, 0, 0)))
+      q.processAllAvailable()
+      // older than the symbol's last processed bar (t0+2h) but within
+      // the watermark: stepping it would accrue 90-110 backwards
+      stream.addData(Seq(StreamBar(1, t0 + 1 * hour, 3, 90.0, 0, 0)))
+      q.processAllAvailable()
+      stream.addData(Seq(StreamBar(1, t0 + 3 * hour, 4, 120.0, 0, 0)))
+      q.processAllAvailable()
+      val got = spark.table("ooo").collect()
+        .map(r => (r.getLong(1), r.getDouble(3))).toMap
+      assert(!got.contains(t0 + 1 * hour), "the regressing bar must be dropped")
+      // the t0+3h bar accrues against close 110 (the last PROCESSED bar),
+      // not against the dropped bar's 90: (120-110)/100
+      assert(got(t0 + 3 * hour) == (120.0 - 110.0) / 100.0,
+        s"book stepped the dropped bar: ${got.toSeq.sortBy(_._1)}")
+    } finally q.stop()
+  }
+
+  test("#30 batch execution of the blotter stream flushes open positions") {
+    import spark.implicits._
+    import StreamingJobs.StreamBar
+    val us = 1000000L
+    val t0 = 1700000000L * us
+    // one closed trade (buy@100 -> sell@110) and one still-open buy@120
+    val bars = Seq(
+      StreamBar(1, t0, 1, 100.0, 1, 0),
+      StreamBar(1, t0 + us, 2, 110.0, 0, 1),
+      StreamBar(1, t0 + 2 * us, 3, 120.0, 1, 0)).toDS()
+    val got = StreamingJobs.mtmBlotterStream(bars, PnlConfig.default).collect()
+    assert(got.length == 2, got.mkString("; "))
+    val open = got.find(_.close_reason == "EVICTED").get
+    assert(open.entry_ts_us == t0 + 2 * us && open.entry_price == 120.0,
+      "the open position must flush through the eviction path in batch mode")
+    assert(got.exists(_.close_reason == "SIGNAL"))
+  }
+
   test("#30 timeline stream restarts from a flat book after eviction") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
