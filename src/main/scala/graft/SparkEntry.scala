@@ -261,7 +261,7 @@ object SparkEntry {
       |  SELECT doc_id,
       |    (CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB
       |          WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
-      |          ELSE '\x52\x49\x46\x46'::BLOB END) || encode(text) AS payload
+      |          ELSE '\x52\x49\x46\x46'::BLOB END) || encode(COALESCE(text, '')) AS payload
       |  FROM documents)""".stripMargin
 
   /** Shared DuckDB fragment replaying graft's native rolling hash
@@ -1093,12 +1093,7 @@ object SparkEntry {
         |FROM s WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
         |QUALIFY row_number() OVER w <= 10""".stripMargin,
     "q_multimodal_meta" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB
-        |          WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
-        |          ELSE '\x52\x49\x46\x46'::BLOB END) || encode(text) AS payload
-        |  FROM documents)
+      s"""WITH $MM_PAYLOAD
         |SELECT doc_id, octet_length(payload) AS n_bytes,
         |  left(hex(payload), 8) AS magic_hex,
         |  CASE left(hex(payload), 8)
@@ -1139,8 +1134,8 @@ object SparkEntry {
         |$ROLLING_HASH_OF_PAYLOAD
         |SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'riff' END AS kind,
-        |  CAST(abs(hh) % 1920 + 1 AS INTEGER) AS width,
-        |  CAST(abs(hh // 7) % 1080 + 1 AS INTEGER) AS height,
+        |  CAST(abs(hh % 1920) + 1 AS INTEGER) AS width,
+        |  CAST(abs(hh // 7 % 1080) + 1 AS INTEGER) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN abs(hh % 60000) ELSE 0 END AS BIGINT) AS duration_ms
         |FROM s""".stripMargin,
     // sampling keys replayed via SAMPLE_KEY (rolling hash of the decimal

@@ -41,10 +41,13 @@ object Analytics {
       )
 
   /** Shipping-priority top-N (TPC-H Q3 shape): two selective joins then
-    * agg + top-k. customer and orders are far smaller than lineitem, so
-    * on a cluster the planner broadcast-joins the filtered dimensions;
-    * the explicit hint keeps that true regardless of stats. Unique-key
-    * tiebreak (o_orderkey) makes the top-10 deterministic.
+    * agg + top-k. NO broadcast hints: the date filter keeps ~half of
+    * orders and the segment filter ~1/5 of customer — fact-sized sides
+    * at scale, where a forced broadcast hard-fails at Spark's 8 GB
+    * broadcast ceiling instead of degrading to a shuffle join. AQE
+    * broadcasts them anyway whenever the filtered sides actually fit —
+    * size-based at runtime, which is the decision this join needs.
+    * Unique-key tiebreak (o_orderkey) makes the top-10 deterministic.
     */
   def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val cutoff = lit("1995-03-15").cast("timestamp")
@@ -53,8 +56,8 @@ object Analytics {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val l = lineitem.filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -153,10 +156,14 @@ object Analytics {
     * entry point cannot pick the non-scaling plan by default.
     */
   def percentilesAuto(events: DataFrame, maxExactRowsPerGroup: Long = 10000000L): DataFrame = {
-    val probe = events.agg(
-      count(lit(1)).as("n"), approx_count_distinct(col("event_type")).as("g")).head()
-    val (n, g) = (probe.getLong(0), probe.getLong(1))
-    if (g > 0 && n / g > maxExactRowsPerGroup) percentilesApprox(events)
+    // probe the LARGEST group, not the mean: a skewed distribution (one
+    // hot group + many rare ones) keeps n/g small while the hot group
+    // alone would blow the exact path's one-task-per-group sort. Still
+    // one cheap job — the per-group counts partial-aggregate map-side.
+    val probe = events.groupBy(col("event_type")).agg(count(lit(1)).as("gn"))
+      .agg(max(col("gn"))).head()
+    val maxGroup = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (maxGroup > maxExactRowsPerGroup) percentilesApprox(events)
     else percentiles(events)
   }
 

@@ -180,6 +180,63 @@ object MtmEngine {
     }.toDF()
   }
 
+  /** Unified single-pass output row, discriminated by `kind`:
+    * "tl" timeline point, "bl" blotter record — see [[combinedRun]].
+    */
+  private[graft] final case class EngineOut(
+      kind: String,
+      symbol: Long, ts_us: Long = 0L, event_id: Long = 0L, close: Double = 0.0,
+      buy: Int = 0, sell: Int = 0, mtm_ratio: Double = 0.0,
+      direction: String = "", entry_ts_us: Long = 0L, entry_price: Double = 0.0,
+      exit_ts_us: Option[Long] = None, exit_price: Option[Double] = None,
+      pnl_norm: Option[Double] = None, close_reason: Option[String] = None,
+      is_closed: Boolean = false)
+
+  /** BOTH output families from ONE engine pass: one shuffle, one sort,
+    * one state-machine walk, materialized once; the returned frames are
+    * kind-filtered projections over the stored blocks. Consumers that
+    * need timeline AND blotter (pnlSummary, MtmRunner.calculate) would
+    * otherwise pay the repartition+sort+walk twice — exchange reuse
+    * shares the shuffle write between the twin plans but re-runs the
+    * sort and the per-bar state machine per family.
+    */
+  private[graft] def combinedRun(
+      bars: DataFrame, cfg: PnlConfig, colocated: Boolean = false): (DataFrame, DataFrame) = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val feeRate = cfg.feeRate
+    val out = sortedBars(bars, colocated).mapPartitions { it =>
+      val r = new SymbolRunner(cfg) // trackTrades: drained per bar below
+      def toOut(sym: Long, t: BookTrade): EngineOut =
+        if (t.isClosed) {
+          val pnl = BookTrade.closedPnlNorm(t, feeRate)
+          EngineOut("bl", sym, direction = if (t.isLong) "LONG" else "SHORT",
+            entry_ts_us = t.entryUs, entry_price = t.entryPrice,
+            exit_ts_us = Some(t.exitUs), exit_price = Some(t.exitPrice),
+            pnl_norm = Some(pnl), close_reason = Some(t.reason), is_closed = true)
+        } else {
+          EngineOut("bl", sym, direction = if (t.isLong) "LONG" else "SHORT",
+            entry_ts_us = t.entryUs, entry_price = t.entryPrice)
+        }
+      val perBar = it.flatMap { b =>
+        val flushed = r.beginBar(b)
+        val mtm = r.stepBar(b)
+        val closed = r.book.drainTrades().map(t => (r.symbol, t))
+        Iterator.single(
+          EngineOut("tl", b.symbol, b.ts_us, b.event_id, b.close, b.buy, b.sell, mtm)) ++
+          (flushed.iterator ++ closed.iterator).map { case (s, t) => toOut(s, t) }
+      }
+      // by-name ++ suffix: built only after perBar drains the partition
+      perBar ++ r.endOfPartition().iterator.map { case (s, t) => toOut(s, t) }
+    }.toDF().localCheckpoint(eager = false)
+    val tl = out.filter(col("kind") === "tl")
+      .select("symbol", "ts_us", "event_id", "close", "buy", "sell", "mtm_ratio")
+    val bl = out.filter(col("kind") === "bl")
+      .select("symbol", "direction", "entry_ts_us", "entry_price",
+        "exit_ts_us", "exit_price", "pnl_norm", "close_reason", "is_closed")
+    (tl, bl)
+  }
+
   // ---- time-sliced execution (mega-symbol skew hardening, SURVEY §4) ----
 
   /** Unified slice-input row: a market bar, or (isState) the carried-in
@@ -457,7 +514,10 @@ object MtmEngine {
     val xs = col("mtm_ratio") - lit(0.000001)
     val raw = col("sum_x") / (col("span_ms") / lit(1000.0) / lit(3600.0)) /
       col("sigma") * lit(math.sqrt(8760.0))
-    tl.withColumn("ms", expr("ts_us div 1000"))
+    // FLOOR division to ms (not bare `div`, which truncates toward zero):
+    // the DuckDB oracle's epoch_ms floors, so a pre-1970 bar not on a ms
+    // boundary would land 1 ms apart — same hazard Tables.events corrects
+    tl.withColumn("ms", expr("ts_us div 1000 - (CASE WHEN ts_us % 1000 < 0 THEN 1 ELSE 0 END)"))
       .groupBy("symbol")
       .agg(
         ExactNum.sumExact(xs, 1e9).as("sum_x"),
@@ -480,8 +540,12 @@ object MtmEngine {
     * trade_reward.py:413-421), closed-trade count, win rate, average
     * holding seconds (reference Mtm_Result surface).
     */
-  def pnlSummary(bars: DataFrame, cfg: PnlConfig): DataFrame =
-    pnlSummaryFrom(timeline(bars, cfg), blotter(bars, cfg))
+  def pnlSummary(bars: DataFrame, cfg: PnlConfig): DataFrame = {
+    // one engine pass for both families (was: independent timeline +
+    // blotter runs — double shuffle/sort/state-machine work)
+    val (tl, bl) = combinedRun(bars, cfg)
+    pnlSummaryFrom(tl, bl)
+  }
 
   private[graft] def pnlSummaryFrom(tl: DataFrame, bl: DataFrame): DataFrame = {
     val pnlAgg = tl

@@ -91,13 +91,11 @@ object MtmRunner {
       cfg: PnlConfig = PnlConfig.default,
       meta: RunMeta = RunMeta()): MtmResult = {
     val runStart = System.currentTimeMillis() / 1000L
-    // run the state machine ONCE per output family: the timeline and
-    // blotter are materialized lazily and every summary metric is an
-    // agg/window over them — without this, each of pnl/drawdown/sharpe
-    // would re-execute the repartition+sort+mapPartitions pipeline
-    // (exchange reuse shares the shuffle write but not the engine work)
-    val tl = MtmEngine.timeline(bars, cfg).localCheckpoint(false)
-    val bl = MtmEngine.blotter(bars, cfg).localCheckpoint(false)
+    // ONE engine pass for both families (combinedRun materializes the
+    // unified output): every summary metric is an agg/window over the
+    // stored blocks — without this, each of pnl/drawdown/sharpe would
+    // re-execute the repartition+sort+mapPartitions pipeline
+    val (tl, bl) = MtmEngine.combinedRun(bars, cfg)
     val summary = MtmEngine.pnlSummaryFrom(tl, bl)
       .join(MtmEngine.maxDrawdownFrom(tl), Seq("symbol"), "left")
       .join(MtmEngine.sharpeRatioFrom(tl), Seq("symbol"), "left")

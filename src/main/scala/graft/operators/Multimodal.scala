@@ -34,7 +34,9 @@ object Multimodal {
         when(col("doc_id") % 3 === 0, lit(PngMagic))
           .when(col("doc_id") % 3 === 1, lit(JpegMagic))
           .otherwise(lit(RiffMagic)),
-        encode(col("text"), "utf-8")).as("payload"))
+        // coalesce: a NULL text would make the whole concat NULL, and a
+        // NULL payload NPEs every JVM-side stage's byte-array access
+        encode(coalesce(col("text"), lit("")), "utf-8")).as("payload"))
 
   /** SURVEY #28: typed metadata from the binary column — byte length,
     * 4-byte magic (hex), sniffed container kind. Pure projection.
@@ -220,8 +222,10 @@ object Multimodal {
       val h = graft.functions.RollingHash.hashBytes(bytes)
       DecodedMeta(
         doc_id = id, kind = kind,
-        width = (math.abs(h) % 1920 + 1).toInt,
-        height = (math.abs(h / 7) % 1080 + 1).toInt,
+        // abs AFTER the modulo (like frameSample): abs(Long.MinValue) is
+        // still negative, so abs-first could emit non-positive dims
+        width = (math.abs(h % 1920) + 1).toInt,
+        height = (math.abs(h / 7 % 1080) + 1).toInt,
         duration_ms = if (kind == "riff") math.abs(h % 60000L) else 0L,
         batch_size = batchSize)
     }

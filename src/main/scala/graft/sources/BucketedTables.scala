@@ -27,8 +27,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTables {
 
-  private def tag(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+  /** Catalog-safe tag for an sfDir. The sanitized form alone is NOT
+    * injective ('/data/sf0.1' and '/data/sf0_1' collide), and a
+    * collision would silently serve the FIRST directory's bucketed copy
+    * for the second — so a hash of the raw path is appended to make the
+    * mapping collision-proof.
+    */
+  private def tag(sfDir: String): String = {
+    val readable = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    f"${readable}_${sfDir.hashCode & 0xffffffffL}%08x"
+  }
 
   /** Catalog name of the bucketed copy of `name` for `sfDir`, creating
     * it (one write job) if this JVM hasn't yet. The copy is an external
@@ -53,7 +61,11 @@ object BucketedTables {
     // self-healing (same pattern as Tables.events): a foreign session
     // without Sessions.local's config would let the planner fall back
     // to size-based splitting of bucket files, breaking the
-    // co-location contract downstream paths rely on
+    // co-location contract downstream paths rely on. DELIBERATELY not
+    // restored: the pin must hold when the returned table is SCANNED,
+    // which happens long after this call — a save/restore here would
+    // re-arm the size-based fallback for exactly the queries the pin
+    // protects. Correctness of colocated reads over planner freedom.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val tbl = s"graft_b_${name}_${tag(sfDir)}"
     if (!spark.catalog.tableExists(tbl)) {
