@@ -165,18 +165,9 @@ object MtmEngine {
         val closed = r.book.drainTrades().map(t => (r.symbol, t))
         (flushed.iterator ++ closed.iterator).map { case (s, t) => toRec(s, t) }
       }
-      // Lazy suffix: evaluated only once perBar is exhausted.
-      val tail = new Iterator[BlotterRec] {
-        private var flushIt: Iterator[BlotterRec] = null
-        private def underlying: Iterator[BlotterRec] = {
-          if (flushIt == null)
-            flushIt = r.endOfPartition().iterator.map { case (s, t) => toRec(s, t) }
-          flushIt
-        }
-        def hasNext: Boolean = underlying.hasNext
-        def next(): BlotterRec = underlying.next()
-      }
-      perBar ++ tail
+      // Iterator.++ takes its suffix BY NAME: the end-of-partition flush
+      // is built only after perBar exhausts the partition
+      perBar ++ r.endOfPartition().iterator.map { case (s, t) => toRec(s, t) }
     }.toDF()
   }
 
@@ -316,18 +307,9 @@ object MtmEngine {
           closed.iterator
       }
     }
-    // Lazy suffix: the final symbol run's flush/state, evaluated only
-    // once perRow is exhausted.
-    val tail = new Iterator[SliceOut] {
-      private var fin: Iterator[SliceOut] = null
-      private def underlying: Iterator[SliceOut] = {
-        if (fin == null) fin = endRun().iterator
-        fin
-      }
-      def hasNext: Boolean = underlying.hasNext
-      def next(): SliceOut = underlying.next()
-    }
-    perRow ++ tail
+    // Iterator.++ takes its suffix BY NAME: the final symbol run's
+    // flush/state is built only after perRow exhausts the partition
+    perRow ++ endRun().iterator
   }
 
   /** Time-sliced engine run: bars split into `nSlices` ranges at
@@ -346,6 +328,14 @@ object MtmEngine {
     * rebalance point (plus a natural checkpoint seam for incremental /
     * append-only runs) at the cost of one extra job per slice. The
     * carried state is O(symbols × max_position) — tiny.
+    *
+    * Durability caveat: slices chain through `localCheckpoint`, whose
+    * blocks are executor-local with lineage truncated — a lost executor
+    * mid-run fails the job unrecoverably rather than recomputing. For
+    * multi-hour runs on preemptible fleets, wire the inter-slice seam
+    * to durable storage instead: write each slice's end-state (the
+    * O(symbols × max_position) SliceOut "st" rows) to parquet and seed
+    * the next slice from that table — same seam, restartable.
     */
   def runSliced(bars: DataFrame, cfg: PnlConfig, nSlices: Int): (DataFrame, DataFrame) = {
     require(nSlices >= 1, "need at least one slice")
