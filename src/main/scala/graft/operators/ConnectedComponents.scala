@@ -17,11 +17,8 @@ import org.apache.spark.sql.functions._
   * detected by the label-sum invariant: labels only ever decrease, so
   * the sum (exact, DECIMAL — a 1e9-vertex sum overflows int64) is
   * strictly monotone until fixpoint — no per-row diff join needed.
-  * For adversarially deep graphs the published fix is large-star /
-  * small-star contraction (Kiveris et al., "Connected Components in
-  * MapReduce"), which squares the label-jump per round; the operator
-  * caps at `maxIter` and raises rather than silently emitting a
-  * half-converged labeling.
+  * Propagation caps at `maxIter` and raises rather than silently
+  * emitting a half-converged labeling.
   *
   * Only vertices that appear in a pair are labeled — singleton docs
   * need no group and would dominate the output at corpus scale.
@@ -81,7 +78,11 @@ object ConnectedComponents {
     var prevSum = labelSum(labels)
     // an empty pair set has no components: sum(empty) is SQL NULL, and
     // looping on it would NPE — return the (empty) labeling directly
-    if (prevSum == null) return labels.select(col("v").as("doc_id"), col("label").as("group_id"))
+    if (prevSum == null) {
+      dropCheckpointBlocks(p) // the loop (which usually drops it) never runs
+      dropCheckpointBlocks(edges)
+      return labels.select(col("v").as("doc_id"), col("label").as("group_id"))
+    }
     var iter = 0
     var converged = false
     while (!converged) {
@@ -104,6 +105,9 @@ object ConnectedComponents {
       prevSum = s
       labels = updated
     }
+    // the returned plan reads only the final labels checkpoint; the
+    // symmetric edge set (the largest per-round artifact) is done
+    dropCheckpointBlocks(edges)
     labels.select(col("v").as("doc_id"), col("label").as("group_id"))
   }
 
@@ -125,15 +129,20 @@ object ConnectedComponents {
     */
   private def dupGroupsStar(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
-    val a = col(aCol).cast("long")
-    val b = col(bCol).cast("long")
+    // checkpoint the pair projection ONCE: verts and edges both derive
+    // from it, and for the wired query the upstream lineage (shingle
+    // inverted index + self-join) is the costliest stage — without this
+    // each branch would re-run it (the same fix propagation mode got)
+    val p = pairs.select(col(aCol).cast("long").as("pa"), col(bCol).cast("long").as("pb"))
+      .localCheckpoint(eager = false)
     // the vertex set BEFORE dropping self-loops: a vertex appearing only
     // as a (v, v) pair is its own component and must still be labeled —
     // propagation mode and the recursive-closure oracle both emit it
-    val verts = pairs.select(a.as("x")).union(pairs.select(b.as("x")))
+    val verts = p.select(col("pa").as("x")).union(p.select(col("pb").as("x")))
       .distinct()
       .localCheckpoint(eager = false)
-    var edges = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
+    var edges = p.select(greatest(col("pa"), col("pb")).as("u"),
+        least(col("pa"), col("pb")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
@@ -165,9 +174,15 @@ object ConnectedComponents {
       (r.getLong(0), r.getLong(1))
     }
 
-    var prev = fingerprint(edges)
-    if (prev._1 == 0L) // no non-self edges: every vertex is its own group
+    var prev = fingerprint(edges) // materializes p and edges
+    // verts reads p's stored partitions (one tiny distinct job); after
+    // that nothing references p and its blocks can be freed
+    verts.count()
+    dropCheckpointBlocks(p)
+    if (prev._1 == 0L) { // no non-self edges: every vertex is its own group
+      dropCheckpointBlocks(edges)
       return verts.select(col("x").as("doc_id"), col("x").as("group_id"))
+    }
     var iter = 0
     var converged = false
     while (!converged) {

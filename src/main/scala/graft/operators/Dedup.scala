@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * 100 TB shuffle discipline (SURVEY §4): the only wide exchanges move
   * (key, doc_id) pairs — the shingle inverted index, LSH band buckets,
   * or SimHash chunks — never full document text. Every signature
-  * (MinHash, SimHash) is computed by partial-aggregated columns over the
-  * ONE shared inverted-index exchange (Spark reuses it across consumers),
-  * not by per-row array lambdas: higher-order functions are interpreted
-  * (CodegenFallback), and Catalyst's project collapsing re-evaluates an
-  * array-producing expression inside every consumer lambda — measured
-  * ~100× slower at equal semantics. All-pairs work exists only in
-  * `embeddingNearDupsExact`, the oracle/verify path; the scale path for
-  * embeddings is LSH bucketing (see Similarity).
+  * (MinHash, SimHash) is computed by partial-aggregated object
+  * aggregates over a hashed inverted-index exchange (xxhash64 for
+  * MinHash; RollingHash ∘ Mix64 for SimHash, whose oracle must replay
+  * the hash), not by per-row array lambdas: higher-order functions are
+  * interpreted (CodegenFallback), and Catalyst's project collapsing
+  * re-evaluates an array-producing expression inside every consumer
+  * lambda — measured ~100× slower at equal semantics. All-pairs work
+  * exists only in `embeddingNearDupsExact`, the oracle/verify path; the
+  * scale path for embeddings is LSH bucketing (see Similarity).
   */
 object Dedup {
 
@@ -126,6 +127,17 @@ object Dedup {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .groupBy("doc_id_a", "doc_id_b")
       .agg(count(lit(1)).as("n_common"))
+    jaccardFinalize(common, sizes, threshold)
+  }
+
+  /** The ONE Jaccard-finalize shape (size joins + jaccard expression +
+    * threshold), shared by the exact path and the MinHash-LSH verify —
+    * the q_dedup_minhash_lsh oracle assumes the two sites compute the
+    * IDENTICAL double, so they must never drift apart. `common` carries
+    * (doc_id_a, doc_id_b, n_common); `sizes` carries (doc_id, n).
+    */
+  private def jaccardFinalize(
+      common: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     common
       .join(sizes.select(col("doc_id").as("doc_id_a"), col("n").as("na")), "doc_id_a")
       .join(sizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), "doc_id_b")
@@ -134,7 +146,6 @@ object Dedup {
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
-  }
 
   /** Drop bucket memberships belonging to a bucket larger than
     * `maxBucketSize` BEFORE any `collect_set` builds a per-bucket array:
@@ -235,22 +246,18 @@ object Dedup {
       .join(inv.select(col("doc_id").as("doc_id_b"), col("h")), Seq("doc_id_b", "h"))
       .groupBy("doc_id_a", "doc_id_b")
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(perDoc.select(col("doc_id").as("doc_id_a"), col("n").as("na")), "doc_id_a")
-      .join(perDoc.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), "doc_id_b")
-      .withColumn(
-        "jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+    jaccardFinalize(common, perDoc.select("doc_id", "n"), threshold)
   }
 
   /** Per-doc 64-bit SimHash: per bit, the sign of the ±1 vote sum across
     * shingle hashes, computed by the one fused
-    * [[graft.functions.SimHashAgg]] aggregate over the HASHED inverted
-    * index ([[hashedShingleIndex]]'s (doc_id, h) rows) — bit-identical
-    * to the 64-sum-column formulation it replaced, at a 65-long object
-    * buffer instead of a 65-column one.
+    * [[graft.functions.SimHashAgg]] aggregate over a hashed inverted
+    * index's (doc_id, h) rows — in production wiring
+    * [[mixedShingleIndex]] (RollingHash ∘ Mix64, the DuckDB-replayable
+    * hash the q_dedup_simhash oracle depends on; do NOT swap back to
+    * [[hashedShingleIndex]]'s xxhash64, which no oracle can replay).
+    * Bit-identical to the 64-sum-column formulation it replaced, at a
+    * 65-long object buffer instead of a 65-column one.
     */
   private[graft] def simhashes(inv: DataFrame): DataFrame =
     inv.groupBy("doc_id")
@@ -321,13 +328,26 @@ object Dedup {
     // ANN paths and the LSH sibling below
     val e = Similarity.withNorm(embeddings)
     val a = e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, col("vec_id_a") < col("vec_id_b"))
+    cosineVerify(
+      a.join(e.select(col("vec_id").as("vec_id_b")), col("vec_id_a") < col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", "va", "na"),
+      e, threshold)
+  }
+
+  /** The ONE cosine-verify shape (vector rejoin on the b side + cosine
+    * + threshold), shared by the exact all-pairs path and the LSH
+    * sibling so the two can never drift. `candsWithA` carries
+    * (vec_id_a, vec_id_b, va, na); `e` is the withNorm projection.
+    */
+  private def cosineVerify(
+      candsWithA: DataFrame, e: DataFrame, threshold: Double): DataFrame =
+    candsWithA
+      .join(e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb")),
+        "vec_id_b")
       .withColumn(
         "cosine", Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("vec_id_a", "vec_id_b", "cosine")
-  }
 
   /** SURVEY #25 (scale path): the same embedding near-dup pairs with
     * hyperplane-LSH candidate generation instead of the O(n²) cross
@@ -376,12 +396,10 @@ object Dedup {
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
       .distinct()
-    cands
-      .join(e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na")), "vec_id_a")
-      .join(e.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("norm").as("nb")), "vec_id_b")
-      .withColumn(
-        "cosine", Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select("vec_id_a", "vec_id_b", "cosine")
+    cosineVerify(
+      cands.join(
+        e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na")),
+        "vec_id_a"),
+      e, threshold)
   }
 }
