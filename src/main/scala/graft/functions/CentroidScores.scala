@@ -132,7 +132,8 @@ object CentroidScores {
     val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "centroid_scores",
-      exprs => CentroidScores(exprs.head, flat, norms, centroids.length, dim),
+      FunctionArity.checked("centroid_scores", 1)(
+        exprs => CentroidScores(exprs.head, flat, norms, centroids.length, dim)),
       "built-in")
   }
 }

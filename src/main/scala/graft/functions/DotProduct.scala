@@ -80,5 +80,7 @@ object DotProduct {
   /** Register `dot_product(a, b)` as a SQL/`expr` function on a session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product",
+      FunctionArity.checked("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1))),
+      "built-in")
 }

@@ -52,5 +52,7 @@ object FibFinish {
   /** Register `fib_finish(bigint)` as a SQL/`expr` function. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fib_finish", exprs => FibFinish(exprs.head), "built-in")
+      "fib_finish",
+      FunctionArity.checked("fib_finish", 1)(exprs => FibFinish(exprs.head)),
+      "built-in")
 }

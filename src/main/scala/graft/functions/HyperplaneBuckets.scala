@@ -143,7 +143,8 @@ object HyperplaneBuckets {
     val flat = planes.flatten.toArray
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_buckets",
-      exprs => HyperplaneBuckets(exprs.head, flat, tables, bits, dim),
+      FunctionArity.checked("hyperplane_buckets", 1)(
+        exprs => HyperplaneBuckets(exprs.head, flat, tables, bits, dim)),
       "built-in")
   }
 }

@@ -73,5 +73,7 @@ object Mix64 {
   /** Register `mix64(bigint)` as a SQL/`expr` function. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mix64", exprs => Mix64(exprs.head), "built-in")
+      "mix64",
+      FunctionArity.checked("mix64", 1)(exprs => Mix64(exprs.head)),
+      "built-in")
 }

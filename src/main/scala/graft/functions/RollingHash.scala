@@ -68,5 +68,7 @@ object RollingHash {
   /** Register `rolling_hash(str)` as a SQL/`expr` function on a session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "rolling_hash",
+      FunctionArity.checked("rolling_hash", 1)(exprs => RollingHash(exprs.head)),
+      "built-in")
 }

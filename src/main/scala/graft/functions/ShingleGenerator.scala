@@ -86,5 +86,7 @@ object ShingleGenerator {
   /** Register `shingles(str)` as a generator function. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles", exprs => ShingleGenerator(exprs.head), "built-in")
+      "shingles",
+      FunctionArity.checked("shingles", 1)(exprs => ShingleGenerator(exprs.head)),
+      "built-in")
 }

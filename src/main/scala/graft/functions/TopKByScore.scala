@@ -116,7 +116,7 @@ object TopKByScore {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by_score",
-      exprs => {
+      FunctionArity.checked("topk_by_score", 3) { exprs =>
         require(exprs(2).foldable, "k must be a literal")
         TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue())
       },

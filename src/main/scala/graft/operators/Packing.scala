@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * whole corpus — the classic unpartitioned-window scale killer. This
   * operator runs the textbook two-phase distributed prefix sum instead:
   *
-  *   1. bucket docs by contiguous doc_id range (pure arithmetic — no
-  *      shuffle beyond the per-bucket hash exchange);
+  *   1. bucket docs by contiguous doc_id range, with range boundaries
+  *      taken from an `approx_percentile` sketch of the doc_id
+  *      distribution — equal-FREQUENCY buckets, so clustered/sparse id
+  *      spaces still split phase 2 into ~equal row counts, and no
+  *      arithmetic on the raw id span that could overflow a Long. Any
+  *      monotone-in-doc_id assignment yields identical pack coordinates
+  *      (the prefix sum is over global doc_id order either way), so the
+  *      sketch's approximation error costs balance, never correctness;
   *   2. per-bucket prefix sums via a PARTITIONED window (parallel across
   *      buckets);
   *   3. per-bucket totals (#buckets rows) get their own exclusive prefix
@@ -44,17 +50,30 @@ object Packing {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // (doc_id, n_tokens) only — the corpus text never leaves the scan
     // stage; everything after this line moves two longs per doc. The
-    // checkpoint makes the stats single-pass: bounds, per-bucket sums,
-    // and the final projection would each re-run the text scan otherwise.
+    // checkpoint makes the stats single-pass: the percentile sketch,
+    // per-bucket sums, and the final projection would each re-run the
+    // text scan otherwise.
     val t = TextOps.tokenCount(documents)
       .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens"))
       .localCheckpoint(false)
-    val bounds = t.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-    // contiguous doc_id ranges -> bucket index (integer DIV: doubles
-    // lose id precision past 2^53)
-    val bucketed = t.crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr(s"CAST(((doc_id - lo) * $buckets) DIV (hi - lo + 1) AS INT)"))
-      .drop("lo", "hi")
+    // bucket = how many percentile cut points lie strictly below this
+    // doc_id — monotone in doc_id (cuts are sorted), bounded in
+    // [0, buckets), O(buckets) comparisons per row inside codegen, and
+    // free of raw-span arithmetic (the old uniform-width formula
+    // `(doc_id - lo) * buckets DIV span` overflowed Long once the id
+    // span exceeded ~2^63/buckets, and collapsed phase 2 onto one task
+    // when ids clustered in a narrow band of a wide span).
+    val bucketed =
+      if (buckets == 1) t.withColumn("bucket", lit(0))
+      else {
+        val fracs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
+        val cuts = t.agg(
+          expr(s"approx_percentile(doc_id, array($fracs), 10000)").as("cuts"))
+        t.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            expr("CAST(aggregate(cuts, 0, (acc, c) -> acc + IF(doc_id > c, 1, 0)) AS INT)"))
+          .drop("cuts")
+      }
     val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
     // materialized once (4 longs per doc): both consumers — the final
     // projection and the per-bucket totals — would otherwise each run

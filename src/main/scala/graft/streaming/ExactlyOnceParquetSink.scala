@@ -29,6 +29,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object ExactlyOnceParquetSink {
 
+  /** Partition-count ceiling below which a micro-batch is probed for
+    * row-emptiness before writing (see [[writeBatch]]). Sized well above
+    * any sane `spark.sql.shuffle.partitions` so idle-stream batches are
+    * always pruned; batches wider than this are assumed real work.
+    */
+  private val EmptyProbeMaxPartitions = 512
+
   /** Start the stream, writing micro-batches exactly-once under
     * `outDir` with engine checkpointing in `checkpointDir`.
     */
@@ -47,18 +54,22 @@ object ExactlyOnceParquetSink {
     Files.createDirectories(commits)
     val marker = commits.resolve(batchId.toString)
     if (!Files.exists(marker)) {
-      // an empty micro-batch (watermark-only trigger) can arrive with
-      // ZERO partitions; parquet then writes a batch dir with no part
-      // files, and schema inference over that dir poisons the read()
-      // union for every committed batch. Nothing would become visible
-      // anyway — skip both the write and the marker (idempotent: a
-      // replay re-skips).
-      // the poison case is ZERO PARTITIONS (no part files at all, so
-      // schema inference over the dir fails); a row-empty batch with
-      // partitions writes schema-bearing empty part files and is
-      // harmless. Checking partitions is plan-side — batch.isEmpty ran
-      // an extra limit-1 job per micro-batch on the hot path
-      if (batch.rdd.getNumPartitions == 0) return
+      // Empty-batch guards, cheapest first. ZERO partitions (a pure
+      // watermark-advancing trigger) is plan-side and free: parquet
+      // would write a batch dir with NO part files, and schema
+      // inference over that dir poisons the read() union for every
+      // committed batch. A row-empty batch WITH partitions (idle
+      // stateful streams emit these with the full shuffle fan-out) is
+      // merely wasteful — each writes a batch=N dir of schema-only
+      // part files plus a marker, accumulating forever on an idle
+      // stream — so it is worth one limit-1 probe job, but only when
+      // the partition count is small enough that scanning empty
+      // partitions is trivially cheap (which IS the idle case: the
+      // fan-out equals spark.sql.shuffle.partitions). A large REAL
+      // batch skips the probe entirely and pays zero extra jobs.
+      val parts = batch.rdd.getNumPartitions
+      if (parts == 0) return
+      if (parts <= EmptyProbeMaxPartitions && batch.isEmpty) return
       batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       Files.createFile(marker)
     }

@@ -87,12 +87,14 @@ object StreamingJobs {
   final case class StreamPoint(symbol: Long, ts_us: Long, event_id: Long, mtm_ratio: Double)
 
   /** Serializable checkpoint of one symbol's book between micro-batches.
-    * `lastTsUs` is the event time of the symbol's newest processed bar —
-    * the anchor for its idle-eviction timeout and for the flush price
-    * timestamp when the group is evicted.
+    * `(lastTsUs, lastEventId)` is the high-water mark of the symbol's
+    * newest processed bar — `lastTsUs` anchors the idle-eviction timeout
+    * and the flush price timestamp at eviction; the pair together guards
+    * against cross-batch redelivery (an at-least-once source replaying a
+    * bar AT the last processed timestamp must not re-step the book).
     */
   final case class BookState(
-      prevClose: Double, hasPrev: Boolean, lastTsUs: Long,
+      prevClose: Double, hasPrev: Boolean, lastTsUs: Long, lastEventId: Long,
       longs: Seq[(Long, Double)], shorts: Seq[(Long, Double)])
 
   /** Streamed closed trade (the blotter's is_closed=true rows, plus
@@ -169,25 +171,33 @@ object StreamingJobs {
       val book = new TradeBook(cfg, trackTrades)
       var prevClose = Double.NaN
       var lastTsUs = Long.MinValue
+      var lastEventId = Long.MinValue
       state.getOption.foreach { s =>
         if (s.hasPrev) prevClose = s.prevClose
         lastTsUs = s.lastTsUs
+        lastEventId = s.lastEventId
         book.restoreOpen(
           s.longs.map { case (ts, px) => OpenPos(ts, px, isLong = true) },
           s.shorts.map { case (ts, px) => OpenPos(ts, px, isLong = false) })
       }
       val stepped = it.flatMap { b =>
-        // a bar newer than the watermark but older than this symbol's
-        // last PROCESSED bar (cross-batch disorder the watermark cannot
-        // catch) must not step the book: its price diff would accrue
-        // against the wrong previous close, holding times would go
-        // negative, and lastTsUs would regress the eviction clock.
-        // Dropping enforces contract (1) instead of assuming it.
-        if (b.ts_us < lastTsUs) Iterator.empty
-        else {
+        // a bar newer than the watermark but at-or-before this symbol's
+        // (ts_us, event_id) high-water mark — cross-batch disorder the
+        // watermark cannot catch, or an at-least-once source redelivering
+        // the last bar — must not step the book: its price diff would
+        // accrue against the wrong previous close, fees would be double
+        // charged, positions would double open, and lastTsUs would
+        // regress the eviction clock. The event_id tiebreak matches the
+        // (ts_us, event_id) sort order bars arrive in, so equal-ts bars
+        // with FRESH event ids still process. Dropping enforces contract
+        // (1) instead of assuming it.
+        if (b.ts_us < lastTsUs || (b.ts_us == lastTsUs && b.event_id <= lastEventId)) {
+          Iterator.empty
+        } else {
           val diff = if (prevClose.isNaN) Double.NaN else b.close - prevClose
           prevClose = b.close
           lastTsUs = b.ts_us
+          lastEventId = b.event_id
           val mtm = book.step(b.ts_us, b.close, diff, b.buy == 1, b.sell == 1)
           emit(book, b, mtm)
         }
@@ -197,7 +207,7 @@ object StreamingJobs {
       stepped ++ {
         val (ol, os) = book.snapshotOpen()
         val snap = BookState(
-          prevClose, !prevClose.isNaN, lastTsUs,
+          prevClose, !prevClose.isNaN, lastTsUs, lastEventId,
           ol.map(p => (p.entryUs, p.entryPrice)),
           os.map(p => (p.entryUs, p.entryPrice)))
         if (streaming) {

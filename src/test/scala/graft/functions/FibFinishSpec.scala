@@ -23,6 +23,20 @@ class FibFinishSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong arity raises an analysis error naming the function, not NoSuchElement") {
+    FibFinish.register(spark)
+    Mix64.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT fib_finish()").collect()
+    }
+    assert(e1.getMessage.contains("fib_finish") && e1.getMessage.contains("1"),
+      s"error must name the function and arity: ${e1.getMessage}")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mix64(1L, 2L)").collect()
+    }
+    assert(e2.getMessage.contains("mix64"), e2.getMessage)
+  }
+
   test("sequential ids spread: keys of 10k consecutive ids fill the space evenly") {
     // the raw rolling hash of decimal strings strides in its LOW bits;
     // the finisher must spread that across the whole 24-bit space —

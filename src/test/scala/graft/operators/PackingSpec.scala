@@ -66,6 +66,24 @@ class PackingSpec extends AnyFunSuite {
     assert(got(3L) == (1L, 0L, 1L))
   }
 
+  test("extreme doc_id spans neither overflow nor skew the bucketing") {
+    import spark.implicits._
+    // ids clustered in a narrow band at the top of the Long range: the
+    // old uniform-width formula `(id - lo) * buckets DIV span` wrapped
+    // (ANSI: threw) on the multiply. Percentile-cut bucketing must keep
+    // pack coordinates exact here regardless of how well the sketch's
+    // internal doubles can split a band this close to 2^63 — bucketing
+    // quality is a balance knob, never a correctness input.
+    val ids = Seq(Long.MinValue + 3) ++ (0 until 40).map(i => Long.MaxValue - 400L + i)
+    val docs = ids.map(id => (id, "a b c")).toDF("doc_id", "text")
+    val got = Packing.packSequences(docs, tokenBudget = 7, buckets = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    ids.sorted.zipWithIndex.foreach { case (id, i) =>
+      val start = 3L * i
+      assert(got(id) == (start / 7, start % 7), s"doc $id (rank $i)")
+    }
+  }
+
   test("a document larger than the budget spans multiple packs") {
     import spark.implicits._
     val docs = Seq(

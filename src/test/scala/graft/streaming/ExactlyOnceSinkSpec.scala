@@ -63,6 +63,25 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0), (2L, 2.0)))
   }
 
+  test("a row-empty micro-batch WITH partitions writes neither dir nor marker") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = freshDir("rowempty")
+    ExactlyOnceParquetSink.writeBatch(Seq((1L, 1.0)).toDF("id", "v"), out, 0L)
+    // the idle-stream shape: full shuffle fan-out, zero rows — each one
+    // used to land a batch=N dir of schema-only part files plus a
+    // marker, accumulating forever on a watermark-advancing stream
+    val idle = spark.range(4).select(col("id"), col("id").cast("double").as("v"))
+      .filter(col("id") < 0).repartition(8)
+    assert(idle.rdd.getNumPartitions == 8, "test premise: partitions, no rows")
+    ExactlyOnceParquetSink.writeBatch(idle.toDF("id", "v"), out, 1L)
+    assert(!Files.exists(Paths.get(out, "batch=1")), "row-empty batch must not write")
+    assert(!Files.exists(Paths.get(out, "_commits", "1")), "row-empty batch must not commit")
+    val got = ExactlyOnceParquetSink.read(spark, out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.0)))
+  }
+
   test("a torn write (no commit marker) is invisible, and its replay heals it") {
     import spark.implicits._
     val out = freshDir("torn")

@@ -266,6 +266,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("#30 a redelivered bar (same ts and event id) is dropped across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingJobs.StreamBar
+    val us = 1000000L; val hour = 3600L * us
+    val t0 = 1700000000L * us
+    // bar1 mutates state (opens a long); an at-least-once source may
+    // hand it back at the head of any later batch. Without the
+    // (ts_us, event_id) high-water mark the replay re-opened the
+    // position and re-emitted the point, so the redelivered run is
+    // asserted EQUAL to the clean run — duplicate emission, double
+    // open (bar2's mtm would double), and double fees all surface here.
+    val bar1 = StreamBar(1, t0, 1, 100.0, 1, 0)
+    val bar2 = StreamBar(1, t0 + hour, 2, 110.0, 0, 0)
+    def run(name: String)(batches: Seq[Seq[StreamBar]]): Seq[(Long, Long, Double)] = {
+      val stream = MemoryStream[StreamBar]
+      val q = StreamingJobs.mtmTimelineStream(stream.toDS(), PnlConfig.default,
+          watermarkDelay = "24 hours")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        spark.table(name).collect().toSeq
+          .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2))
+      } finally q.stop()
+    }
+    val clean = run("rd_clean")(Seq(Seq(bar1), Seq(bar2)))
+    val redelivered =
+      run("rd_dup")(Seq(Seq(bar1), Seq(bar1), Seq(bar1, bar2)))
+    assert(redelivered == clean,
+      s"redelivery changed the stream: $redelivered vs $clean")
+  }
+
   test("#30 batch execution of the blotter stream flushes open positions") {
     import spark.implicits._
     import StreamingJobs.StreamBar
