@@ -15,7 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    data sizes, so warming at a smaller sf compiles the wrong codegen
   *    and the timed run pays janino/JIT (~7 s noise on heavy plans);
   *  - a query that throws is reported as -1 with its name in `errors`,
-  *    never silently folded into the total.
+  *    never silently folded into the total;
+  *  - the storage-layout twin pairs run first and adjacent on the fresh
+  *    session, and any query whose best time lands under 1 s gets a
+  *    third timed run — the two defenses against the residual warm-heap
+  *    inflation that inverted the colocated/shuffled comparison in r7.
   *
   * Output discipline: the driver captures only the TAIL of the build log
   * (~2 KB), so the JSON line must stay small enough to survive whole —
@@ -67,8 +71,26 @@ object Bench {
       Thread.sleep(200)
     }
 
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // The storage-layout twins run FIRST and ADJACENT: their whole point
+    // is the colocated-vs-shuffled comparison, and bucketed scans' fixed
+    // task setup is the most sensitive to the heap/JIT history the rest
+    // of the suite accumulates — r7's driver artifact inverted the
+    // comparison (colocated 0.73 s vs shuffled 0.58 s) that an isolated
+    // re-run showed at 0.22 s vs 0.51 s. Running the pairs back-to-back
+    // on a fresh session measures layout against layout, not against
+    // 50 predecessors' GC debt.
+    val twinsFirst = Seq(
+      "q_join_colocated", "q_join_shuffled",
+      "q_mtm_timeline_colocated", "q_mtm_timeline")
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(pats => pats.exists(name.contains)) }
+    val selected = twinsFirst.flatMap(t => all.find(_._1 == t)) ++
+      all.filterNot { case (name, _) => twinsFirst.contains(name) }
+    def timedRun(fn: (SparkSession, String) => DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { materialize(fn); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
     val results = selected.map { case (name, fn) =>
       settleBetweenQueries()
       val warmOk =
@@ -80,11 +102,15 @@ object Bench {
         // round-over-round comparisons track the plan, not the machine;
         // the max-min spread (stderr) lets a round-over-round delta
         // smaller than the spread read as noise, not a plan change
-        val times = (1 to nRuns).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try { materialize(fn); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
-        }
+        var times = (1 to nRuns).flatMap(_ => timedRun(fn))
+        // sub-second queries get a third opinion: their absolute noise
+        // floor (task setup + a GC pause) is a large FRACTION of the
+        // result, which is exactly where r6/r7 saw 2-7x phantom
+        // regressions. One extra ~0.5 s run is cheap insurance; the
+        // heavy queries, where an extra run costs real seconds, are
+        // already far above the noise floor.
+        if (times.nonEmpty && times.min < 1.0 && times.size < 3)
+          times = times ++ (times.size until 3).flatMap(_ => timedRun(fn))
         if (times.isEmpty) (name, -1.0, -1.0) else (name, times.min, times.max - times.min)
       }
     }

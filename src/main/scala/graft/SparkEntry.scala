@@ -133,6 +133,12 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Analytics.asofPurchaseClicks(Tables.events(s, dir))),
     "q_join_salted" -> ((s, dir) => Analytics.saltedEventRollup(Tables.events(s, dir))),
     "q_percentiles" -> ((s, dir) => Analytics.percentiles(Tables.events(s, dir))),
+    // the router's exact branch: at verify scale every group fits one
+    // task, so percentilesAuto must reproduce q_percentiles' oracle
+    // bit-for-bit (the probe may only pick the plan, never change
+    // values); the approx-branch routing decision is spec'd in
+    // PercentileSpec
+    "q_percentiles_auto" -> ((s, dir) => Analytics.percentilesAuto(Tables.events(s, dir))),
     "q_percentiles_approx" -> ((s, dir) => Analytics.percentilesApprox(Tables.events(s, dir))),
     "q_events_sessionize" -> ((s, dir) => Analytics.sessionize(Tables.events(s, dir))),
     "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir))),
@@ -903,6 +909,14 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+    // same oracle as q_percentiles: the router's probe must route to
+    // the exact path at this scale and leave values untouched
+    "q_percentiles_auto" ->
+      """SELECT event_type, count(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_join_salted" ->
       """WITH e AS (SELECT user_id, event_type, value FROM events),
         |d AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id)
@@ -1129,6 +1143,10 @@ object SparkEntry {
     // the decode stub's full arithmetic (dims/duration from the payload
     // hash) replayed byte-for-byte; batch_size is partition-dependent
     // and lives in MultimodalSpec instead
+    // bit_depth is constant 0 here BY DESIGN: synthetic payloads carry a
+    // bare 4-byte magic, never a full PNG signature/IHDR or a BMP DIB
+    // header, so none may take the real header-parse path — this oracle
+    // hash-gates that invariant along with the stub arithmetic
     "q_multimodal_decode" ->
       s"""WITH $MM_PAYLOAD,
         |$ROLLING_HASH_OF_PAYLOAD
@@ -1136,6 +1154,7 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'riff' END AS kind,
         |  CAST(abs(hh % 1920) + 1 AS INTEGER) AS width,
         |  CAST(abs(hh // 7 % 1080) + 1 AS INTEGER) AS height,
+        |  CAST(0 AS INTEGER) AS bit_depth,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN abs(hh % 60000) ELSE 0 END AS BIGINT) AS duration_ms
         |FROM s""".stripMargin,
     // sampling keys replayed via SAMPLE_KEY (rolling hash of the decimal

@@ -53,16 +53,24 @@ object Multimodal {
         .otherwise("unknown").as("kind"))
   }
 
-  /** Decoded-media metadata row (what a real decoder would emit). */
+  /** Decoded-media metadata row. `bit_depth` is the parsed bits-per-
+    * channel/pixel for payloads that structurally parse as a real
+    * container (PNG/BMP), 0 on the stub path.
+    */
   final case class DecodedMeta(
-      doc_id: Long, kind: String, width: Int, height: Int,
+      doc_id: Long, kind: String, width: Int, height: Int, bit_depth: Int,
       duration_ms: Long, batch_size: Int)
 
   /** The batched partition-wise decode pipeline. Batches of `batchSize`
-    * payloads are handed to [[decodeBatchStub]] — the seam where a real
-    * codec (libjpeg/ffmpeg via FFI, or an Arrow-vectorized reader) would
-    * plug in. Batch shape, schema, and per-task memory bounds are real;
-    * only the pixel math is fake.
+    * payloads are handed to [[decodeBatch]]: payloads that structurally
+    * parse as a real container — a full 8-byte PNG signature with a
+    * leading IHDR chunk, or a BMP file header with a BITMAPINFOHEADER —
+    * get their TRUE dimensions and bit depth from the header bytes
+    * (header-only, O(1) per payload — no pixel decode, no codec
+    * dependency); everything else falls through to the deterministic
+    * stub, the seam where a full codec (libjpeg/ffmpeg via FFI, or an
+    * Arrow-vectorized reader) would plug in. Batch shape, schema, and
+    * per-task memory bounds are real for both paths.
     */
   def decodeMeta(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = payloads.sparkSession
@@ -71,7 +79,7 @@ object Multimodal {
       payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
         .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(batch => decodeBatchStub(batch, batch.size))
+      it.grouped(batchSize).flatMap(batch => decodeBatch(batch, batch.size))
     }.toDF()
   }
 
@@ -204,29 +212,82 @@ object Multimodal {
     }.toDF()
   }
 
-  private def sniffKind(bytes: Array[Byte]): String = bytes.take(4) match {
-    case b if b.sameElements(PngMagic) => "png"
-    case b if b.sameElements(JpegMagic) => "jpeg"
-    case b if b.sameElements(RiffMagic) => "riff"
-    case _ => "unknown"
+  private def sniffKind(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) "bmp"
+    else bytes.take(4) match {
+      case b if b.sameElements(PngMagic) => "png"
+      case b if b.sameElements(JpegMagic) => "jpeg"
+      case b if b.sameElements(RiffMagic) => "riff"
+      case _ => "unknown"
+    }
+
+  private def be32(bytes: Array[Byte], o: Int): Int =
+    ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+      ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+
+  private def le32(bytes: Array[Byte], o: Int): Int =
+    (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+
+  /** PNG signature + leading IHDR chunk (the PNG spec mandates IHDR
+    * first): full 8-byte signature, chunk length 13, chunk type "IHDR";
+    * then width/height are big-endian at 16/20 and bit depth (bits per
+    * channel) at 24. Returns None for anything structurally off — a
+    * 4-byte-magic synthetic payload never gets here, which is exactly
+    * the invariant the decode oracle's stub replay gates.
+    */
+  private[operators] def parsePngHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes.length < 33) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != sig(i)) return None; i += 1 }
+    if (be32(bytes, 8) != 13) return None
+    if (!(bytes(12) == 'I'.toByte && bytes(13) == 'H'.toByte &&
+        bytes(14) == 'D'.toByte && bytes(15) == 'R'.toByte)) return None
+    val w = be32(bytes, 16); val h = be32(bytes, 20)
+    if (w <= 0 || h <= 0) return None
+    Some((w, h, bytes(24) & 0xff))
   }
 
-  /** DETERMINISTIC FAKE DECODE — ??? in spirit: derives "dimensions"
-    * from payload bytes so tests are reproducible. A real implementation
-    * decodes the batch with a native codec and returns true dimensions.
+  /** BMP file header + BITMAPINFOHEADER (or a later, longer DIB
+    * header): "BM" magic, DIB header size >= 40 at offset 14; then
+    * little-endian width at 18, SIGNED height at 22 (negative = top-down
+    * row order — dimensions are its magnitude), bits-per-pixel at 28.
     */
-  private def decodeBatchStub(
+  private[operators] def parseBmpHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 30) return None
+    if (!(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)) return None
+    if (le32(bytes, 14) < 40) return None
+    val w = le32(bytes, 18); val h = le32(bytes, 22)
+    if (w <= 0 || h == 0 || h == Int.MinValue) return None
+    val depth = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    Some((w, math.abs(h), depth))
+  }
+
+  /** Batch decode: header-parse the real containers, fall through to
+    * the DETERMINISTIC FAKE for the rest — the stub derives
+    * "dimensions" from payload bytes so tests are reproducible; a full
+    * codec integration would replace only that else-branch.
+    */
+  private def decodeBatch(
       batch: Seq[(Long, Array[Byte])], batchSize: Int): Seq[DecodedMeta] =
     batch.map { case (id, bytes) =>
-      val kind = sniffKind(bytes)
-      val h = graft.functions.RollingHash.hashBytes(bytes)
-      DecodedMeta(
-        doc_id = id, kind = kind,
-        // abs AFTER the modulo (like frameSample): abs(Long.MinValue) is
-        // still negative, so abs-first could emit non-positive dims
-        width = (math.abs(h % 1920) + 1).toInt,
-        height = (math.abs(h / 7 % 1080) + 1).toInt,
-        duration_ms = if (kind == "riff") math.abs(h % 60000L) else 0L,
-        batch_size = batchSize)
+      parsePngHeader(bytes).map { case (w, h, d) =>
+        DecodedMeta(id, "png", w, h, d, 0L, batchSize)
+      }.orElse(parseBmpHeader(bytes).map { case (w, h, d) =>
+        DecodedMeta(id, "bmp", w, h, d, 0L, batchSize)
+      }).getOrElse {
+        val kind = sniffKind(bytes)
+        val h = graft.functions.RollingHash.hashBytes(bytes)
+        DecodedMeta(
+          doc_id = id, kind = kind,
+          // abs AFTER the modulo (like frameSample): abs(Long.MinValue)
+          // is still negative, so abs-first could emit non-positive dims
+          width = (math.abs(h % 1920) + 1).toInt,
+          height = (math.abs(h / 7 % 1080) + 1).toInt,
+          bit_depth = 0,
+          duration_ms = if (kind == "riff") math.abs(h % 60000L) else 0L,
+          batch_size = batchSize)
+      }
     }
 }

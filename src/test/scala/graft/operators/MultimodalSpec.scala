@@ -18,16 +18,50 @@ class MultimodalSpec extends AnyFunSuite {
       .localCheckpoint()
 
   test("decodeMeta: deterministic, kind matches the magic, batches bounded") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("kind"), r.getAs[Int]("width"),
+        r.getAs[Int]("height"), r.getAs[Int]("bit_depth"), r.getAs[Long]("duration_ms"))
     val a = Multimodal.decodeMeta(payloads, batchSize = 64).collect()
     val b = Multimodal.decodeMeta(payloads, batchSize = 7).collect()
-    assert(a.map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet ==
-      b.map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet,
+    assert(a.map(key).toSet == b.map(key).toSet,
       "decode result must not depend on batch size")
-    assert(a.forall(_.getInt(5) <= 64) && b.forall(_.getInt(5) <= 7), "batch cap violated")
+    assert(a.forall(_.getAs[Int]("batch_size") <= 64) &&
+      b.forall(_.getAs[Int]("batch_size") <= 7), "batch cap violated")
     a.foreach { r =>
-      val expected = r.getLong(0) % 3 match { case 0 => "png"; case 1 => "jpeg"; case _ => "riff" }
-      assert(r.getString(1) == expected, s"doc ${r.getLong(0)} kind ${r.getString(1)}")
+      val expected = r.getAs[Long]("doc_id") % 3 match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "riff"
+      }
+      assert(r.getAs[String]("kind") == expected, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Int]("bit_depth") == 0,
+        "a 4-byte-magic synthetic payload must never take the real-parse path")
     }
+  }
+
+  test("decodeMeta: planted real PNG/BMP headers yield TRUE dimensions and bit depth") {
+    import spark.implicits._
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    // minimal structurally valid PNG: signature, IHDR(len 13) with
+    // 640x480 @ 8 bits/channel, then arbitrary tail bytes
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ Array.fill[Byte](8)(0x55)
+    // BMP with BITMAPINFOHEADER: 13 x -7 (top-down) @ 24 bpp
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(54 + 13 * 7 * 3) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(13) ++ le32(-7) ++ Array[Byte](1, 0, 24, 0) ++ Array.fill[Byte](20)(0)
+    // a PNG 4-byte magic withOUT the full signature must stay on the stub
+    val fake = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte) ++ "hello".getBytes("UTF-8")
+    val in = Seq((1L, png), (2L, bmp), (3L, fake)).toDF("doc_id", "payload")
+    val got = Multimodal.decodeMeta(in).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("kind"), r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Int]("bit_depth")))
+    }.toMap
+    assert(got(1L) == (("png", 640, 480, 8)), s"png: ${got(1L)}")
+    assert(got(2L) == (("bmp", 13, 7, 24)), s"bmp: ${got(2L)}")
+    val (fk, fw, fh, fd) = got(3L)
+    assert(fk == "png" && fd == 0 && fw >= 1 && fh >= 1,
+      s"partial magic must fall through to the stub: ${got(3L)}")
   }
 
   test("resize: magic preserved, output size bounded by target dims, deterministic") {
