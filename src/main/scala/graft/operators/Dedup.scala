@@ -363,17 +363,24 @@ object Dedup {
     * borderline pairs may be missed (floor spec'd vs
     * [[embeddingNearDupsExact]] in DedupSpec).
     *
-    * Sizing at corpus scale: `bits` sets the bucket space (2^bits per
-    * table) — the 4-bit default matches this synthetic corpus's LOW
-    * 0.4 threshold (its near-dups top out at cosine ≈0.5, i.e.
-    * p_bit ≈ 0.63 vs 0.5 for a random pair — too narrow a gap for ANY
-    * sign-LSH family to prune hard, so the candidate fraction here
-    * stays ~0.6 and the win over the exact path is shape, not wall
-    * time). Production near-DUPLICATE detection (threshold ≥ 0.9,
-    * where p_bit ≥ 0.9) is the regime this operator exists for: run
-    * bits 16-24 with tables ~12 — recall stays high for true dups,
-    * candidates collapse to the near-dup population, and the bucket
-    * space scales to billions of rows without saturating the cap.
+    * Sizing at corpus scale: `bits` is only the FLOOR of the bucket
+    * space — the effective bit count grows as
+    * `max(bits, ceil(log2(n / targetBucketSize)))`, holding the
+    * EXPECTED bucket population ~constant as the corpus grows. That is
+    * the load-bearing scale property: with any fixed bit count,
+    * bucket population grows linearly in n and the within-bucket pair
+    * generation QUADRATICALLY — the r8 sf1 scale run measured exactly
+    * that (113× wall time for 10× rows at fixed 4 bits; adaptive bits
+    * restored linear behavior). The count that sizes the space rides
+    * the checkpoint materialization every consumer needs anyway.
+    * The 4-bit floor matches this synthetic corpus's LOW 0.4 threshold
+    * (its near-dups top out at cosine ≈0.5 — p_bit ≈ 0.63 vs 0.5 for a
+    * random pair, too narrow for ANY sign-LSH family to prune hard).
+    * Production near-DUPLICATE detection (threshold ≥ 0.9, p_bit ≥
+    * 0.9) is the regime this operator exists for: recall stays
+    * near-certain for true dups at 2^4..2^24 bucket spaces because the
+    * per-table miss probability compounds over `tables` independent
+    * tables (e.g. cos 0.96, 8 bits: miss ≈ (1−0.91⁸)¹⁶ ≈ 4e-5).
     */
   def embeddingNearDupsLsh(
       embeddings: DataFrame,
@@ -381,13 +388,22 @@ object Dedup {
       tables: Int = 16,
       bits: Int = 4,
       maxBucketSize: Int = 4096,
+      targetBucketSize: Int = 128,
       dropObs: Option[Observation] = None): DataFrame = {
-    val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tables, bits)
+    require(targetBucketSize > 0, s"targetBucketSize must be positive, got $targetBucketSize")
     val e = Similarity.withNorm(embeddings)
-      .localCheckpoint(false) // consumers: bucketing + both verify sides
+      .localCheckpoint(false) // consumers: sizing count, bucketing, both verify sides
+    // size the bucket space to the data: expected population per bucket
+    // stays ~targetBucketSize however large the corpus is, so in-bucket
+    // pair generation stays linear in n. The count's job materializes
+    // the checkpoint the consumers below reuse.
+    val n = e.count()
+    val effBits = math.max(bits, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+    val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tables, effBits)
     val buckets = e.select(
       col("vec_id"),
-      posexplode(graft.functions.HyperplaneBuckets.buckets(col("v"), planes, tables, bits)))
+      posexplode(graft.functions.HyperplaneBuckets.buckets(col("v"), planes, tables, effBits)))
       .toDF("vec_id", "tbl", "bucket")
     val cands = capBuckets(buckets, Seq("tbl", "bucket"), maxBucketSize, dropObs)
       .groupBy("tbl", "bucket")

@@ -304,4 +304,118 @@ object StreamingJobs {
           }(evictFlush(cfg, symbol))
       }
   }
+
+  /** Streaming as-of join input: the tagged union the batch operator
+    * ([[graft.operators.AsofJoin]]) builds internally, made explicit —
+    * side 0 = right (the quoted/prevailing stream), side 1 = left (the
+    * probing stream). Payload is (event_id, value), the same shape the
+    * q_asof_join wiring carries.
+    */
+  final case class AsofIn(key: Long, ts_us: Long, side: Int, event_id: Long, value: Double)
+
+  /** One emitted row per LEFT input row: the left payload plus the
+    * prevailing right row's payload, None when no right row at-or-before
+    * the left timestamp has been seen (the batch operator's NULLs).
+    */
+  final case class AsofMatch(
+      key: Long, ts_us: Long, event_id: Long, value: Double,
+      r_ts_us: Option[Long], r_event_id: Option[Long], r_value: Option[Double])
+
+  /** ONE-row carry state per key — the streaming as-of join's entire
+    * memory: the prevailing right row. `(r_ts_us, r_event_id)` doubles
+    * as the right-side high-water mark and `(l_ts_us, l_event_id)` as
+    * the left-side one — an at-least-once source redelivering a right
+    * row must not regress the carry, and redelivering a LEFT row must
+    * not re-emit its match into the append sink.
+    */
+  final case class AsofCarry(
+      hasRight: Boolean, r_ts_us: Long, r_event_id: Long, r_value: Double,
+      l_ts_us: Long, l_event_id: Long)
+
+  /** SURVEY #32's streaming twin: the batch operator's prevailing-row
+    * carry (`last(__r, ignoreNulls) over (order by ts, side)`) run
+    * incrementally under `flatMapGroupsWithState` with ONE row of state
+    * per key. Identical tie semantics: within a batch rows arrive
+    * (ts_us, side, event_id)-sorted, so at equal ts the right row
+    * updates the carry BEFORE the left row reads it (ties include
+    * equality, as in `ON l.ts >= r.ts`).
+    *
+    * Contracts, mirroring [[runSymbolBatch]]: (1) per-key in-order
+    * arrival ACROSS batches (the watermark + per-batch sort orders
+    * within a batch); rows at-or-under the carry's per-side
+    * (ts_us, event_id) high-waters — cross-batch disorder or
+    * at-least-once redelivery — are dropped: a stale right row must not
+    * regress the carry, and a stale left row's match is either already
+    * in the append-only sink (redelivery) or would answer against a
+    * future carry (disorder), so neither re-emits.
+    * (2) Idle keys are evicted after `evictAfterMs` of EVENT time —
+    * state is one row per key, and eviction bounds the KEY set, the
+    * axis that actually grows on a run-forever stream; a key
+    * re-appearing later restarts with no prevailing row (the same
+    * at-most-once-per-horizon tradeoff as [[corpusIngestStream]]'s
+    * dedup state).
+    */
+  def asofJoinStream(
+      rows: Dataset[AsofIn],
+      watermarkDelay: String = "2 hours",
+      evictAfterMs: Long = DefaultEvictAfterMs): Dataset[AsofMatch] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val streaming = rows.isStreaming
+    val clustered = rows.toDF()
+      .withColumn("et", timestamp_micros(col("ts_us")))
+      .withWatermark("et", watermarkDelay)
+      .repartition(col("key"))
+    graft.plans.LocalSortHint(clustered, "key", "ts_us", "side", "event_id")
+      .groupBy(col("key")).as[Long, AsofIn]
+      .flatMapGroupsWithState[AsofCarry, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, it, state: GroupState[AsofCarry]) =>
+          if (state.hasTimedOut) {
+            // nothing to flush: every left row already answered on
+            // arrival; dropping the carry only bounds the key set
+            state.remove()
+            Iterator.empty
+          } else {
+            var carry = state.getOption.getOrElse(AsofCarry(
+              hasRight = false, Long.MinValue, Long.MinValue, 0.0,
+              Long.MinValue, Long.MinValue))
+            var lastTsUs = math.max(carry.r_ts_us, carry.l_ts_us)
+            val matched = it.flatMap { row =>
+              if (row.side == 0) {
+                // right: advance the carry unless at-or-under the
+                // high-water (redelivered or regressing right row)
+                if (row.ts_us > carry.r_ts_us ||
+                  (row.ts_us == carry.r_ts_us && row.event_id > carry.r_event_id)) {
+                  carry = carry.copy(hasRight = true,
+                    r_ts_us = row.ts_us, r_event_id = row.event_id, r_value = row.value)
+                }
+                lastTsUs = math.max(lastTsUs, row.ts_us)
+                Iterator.empty
+              } else if (row.ts_us < carry.l_ts_us ||
+                (row.ts_us == carry.l_ts_us && row.event_id <= carry.l_event_id)) {
+                // redelivered left row: its match is already in the
+                // (append-only) sink — emitting again would duplicate it
+                Iterator.empty
+              } else {
+                carry = carry.copy(l_ts_us = row.ts_us, l_event_id = row.event_id)
+                lastTsUs = math.max(lastTsUs, row.ts_us)
+                Iterator.single(AsofMatch(
+                  row.key, row.ts_us, row.event_id, row.value,
+                  if (carry.hasRight) Some(carry.r_ts_us) else None,
+                  if (carry.hasRight) Some(carry.r_event_id) else None,
+                  if (carry.hasRight) Some(carry.r_value) else None))
+              }
+            }
+            matched ++ {
+              if (streaming) {
+                state.update(carry)
+                state.setTimeoutTimestamp(
+                  math.max(lastTsUs / 1000L + evictAfterMs, state.getCurrentWatermarkMs() + 1))
+              }
+              Iterator.empty
+            }
+          }
+      }
+  }
 }

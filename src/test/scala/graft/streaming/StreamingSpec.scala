@@ -299,6 +299,58 @@ class StreamingSpec extends AnyFunSuite {
       s"redelivery changed the stream: $redelivered vs $clean")
   }
 
+  test("#32 streaming asof join matches the batch AsofJoin, carrying state across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import StreamingJobs.{AsofIn, AsofMatch}
+    // the same derivation as the batch q_asof_join wiring: purchases
+    // probe (side 1), per-(user, ts) deduped clicks quote (side 0)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("key"), unix_micros(col("ts")).as("ts_us"),
+      lit(1).as("side"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("event_id"), expr("max_by(value, event_id)").as("value"))
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("ts_us"),
+        lit(0).as("side"), col("event_id"), col("value"))
+    val expected = graft.operators.AsofJoin(
+        purchases.drop("side"), clicks.drop("side"), Seq("key"), "ts_us")
+      .collect().map { r =>
+        AsofMatch(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Double]))
+      }.toSet
+    assert(expected.nonEmpty && expected.exists(_.r_ts_us.nonEmpty),
+      "test premise: some purchases have a prevailing click")
+    // three in-event-time-order micro-batches (global ts split preserves
+    // per-key order): prevailing clicks from batch 1 must answer
+    // purchases in batches 2-3 through the one-row carry state
+    val all = purchases.unionByName(clicks).as[AsofIn].collect()
+      .sortBy(r => (r.ts_us, r.event_id))
+    val batches = all.grouped(math.max(1, (all.length + 2) / 3)).toSeq
+    assert(batches.size == 3)
+    val stream = MemoryStream[AsofIn]
+    val q = StreamingJobs.asofJoinStream(stream.toDS(), watermarkDelay = "1000 days")
+      .writeStream.format("memory").queryName("asof_par").outputMode(OutputMode.Append).start()
+    val got =
+      try {
+        batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+        spark.table("asof_par").as[AsofMatch].collect().toSet
+      } finally q.stop()
+    assert(got == expected,
+      s"asof stream diverged: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // prove the cross-batch carry actually ran: some match's prevailing
+    // click is older than the last batch's earliest timestamp
+    val lastBatchStart = batches.last.head.ts_us
+    assert(got.exists(m => m.ts_us >= lastBatchStart && m.r_ts_us.exists(_ < lastBatchStart)),
+      "no match exercised the cross-batch carry")
+    // batch-mode execution of the same stream job agrees too
+    val batchRun = StreamingJobs.asofJoinStream(all.toSeq.toDS()).collect().toSet
+    assert(batchRun == expected, "batch-mode asof stream run diverged")
+  }
+
   test("#30 batch execution of the blotter stream flushes open positions") {
     import spark.implicits._
     import StreamingJobs.StreamBar

@@ -3,7 +3,11 @@
 of the library): reads Verify output dir, runs each oracle SQL in DuckDB
 against the same sf dir, and compares row sets.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [onlySubstr1,onlySubstr2,...]
+
+The optional third arg restricts the compare to queries whose name
+contains any of the comma-separated substrings (for scaled-dir runs
+where some oracles are deliberately out of scope).
 """
 import sys, json, glob, os
 import duckdb
@@ -19,13 +23,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        sel = "*"
+        if t == "events":
+            # ScaleUp-written dirs carry ts as raw nanos BIGINT (Spark
+            # can't write TIMESTAMP(NANOS)); rebuild the same µs-precision
+            # TIMESTAMP DuckDB reads from the driver's original file
+            schema = pq.read_schema(glob.glob(os.path.join(p, "*.parquet"))[0]
+                                    if os.path.isdir(p) else p)
+            if str(schema.field("ts").type) == "int64":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{src}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        pats = [s for s in only.split(",") if s]
+        oracle = {k: v for k, v in oracle.items() if any(s in k for s in pats)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = os.path.join(out_dir, name)
@@ -55,4 +73,4 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
