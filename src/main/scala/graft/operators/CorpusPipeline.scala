@@ -70,20 +70,24 @@ object CorpusPipeline {
   /** Per-stage survivor counts — the pipeline's audit trail (silent
     * shrinkage is how corpus bugs ship). Shares the staged build with
     * [[cleanCorpus]], so the report always describes the pipeline that
-    * actually runs.
+    * actually runs. The four counts are a UNION of global aggregates —
+    * one Spark job over the checkpointed stages when the consumer
+    * materializes it, not four sequential driver actions (global agg,
+    * not groupBy(lit): an empty stage must still report a 0 row).
     */
   def stageReport(
       documents: DataFrame,
       minQuality: Double = 0.5,
       jaccardThreshold: Double = 0.8): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val st = build(documents, minQuality, jaccardThreshold)
     Seq(
-      ("input", documents.count()),
-      ("quality_gate", st.scored.count()),
-      ("exact_dedup", st.canonical.count()),
-      ("near_dedup", st.cleaned.count())
-    ).toDF("stage", "n_docs")
+      ("input", documents),
+      ("quality_gate", st.scored),
+      ("exact_dedup", st.canonical),
+      ("near_dedup", st.cleaned))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+      }
+      .reduce(_ unionByName _)
   }
 }
