@@ -71,6 +71,19 @@ object SparkEntry {
   private def bars(s: SparkSession, dir: String): DataFrame =
     MtmEngine.barsFromEvents(Tables.events(s, dir))
 
+  // Continuous-quantile interpolation is 1-ULP engine-sensitive (the
+  // lo + frac*(hi-lo) association differs between Spark's percentile and
+  // DuckDB's quantile_cont — observed 2.8e-14 at sf1), so the wired
+  // queries quantize to 1e-9 units with the same floor(x*1e9+0.5)
+  // expression the oracle uses: the hash compare then tests the math,
+  // not the engines' rounding association.
+  private def quantizedPcts(df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      if (c == "p50" || c == "p95" || c == "p99")
+        org.apache.spark.sql.functions.expr(s"floor($c * 1e9 + 0.5) / 1e9").as(c)
+      else col(c)
+    }.toSeq: _*)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- core MTM engine (reference surface) --
@@ -132,13 +145,14 @@ object SparkEntry {
         graft.sources.BucketedTables.orders(s, dir), graft.sources.BucketedTables.lineitem(s, dir))),
     "q_asof_join" -> ((s, dir) => Analytics.asofPurchaseClicks(Tables.events(s, dir))),
     "q_join_salted" -> ((s, dir) => Analytics.saltedEventRollup(Tables.events(s, dir))),
-    "q_percentiles" -> ((s, dir) => Analytics.percentiles(Tables.events(s, dir))),
+    "q_percentiles" -> ((s, dir) => quantizedPcts(Analytics.percentiles(Tables.events(s, dir)))),
     // the router's exact branch: at verify scale every group fits one
     // task, so percentilesAuto must reproduce q_percentiles' oracle
     // bit-for-bit (the probe may only pick the plan, never change
     // values); the approx-branch routing decision is spec'd in
     // PercentileSpec
-    "q_percentiles_auto" -> ((s, dir) => Analytics.percentilesAuto(Tables.events(s, dir))),
+    "q_percentiles_auto" ->
+      ((s, dir) => quantizedPcts(Analytics.percentilesAuto(Tables.events(s, dir)))),
     "q_percentiles_approx" -> ((s, dir) => Analytics.percentilesApprox(Tables.events(s, dir))),
     "q_events_sessionize" -> ((s, dir) => Analytics.sessionize(Tables.events(s, dir))),
     "q_events_tumbling_agg" -> ((s, dir) => Analytics.tumblingAgg(Tables.events(s, dir))),
@@ -903,19 +917,21 @@ object SparkEntry {
         |  FROM customer JOIN rev ON c_custkey=o_custkey
         |    JOIN nation ON c_nationkey=n_nationkey) t
         |WHERE rank <= 3""".stripMargin,
+    // p50/p95/p99 quantized to 1e-9 units on BOTH sides: interpolation
+    // association differs between engines by ~1 ULP (visible at sf1)
     "q_percentiles" ->
       """SELECT event_type, count(*) AS n,
-        |  quantile_cont(value, 0.5) AS p50,
-        |  quantile_cont(value, 0.95) AS p95,
-        |  quantile_cont(value, 0.99) AS p99
+        |  floor(quantile_cont(value, 0.5) * 1e9 + 0.5) / 1e9 AS p50,
+        |  floor(quantile_cont(value, 0.95) * 1e9 + 0.5) / 1e9 AS p95,
+        |  floor(quantile_cont(value, 0.99) * 1e9 + 0.5) / 1e9 AS p99
         |FROM events GROUP BY event_type""".stripMargin,
     // same oracle as q_percentiles: the router's probe must route to
     // the exact path at this scale and leave values untouched
     "q_percentiles_auto" ->
       """SELECT event_type, count(*) AS n,
-        |  quantile_cont(value, 0.5) AS p50,
-        |  quantile_cont(value, 0.95) AS p95,
-        |  quantile_cont(value, 0.99) AS p99
+        |  floor(quantile_cont(value, 0.5) * 1e9 + 0.5) / 1e9 AS p50,
+        |  floor(quantile_cont(value, 0.95) * 1e9 + 0.5) / 1e9 AS p95,
+        |  floor(quantile_cont(value, 0.99) * 1e9 + 0.5) / 1e9 AS p99
         |FROM events GROUP BY event_type""".stripMargin,
     "q_join_salted" ->
       """WITH e AS (SELECT user_id, event_type, value FROM events),
