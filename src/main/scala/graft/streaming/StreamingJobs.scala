@@ -215,8 +215,11 @@ object StreamingJobs {
           // evict once event time moves evictAfterMs past this symbol's
           // newest bar; clamp above the current watermark (a lagging
           // group may already be older than watermark - evictAfter)
+          // floorDiv, not /: truncation rounds a pre-1970 µs timestamp
+          // UP to the next ms, anchoring eviction 1 ms late
           state.setTimeoutTimestamp(
-            math.max(lastTsUs / 1000L + evictAfterMs, state.getCurrentWatermarkMs() + 1))
+            math.max(Math.floorDiv(lastTsUs, 1000L) + evictAfterMs,
+              state.getCurrentWatermarkMs() + 1))
           Iterator.empty
         } else {
           // BATCH execution: GroupState is discarded when the job ends
@@ -411,7 +414,8 @@ object StreamingJobs {
               if (streaming) {
                 state.update(carry)
                 state.setTimeoutTimestamp(
-                  math.max(lastTsUs / 1000L + evictAfterMs, state.getCurrentWatermarkMs() + 1))
+                  math.max(Math.floorDiv(lastTsUs, 1000L) + evictAfterMs,
+                    state.getCurrentWatermarkMs() + 1))
               }
               Iterator.empty
             }
