@@ -165,6 +165,7 @@ object SparkEntry {
     "q_doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprint(Tables.documents(s, dir))),
     // -- deduplication (LLM pipeline) --
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDups(Tables.documents(s, dir))),
+    "q_dedup_spans" -> ((s, dir) => Dedup.dedupSpans(Tables.documents(s, dir))),
     // production wiring is df-capped: a shingle in d docs contributes d²
     // join rows, so ultra-common shingles (which carry no near-dup
     // signal) are excluded from the pair join — the oracle mirrors the
@@ -1034,6 +1035,33 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" ->
       s"""WITH ${jaccardPairsSql("documents", Some(1000))}
         |SELECT doc_id_a, doc_id_b, jaccard FROM jpairs""".stripMargin,
+    // duplicated-span removal: raw space-split tokens (string_split, no
+    // regex — both engines split identically), global first occurrence
+    // by the same doc_id*2^32+pos order key the operator aggregates
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w0 AS (SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks) - 8 + 1, 0))) AS pos FROM t),
+        |w AS (SELECT doc_id, pos,
+        |        array_to_string(toks[pos + 1 : pos + 8], ' ') AS win FROM w0),
+        |g AS (SELECT win, count(*) AS c,
+        |        min(doc_id * 4294967296 + pos) AS canon FROM w GROUP BY win),
+        |m AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (win)
+        |      WHERE g.c >= 2 AND w.doc_id * 4294967296 + w.pos <> g.canon),
+        |cov AS (SELECT DISTINCT doc_id, pos + u AS tpos
+        |        FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS u FROM m)),
+        |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS tpos, toks FROM t),
+        |tok2 AS (SELECT doc_id, tpos, toks[tpos + 1] AS tok FROM tok),
+        |kept AS (SELECT tok2.doc_id, tok2.tpos, tok2.tok FROM tok2
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                           WHERE cov.doc_id = tok2.doc_id
+        |                             AND cov.tpos = tok2.tpos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+        |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
     // exact-Jaccard gate for the LSH path — see jaccardPairsSql's
     // scaladoc for why the probabilistic operator answers a
     // deterministic oracle (exact verify + <5e-8 per-pair miss odds +

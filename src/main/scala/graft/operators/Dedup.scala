@@ -418,4 +418,97 @@ object Dedup {
         "vec_id_a"),
       e, threshold)
   }
+
+  /** Corpus-wide duplicated-SPAN removal (SURVEY §2 #46) — the
+    * distributed re-expression of exact substring deduplication
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), at k-token granularity: any k-token window that
+    * occurs more than once in the ENTIRE corpus (across documents or
+    * within one) keeps only its globally first occurrence — ordered by
+    * (doc_id, position) — and every token covered by any OTHER
+    * occurrence of any duplicated window is removed from its document.
+    * This is the dedup the doc-level operators cannot do: boilerplate
+    * headers, license blocks, and quoted passages pasted into otherwise
+    * unique documents survive MinHash/SimHash (document similarity
+    * stays low) but are exactly what inflates memorization.
+    *
+    * Token-level removal semantics (document-shared with the oracle): a
+    * token inside a globally-first window can still be removed when a
+    * DIFFERENT duplicated window overlapping it is non-canonical —
+    * removal is the union of non-canonical window spans, the same
+    * greedy approximation the reference implementations ship, not a
+    * minimal-cut.
+    *
+    * Plan shape at 100 TB: tokenization and window building run inside
+    * the scan stage (array transform — no exchange); the only wide
+    * exchanges are (a) the window groupBy — partial-aggregated
+    * count + min, so each map task emits one row per distinct local
+    * window — and (b) the join of windows against the duplicated-window
+    * set, which is the corpus's REPEATED content only (usually tiny
+    * relative to the corpus ⇒ broadcast; AQE decides). Occurrence
+    * order rides one BIGINT (`doc_id·2³² + pos` — positions are Int by
+    * construction; callers with doc ids at or above 2³¹ remap first),
+    * so the canonical pick partial-aggregates instead of needing a
+    * global sort. Window
+    * STRINGS shuffle in exchange (a) for oracle-exactness; the
+    * production variant hashes them to 128 bits first (same shape,
+    * n²/2¹²⁸ collision odds), and swaps the per-doc lambda for a
+    * positional native generator (see [[graft.functions.ShingleGenerator]])
+    * — both swaps change constants, not exchanges. Reassembly
+    * aggregates each document's kept tokens once — O(doc) rows per
+    * group, the same per-key bound every text kernel here carries.
+    */
+  def dedupSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = documents
+      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint(false) // consumers: windows, token positions, final doc frame
+    // one row per k-token window with its start position; short docs
+    // (fewer than k tokens) contribute no windows and pass through whole
+    val wins = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $k
+           |  THEN transform(sequence(0, size(toks) - $k),
+           |                 i -> concat_ws(' ', slice(toks, i + 1, $k)))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .toDF("doc_id", "pos", "win")
+      .withColumn("okey", col("doc_id") * lit(4294967296L) + col("pos"))
+      // two consumers (the dup aggregate and the mark join) would each
+      // re-run the interpreted window lambda; materialize once. At
+      // cluster scale prefer recomputing over caching the window set
+      // (it is ~k× the corpus text) — this checkpoint is the
+      // single-node tradeoff, the lambda cost the rotation the
+      // production native generator removes
+      .localCheckpoint(false)
+    // the duplicated-window set with its canonical (first) occurrence;
+    // count and min are both map-side partials
+    val dups = wins.groupBy("win")
+      .agg(count(lit(1)).as("c"), min("okey").as("canon"))
+      .where(col("c") >= 2)
+      .select("win", "canon")
+    // positions covered by any NON-canonical occurrence of a dup window
+    val covered = wins.join(dups, "win")
+      .where(col("okey") =!= col("canon"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tpos"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "tpos", "tok")
+    val keptAgg = tokens
+      .join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(tpos, tok))), s -> s.tok), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // left join from the full doc frame: a fully-duplicated document
+    // must surface as an empty row, not vanish
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -139,4 +139,33 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("span dedup keeps first occurrence, strips later copies, unions overlaps") {
+    import spark.implicits._
+    def toks(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val boiler = toks(10, "b") // a 10-token boilerplate block (> k = 8)
+    val docs = Seq(
+      (1L, s"${toks(5, "u")} $boiler"),        // first occurrence — canonical
+      (2L, s"$boiler ${toks(5, "v")}"),        // later copy — stripped
+      (3L, toks(6, "w")),                      // shorter than k: untouched
+      (4L, boiler)                             // fully duplicated — empty row
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"${toks(5, "u")} $boiler", 15L, 0L)), s"canonical mutated: ${out(1L)}")
+    // doc 2: all 10 boilerplate tokens are covered by the union of its
+    // three non-canonical windows (positions 0..2 each spanning 8)
+    assert(out(2L) == ((toks(5, "v"), 5L, 10L)), s"copy not stripped: ${out(2L)}")
+    assert(out(3L) == ((toks(6, "w"), 6L, 0L)), s"short doc mutated: ${out(3L)}")
+    assert(out(4L) == (("", 0L, 10L)), s"full dup should empty, not vanish: ${out(4L)}")
+  }
+
+  test("span dedup removes within-document repeats too") {
+    import spark.implicits._
+    val span = (0 until 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq((7L, s"$span x $span")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, k = 8).collect().head
+    assert(out.getString(1) == s"$span x", s"second in-doc copy should go: $out")
+    assert(out.getLong(2) == 9L && out.getLong(3) == 8L)
+  }
 }
