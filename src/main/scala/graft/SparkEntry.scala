@@ -230,6 +230,8 @@ object SparkEntry {
       Sampling.fixedSizePerStratum(Tables.events(s, dir), fixedSampleK)),
     "q_split_assign" -> ((s, dir) =>
       Sampling.splitAssign(Tables.events(s, dir), splitWeights)),
+    "q_sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureResample(Tables.documents(s, dir), mixtureTarget.toMap)),
     // eval set = every 7th doc (guaranteed to intersect the corpus's
     // planted near-dups at both test sfs); flagged pairs are the audit
     // artifact, Decontaminate.clean is the anti-join composition
@@ -258,6 +260,9 @@ object SparkEntry {
     */
   private val sampleRates = Seq("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.05)
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  // mixture target over documents.source: src0 is the limiting source
+  // (uniform counts), so it keeps everything and the others downsample
+  private val mixtureTarget = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
   private val fixedSampleK = 100
   private val ngramK = 50
   private val packBudget = 2048
@@ -1215,6 +1220,26 @@ object SparkEntry {
              s"WHEN '$s' THEN ${math.floor(r * graft.operators.Sampling.KeySpace).toLong}"
            }.mkString("\n  ")}
         |  ELSE -1 END)""".stripMargin,
+    // mixture thresholds derive from the same mixtureTarget list and
+    // the same IEEE expression shape (w * cap / n, least, floor) the
+    // Scala wiring uses, so integer thresholds match exactly
+    "q_sample_mixture" ->
+      s"""WITH src AS (SELECT doc_id, source, lang,
+        |              CAST(doc_id AS VARCHAR) AS sid FROM documents),
+        |$SAMPLE_KEY,
+        |cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source),
+        |wf AS (SELECT source, n, CASE source
+        |  ${mixtureTarget.map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString("\n  ")}
+        |  ELSE -1.0 END AS w FROM cnt
+        |  WHERE CASE source
+        |  ${mixtureTarget.map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString("\n  ")}
+        |  ELSE -1.0 END > 0),
+        |cap AS (SELECT min(n / w) AS cap FROM wf),
+        |thr AS (SELECT source,
+        |  CAST(floor(least(1.0, w * cap / n) * ${graft.operators.Sampling.KeySpace.toDouble}) AS BIGINT) AS thr
+        |  FROM wf, cap)
+        |SELECT k.doc_id, k.source, k.lang, CAST(k.skey AS BIGINT) AS sample_key
+        |FROM k JOIN thr USING (source) WHERE k.skey < thr.thr""".stripMargin,
     // group-keyed (user_id) so the leakage-safe property is in the
     // oracle too; thresholds are the cumulative splitWeights ladder
     "q_split_assign" ->

@@ -123,4 +123,52 @@ object Sampling {
         col("col.id").as("event_id"),
         (-col("col.score")).cast("long").as("sample_key"))
   }
+
+  /** Domain-mixture resampling (SURVEY §2 #47): downsample per `source`
+    * so the OUTPUT corpus matches the `target` mixture proportions
+    * while keeping the maximum total possible — the static
+    * domain-weighting step (Pile-style mixing, DoReMi's final apply)
+    * every multi-source corpus build runs between cleaning and
+    * packing. Feasibility is set by the scarcest source relative to
+    * its weight: output total N = min_s(n_s / w_s), so source s keeps
+    * rate_s = w_s·N / n_s — the limiting source keeps everything,
+    * everything else Bernoulli-downsamples by the same content-derived
+    * [[sampleKey]] as [[stratifiedSample]] (re-run/backfill-stable,
+    * no rand()). Sources not named in `target` are dropped (name what
+    * you keep). Expected output mixture is `target` to within the
+    * 2^-24 threshold quantization.
+    *
+    * Scale shape: one partial-aggregated count per source (#sources
+    * rows), a 1-row global min, and a broadcast of the #sources-row
+    * rate table back onto a stateless filter projection — the corpus
+    * crosses ZERO wide exchanges. The rate arithmetic
+    * (`w * cap / n`, `least`, `floor`) is written token-identically in
+    * the oracle so the IEEE doubles — and therefore the integer
+    * thresholds — match exactly.
+    */
+  def mixtureResample(documents: DataFrame, target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty, "target must name at least one source")
+    require(target.values.forall(_ > 0.0), s"target weights must be positive: $target")
+    require(math.abs(target.values.sum - 1.0) < 1e-9, s"target must sum to 1: $target")
+    graft.functions.RollingHash.register(documents.sparkSession)
+    graft.functions.FibFinish.register(documents.sparkSession)
+    val wcol = target.foldLeft(lit(-1.0)) { case (acc, (s, wt)) =>
+      when(col("source") === lit(s), lit(wt)).otherwise(acc)
+    }
+    val counts = documents.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("w", wcol)
+      .where(col("w") > 0)
+    val cap = counts.agg(min(col("n") / col("w")).as("cap"))
+    val thresholds = counts.crossJoin(broadcast(cap))
+      .select(col("source"),
+        floor(least(lit(1.0), col("w") * col("cap") / col("n")) * lit(KeySpace.toDouble))
+          .cast("long").as("thr"))
+    documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        sampleKey(col("doc_id")).as("sample_key"))
+      .join(broadcast(thresholds), "source")
+      .filter(col("sample_key") < col("thr"))
+      .select(col("doc_id"), col("source"), col("lang"), col("sample_key"))
+  }
 }

@@ -113,4 +113,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.split("topk_by_score").length >= 3, // partial + final
       "expected both partial and final heap aggregation")
   }
+
+  test("mixture resample hits the target proportions; limiting source keeps all") {
+    val target = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val docs = Tables.documents(spark, sfDir)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.mixtureResample(docs, target)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    // unlisted sources dropped
+    assert(out.map(_._2).toSet.subsetOf(target.keySet))
+    // scalar replay of the rate math: N = min(n/w); thr = floor(min(1, w*N/n)*2^24)
+    val caps = target.map { case (s, w) => perSource(s) / w }
+    val nCap = caps.min
+    val expected = docs.select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, s) =>
+        target.get(s).exists { w =>
+          val thr = math.floor(math.min(1.0, w * nCap / perSource(s)) * Sampling.KeySpace).toLong
+          scalarKey(id) < thr
+        }
+      }.toSet
+    assert(out.toSet == expected,
+      s"missed: ${(expected -- out.toSet).take(5)}, extra: ${(out.toSet -- expected).take(5)}")
+    // with uniform counts, src0 (largest weight) is limiting: keeps ALL
+    assert(out.count(_._2 == "src0") == perSource("src0"), "limiting source must keep all rows")
+    // non-limiting sources keep ~w*N rows (3-sigma Bernoulli band)
+    Seq("src1", "src2").foreach { s =>
+      val kept = out.count(_._2 == s).toDouble
+      val exp = target(s) * nCap
+      val sigma = math.sqrt(exp * (1 - exp / perSource(s)))
+      assert(math.abs(kept - exp) <= 3 * sigma + 1,
+        s"$s kept $kept, expected ~$exp (corpus ${perSource(s)})")
+    }
+  }
+
+  test("mixture resample corpus side crosses no wide exchange") {
+    val target = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val plan = Sampling.mixtureResample(Tables.documents(spark, sfDir), target)
+      .queryExecution.executedPlan.toString
+    // the only allowed exchanges are on the #sources-row stats frames;
+    // the corpus-side probe must reach the scan through broadcast joins
+    // only — assert no SortMergeJoin / shuffled hash join materialized
+    assert(plan.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle-join:\n$plan")
+  }
 }
