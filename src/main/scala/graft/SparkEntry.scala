@@ -232,6 +232,8 @@ object SparkEntry {
       Sampling.splitAssign(Tables.events(s, dir), splitWeights)),
     "q_sample_mixture" -> ((s, dir) =>
       Sampling.mixtureResample(Tables.documents(s, dir), mixtureTarget.toMap)),
+    "q_shuffle_shard" -> ((s, dir) =>
+      Sampling.shuffleShard(Tables.documents(s, dir), shuffleShards)),
     // eval set = every 7th doc (guaranteed to intersect the corpus's
     // planted near-dups at both test sfs); flagged pairs are the audit
     // artifact, Decontaminate.clean is the anti-join composition
@@ -263,6 +265,7 @@ object SparkEntry {
   // mixture target over documents.source: src0 is the limiting source
   // (uniform counts), so it keeps everything and the others downsample
   private val mixtureTarget = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+  private val shuffleShards = 16
   private val fixedSampleK = 100
   private val ngramK = 50
   private val packBudget = 2048
@@ -1240,6 +1243,16 @@ object SparkEntry {
         |  FROM wf, cap)
         |SELECT k.doc_id, k.source, k.lang, CAST(k.skey AS BIGINT) AS sample_key
         |FROM k JOIN thr USING (source) WHERE k.skey < thr.thr""".stripMargin,
+    // global shuffled order = ORDER BY (sample key, doc_id); the
+    // engine's two-phase prefix-sum rank must equal the plain
+    // single-window SQL rank
+    "q_shuffle_shard" ->
+      s"""WITH src AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid FROM documents),
+        |$SAMPLE_KEY
+        |SELECT doc_id, CAST(skey AS BIGINT) AS sample_key,
+        |  CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shuffle_pos,
+        |  CAST((row_number() OVER (ORDER BY skey, doc_id) - 1) % $shuffleShards AS BIGINT) AS shard
+        |FROM k""".stripMargin,
     // group-keyed (user_id) so the leakage-safe property is in the
     // oracle too; thresholds are the cumulative splitWeights ladder
     "q_split_assign" ->

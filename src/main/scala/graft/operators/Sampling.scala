@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data pipelines
@@ -170,5 +171,57 @@ object Sampling {
       .join(broadcast(thresholds), "source")
       .filter(col("sample_key") < col("thr"))
       .select(col("doc_id"), col("source"), col("lang"), col("sample_key"))
+  }
+
+  /** Deterministic global shuffle + shard assignment (SURVEY §2 #48):
+    * every document gets its position in the content-keyed shuffled
+    * order — `(sample_key, doc_id)`, re-run-stable, no rand() — and the
+    * shard `pos % shards` it trains from; the shuffle-then-shard step
+    * every training run performs between packing and data loading.
+    *
+    * A global rank is a global sort, but NOT a single-task window (the
+    * `row_number() OVER (ORDER BY ...)` formulation concentrates the
+    * corpus into one task): this runs the same two-phase distributed
+    * prefix sum as [[graft.operators.Packing]] — bucket by
+    * equal-frequency sample-key ranges (approx_percentile cuts; ties
+    * stay in one bucket because assignment counts cuts strictly below),
+    * rank WITHIN buckets via a partitioned window, then offset each
+    * bucket by the exclusive prefix sum of bucket counts — a
+    * deliberately unpartitioned window over exactly `buckets` rows.
+    * Every phase shuffles (doc_id, key) longs only.
+    */
+  def shuffleShard(documents: DataFrame, shards: Int, buckets: Int = 32): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.functions.RollingHash.register(documents.sparkSession)
+    graft.functions.FibFinish.register(documents.sparkSession)
+    val keyed = documents
+      .select(col("doc_id"), sampleKey(col("doc_id")).as("skey"))
+      .localCheckpoint(false) // consumers: cut sketch + bucketed rank
+    val bucketed =
+      if (buckets == 1) keyed.withColumn("bucket", lit(0))
+      else {
+        val fracs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
+        val cuts = keyed.agg(
+          expr(s"approx_percentile(skey, array($fracs), 10000)").as("cuts"))
+        keyed.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            expr("CAST(aggregate(cuts, 0, (acc, c) -> acc + IF(skey > c, 1, 0)) AS INT)"))
+          .drop("cuts")
+      }
+    val wLocal = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    val local = bucketed.withColumn("lrank", row_number().over(wLocal))
+      .localCheckpoint(false) // consumers: final projection + bucket totals
+    val wOffset = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("bucket").agg(count(lit(1)).as("btot"))
+      .withColumn("bucket_offset", coalesce(sum("btot").over(wOffset), lit(0L)))
+      .select("bucket", "bucket_offset")
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("shuffle_pos", col("bucket_offset") + col("lrank") - 1)
+      .select(
+        col("doc_id"),
+        col("skey").as("sample_key"),
+        col("shuffle_pos"),
+        pmod(col("shuffle_pos"), lit(shards.toLong)).as("shard"))
   }
 }

@@ -148,6 +148,25 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle-shard positions equal the scalar sort replay, invariant in buckets") {
+    val docs = Tables.documents(spark, sfDir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    // scalar replay: global rank in (key, doc_id) order
+    val expected = ids.map(id => (id, scalarKey(id))).sortBy(p => (p._2, p._1))
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    val got = Sampling.shuffleShard(docs, shards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.length == ids.length)
+    got.foreach { case (id, pos, shard) =>
+      assert(pos == expected(id), s"doc $id pos $pos != ${expected(id)}")
+      assert(shard == pos % 16)
+    }
+    // the distributed prefix sum must not depend on the bucket count
+    val one = Sampling.shuffleShard(docs, shards = 16, buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.foreach { case (id, pos, _) => assert(one(id) == pos, s"bucket variance at $id") }
+  }
+
   test("mixture resample corpus side crosses no wide exchange") {
     val target = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
     val plan = Sampling.mixtureResample(Tables.documents(spark, sfDir), target)
