@@ -246,6 +246,7 @@ object SparkEntry {
     }),
     "q_ngram_topk" -> ((s, dir) => TextOps.ngramTopK(Tables.documents(s, dir), ngramK)),
     "q_repetition_ratio" -> ((s, dir) => TextOps.repetitionRatio(Tables.documents(s, dir))),
+    "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     "q_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), packBudget)),
     // O(log n) star-contraction sibling of q_dedup_groups: component
@@ -1295,6 +1296,22 @@ object SparkEntry {
         |inv AS (SELECT doc_id, unnest(gs) AS shingle FROM sh)
         |SELECT shingle, count(*) AS doc_freq FROM inv GROUP BY shingle
         |ORDER BY doc_freq DESC, shingle LIMIT $ngramK""".stripMargin,
+    // tfidf quantized to 1e-9 units through the same floor expression
+    // BEFORE ranking on both sides (ln is libm-sensitive at the 1-ULP
+    // level); empty tokens filtered to match the generator's tokenize
+    "q_tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        floor(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS tfidf
+        |      FROM tf JOIN dfr USING (term), n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= 5""".stripMargin,
     // the string-space counts equal the hashed-space counts the Spark
     // side aggregates, barring 64-bit collisions (same argument as the
     // minhash gate); a doc too short for any 3-gram scores 0.0

@@ -83,10 +83,18 @@ object ShingleGenerator {
   private[graft] def tokenize(text: String): Array[String] =
     text.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
-  /** Register `shingles(str)` as a generator function. */
-  def register(spark: SparkSession): Unit =
+  /** Register `shingles(str)` (3-gram) and `tokens(str)` (the n=1
+    * degenerate case — the normalized unigram stream) as generator
+    * functions.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles",
       FunctionArity.checked("shingles", 1)(exprs => ShingleGenerator(exprs.head)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tokens",
+      FunctionArity.checked("tokens", 1)(exprs => ShingleGenerator(exprs.head, n = 1)),
+      "built-in")
+  }
 }

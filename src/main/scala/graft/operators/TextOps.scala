@@ -245,4 +245,44 @@ object TextOps {
           .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
           .as("repetition_ratio"))
   }
+
+  /** Per-document top-k TF-IDF terms (SURVEY §2 #49) — the classic
+    * keyword/salience primitive (tf · ln(N/df)) over the same
+    * normalized token stream every text kernel here uses (the n=1
+    * ShingleGenerator: streamed in-scan flatMap, no regex re-pass).
+    *
+    * Plan shape at 100 TB: the term-frequency groupBy is the one
+    * corpus-sized exchange — (doc_id, term) keys, map-side combined.
+    * Document frequency partial-aggregates the tf frame per term
+    * (vocabulary-sized), joins back on term (AQE broadcasts a small
+    * vocabulary, shuffles a large one), and N rides a broadcast 1-row
+    * frame. The final top-k window partitions BY DOCUMENT — group size
+    * = doc vocabulary, never corpus-scale.
+    *
+    * Oracle discipline: scores quantize to 1e-9 units through the same
+    * floor expression on both sides BEFORE ranking (ln is the one
+    * libm-sensitive step — a 1-ULP difference at magnitude ~10 sits
+    * 5 orders below the quantum); equal-(tf, df) ties rank by term on
+    * both sides, so the cutoff is deterministic cross-engine.
+    */
+  def tfidfTopTerms(documents: DataFrame, topK: Int = 5): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    graft.functions.ShingleGenerator.register(documents.sparkSession)
+    val tf = documents
+      .selectExpr("doc_id", "tokens(text) AS term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // consumers: df aggregate + the score join
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        expr("floor(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9 + 0.5) / 1e9"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+  }
 }

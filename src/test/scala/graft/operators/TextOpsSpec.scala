@@ -95,4 +95,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fused(5L) == "und" && fused(6L) == "und")
     assert(fused(4L) == "zh")
   }
+
+  test("tfidf top terms: scalar replay on a planted corpus; ubiquitous term scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common"),
+      (3L, "common")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    def q(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    // df: apple 1, banana 2, common 3; N = 3
+    val expected = Set(
+      (1L, 1L, "apple", 2L, 1L, q(2 * math.log(3.0 / 1))),
+      (1L, 2L, "banana", 1L, 2L, q(math.log(3.0 / 2))),
+      (1L, 3L, "common", 1L, 3L, 0.0), // ln(1) = 0: ubiquitous term
+      (2L, 1L, "banana", 1L, 2L, q(math.log(3.0 / 2))),
+      (2L, 2L, "common", 1L, 3L, 0.0),
+      (3L, 1L, "common", 1L, 3L, 0.0))
+    assert(out.toSet == expected,
+      s"diff: ${expected -- out.toSet} | ${out.toSet -- expected}")
+  }
+
+  test("tfidf top-k window partitions by document, tf aggregate map-side combines") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TextOps.tfidfTopTerms(docs, topK = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.contains("HashAggregate"), s"tf must partial-aggregate:\n$plan")
+    // the rank window must be keyed by doc_id, never a global sort
+    assert(plan.contains("doc_id"), plan)
+    assert(!plan.contains("rangepartitioning(tfidf"), s"global-sort window detected:\n$plan")
+  }
 }
