@@ -165,7 +165,7 @@ object SparkEntry {
     "q_doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprint(Tables.documents(s, dir))),
     // -- deduplication (LLM pipeline) --
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDups(Tables.documents(s, dir))),
-    "q_dedup_spans" -> ((s, dir) => Dedup.dedupSpans(Tables.documents(s, dir))),
+    "q_dedup_spans" -> ((s, dir) => Dedup.dedupSpans(Tables.documents(s, dir), spanK)),
     // production wiring is df-capped: a shingle in d docs contributes d²
     // join rows, so ultra-common shingles (which carry no near-dup
     // signal) are excluded from the pair join — the oracle mirrors the
@@ -246,7 +246,8 @@ object SparkEntry {
     }),
     "q_ngram_topk" -> ((s, dir) => TextOps.ngramTopK(Tables.documents(s, dir), ngramK)),
     "q_repetition_ratio" -> ((s, dir) => TextOps.repetitionRatio(Tables.documents(s, dir))),
-    "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir))),
+    "q_tfidf_top_terms" ->
+      ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir), tfidfTopK)),
     "q_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), packBudget)),
     // O(log n) star-contraction sibling of q_dedup_groups: component
@@ -267,6 +268,8 @@ object SparkEntry {
   // (uniform counts), so it keeps everything and the others downsample
   private val mixtureTarget = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
   private val shuffleShards = 16
+  private val spanK = 8
+  private val tfidfTopK = 5
   private val fixedSampleK = 100
   private val ngramK = 50
   private val packBudget = 2048
@@ -1048,17 +1051,17 @@ object SparkEntry {
     // regex — both engines split identically), global first occurrence
     // by the same doc_id*2^32+pos order key the operator aggregates
     "q_dedup_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |w0 AS (SELECT doc_id, toks,
-        |         unnest(range(0, greatest(len(toks) - 8 + 1, 0))) AS pos FROM t),
+        |         unnest(range(0, greatest(len(toks) - $spanK + 1, 0))) AS pos FROM t),
         |w AS (SELECT doc_id, pos,
-        |        array_to_string(toks[pos + 1 : pos + 8], ' ') AS win FROM w0),
+        |        array_to_string(toks[pos + 1 : pos + $spanK], ' ') AS win FROM w0),
         |g AS (SELECT win, count(*) AS c,
         |        min(doc_id * 4294967296 + pos) AS canon FROM w GROUP BY win),
         |m AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (win)
         |      WHERE g.c >= 2 AND w.doc_id * 4294967296 + w.pos <> g.canon),
         |cov AS (SELECT DISTINCT doc_id, pos + u AS tpos
-        |        FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS u FROM m)),
+        |        FROM (SELECT doc_id, pos, unnest(range(0, $spanK)) AS u FROM m)),
         |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS tpos, toks FROM t),
         |tok2 AS (SELECT doc_id, tpos, toks[tpos + 1] AS tok FROM tok),
         |kept AS (SELECT tok2.doc_id, tok2.tpos, tok2.tok FROM tok2
@@ -1240,7 +1243,9 @@ object SparkEntry {
         |  ELSE -1.0 END > 0),
         |cap AS (SELECT min(n / w) AS cap FROM wf),
         |thr AS (SELECT source,
-        |  CAST(floor(least(1.0, w * cap / n) * ${graft.operators.Sampling.KeySpace.toDouble}) AS BIGINT) AS thr
+        |  CASE WHEN n / w = cap THEN ${graft.operators.Sampling.KeySpace}
+        |       ELSE CAST(floor(least(1.0, w * cap / n) * ${graft.operators.Sampling.KeySpace.toDouble}) AS BIGINT)
+        |  END AS thr
         |  FROM wf, cap)
         |SELECT k.doc_id, k.source, k.lang, CAST(k.skey AS BIGINT) AS sample_key
         |FROM k JOIN thr USING (source) WHERE k.skey < thr.thr""".stripMargin,
@@ -1300,7 +1305,7 @@ object SparkEntry {
     // BEFORE ranking on both sides (ln is libm-sensitive at the 1-ULP
     // level); empty tokens filtered to match the generator's tokenize
     "q_tfidf_top_terms" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      s"""WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
         |           FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
@@ -1311,7 +1316,7 @@ object SparkEntry {
         |      FROM tf JOIN dfr USING (term), n),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
         |      FROM s)
-        |SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= 5""".stripMargin,
+        |SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= $tfidfTopK""".stripMargin,
     // the string-space counts equal the hashed-space counts the Spark
     // side aggregates, barring 64-bit collisions (same argument as the
     // minhash gate); a doc too short for any 3-gram scores 0.0

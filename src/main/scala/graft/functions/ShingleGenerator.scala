@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 // CodegenFallback: GenerateExec drives generators through eval() — the
 // win here is eliminating the exchange, not expression codegen
-case class ShingleGenerator(child: Expression, n: Int = 3)
+case class ShingleGenerator(child: Expression, n: Int = 3, fname: String = "shingles")
     extends UnaryExpression with CollectionGenerator with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -39,7 +39,7 @@ case class ShingleGenerator(child: Expression, n: Int = 3)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"shingles requires a string argument, got ${child.dataType}")
+      s"$fname requires a string argument, got ${child.dataType}")
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
@@ -65,7 +65,7 @@ case class ShingleGenerator(child: Expression, n: Int = 3)
   override protected def withNewChildInternal(newChild: Expression): ShingleGenerator =
     copy(child = newChild)
 
-  override def prettyName: String = "shingles"
+  override def prettyName: String = fname
 }
 
 object ShingleGenerator {
@@ -94,7 +94,8 @@ object ShingleGenerator {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokens",
-      FunctionArity.checked("tokens", 1)(exprs => ShingleGenerator(exprs.head, n = 1)),
+      FunctionArity.checked("tokens", 1)(exprs =>
+        ShingleGenerator(exprs.head, n = 1, fname = "tokens")),
       "built-in")
   }
 }

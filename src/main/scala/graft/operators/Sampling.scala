@@ -161,10 +161,18 @@ object Sampling {
       .withColumn("w", wcol)
       .where(col("w") > 0)
     val cap = counts.agg(min(col("n") / col("w")).as("cap"))
+    // the limiting source (n/w == cap — exact: min returns one of the
+    // computed doubles) pins its threshold to the full key space; for
+    // weights not exactly representable in binary, w*cap/n can round to
+    // 0.99999999999999989 and floor would shave the top key off the
+    // very source the contract says keeps everything
     val thresholds = counts.crossJoin(broadcast(cap))
       .select(col("source"),
-        floor(least(lit(1.0), col("w") * col("cap") / col("n")) * lit(KeySpace.toDouble))
-          .cast("long").as("thr"))
+        when(col("n") / col("w") === col("cap"), lit(KeySpace))
+          .otherwise(
+            floor(least(lit(1.0), col("w") * col("cap") / col("n")) * lit(KeySpace.toDouble))
+              .cast("long"))
+          .as("thr"))
     documents
       .select(col("doc_id"), col("source"), col("lang"),
         sampleKey(col("doc_id")).as("sample_key"))

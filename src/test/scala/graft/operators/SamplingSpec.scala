@@ -130,7 +130,12 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
       .filter { case (id, s) =>
         target.get(s).exists { w =>
-          val thr = math.floor(math.min(1.0, w * nCap / perSource(s)) * Sampling.KeySpace).toLong
+          // limiting source pins to the full key space (the engine's
+          // guard against w*cap/n rounding to 0.99999999999999989 for
+          // weights not exactly representable in binary)
+          val thr =
+            if (perSource(s) / w == nCap) Sampling.KeySpace
+            else math.floor(math.min(1.0, w * nCap / perSource(s)) * Sampling.KeySpace).toLong
           scalarKey(id) < thr
         }
       }.toSet
