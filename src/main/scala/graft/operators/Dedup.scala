@@ -452,33 +452,35 @@ object Dedup {
     * global sort. Window
     * STRINGS shuffle in exchange (a) for oracle-exactness; the
     * production variant hashes them to 128 bits first (same shape,
-    * n²/2¹²⁸ collision odds), and swaps the per-doc lambda for a
-    * positional native generator (see [[graft.functions.ShingleGenerator]])
-    * — both swaps change constants, not exchanges. Reassembly
+    * n²/2¹²⁸ collision odds — a constant swap, not an exchange
+    * change). Windows build in the native positional generator
+    * [[graft.functions.TokenWindows]] — a streamed in-scan flatMap,
+    * replacing the interpreted transform/slice lambda. Reassembly
     * aggregates each document's kept tokens once — O(doc) rows per
     * group, the same per-key bound every text kernel here carries.
     */
   def dedupSpans(documents: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.TokenWindows.register(documents.sparkSession)
     val toks = documents
       .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
       .localCheckpoint(false) // consumers: windows, token positions, final doc frame
-    // one row per k-token window with its start position; short docs
-    // (fewer than k tokens) contribute no windows and pass through whole
+    // one row per k-token window with its start position, via the
+    // native positional generator (a streamed in-scan flatMap; the SQL
+    // transform/slice lambda formulation runs interpreted and re-slices
+    // the array per window). concat_ws(' ', toks) round-trips the
+    // single-space split exactly (empties kept), so the windows index
+    // the checkpointed token frame without rescanning the source. Short
+    // docs (fewer than k tokens) contribute no windows and pass
+    // through whole.
     val wins = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(toks) >= $k
-           |  THEN transform(sequence(0, size(toks) - $k),
-           |                 i -> concat_ws(' ', slice(toks, i + 1, $k)))
-           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
-      .toDF("doc_id", "pos", "win")
+      .selectExpr("doc_id", s"token_windows(concat_ws(' ', toks), $k)")
       .withColumn("okey", col("doc_id") * lit(4294967296L) + col("pos"))
       // two consumers (the dup aggregate and the mark join) would each
-      // re-run the interpreted window lambda; materialize once. At
-      // cluster scale prefer recomputing over caching the window set
-      // (it is ~k× the corpus text) — this checkpoint is the
-      // single-node tradeoff, the lambda cost the rotation the
-      // production native generator removes
+      // re-run the window build; materialize once. At cluster scale
+      // prefer recomputing the (cheap, native) generator pass over
+      // caching the window set — it is ~k× the corpus text; this
+      // checkpoint is the single-node tradeoff
       .localCheckpoint(false)
     // the duplicated-window set with its canonical (first) occurrence;
     // count and min are both map-side partials
