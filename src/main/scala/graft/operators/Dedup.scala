@@ -446,10 +446,12 @@ object Dedup {
     * window — and (b) the join of windows against the duplicated-window
     * set, which is the corpus's REPEATED content only (usually tiny
     * relative to the corpus ⇒ broadcast; AQE decides). Occurrence
-    * order rides one BIGINT (`doc_id·2³² + pos` — positions are Int by
-    * construction; callers with doc ids at or above 2³¹ remap first),
-    * so the canonical pick partial-aggregates instead of needing a
-    * global sort. Window
+    * order rides a `(doc_id, pos)` struct whose `min` is still a
+    * map-side partial (structs order lexicographically, so
+    * struct-min == "earliest doc, then earliest position" for the
+    * FULL 64-bit doc_id range — no packed-BIGINT overflow cliff at
+    * 2³¹ documents), so the canonical pick partial-aggregates
+    * instead of needing a global sort. Window
     * STRINGS shuffle in exchange (a) for oracle-exactness; the
     * production variant hashes them to 128 bits first (same shape,
     * n²/2¹²⁸ collision odds — a constant swap, not an exchange
@@ -475,7 +477,6 @@ object Dedup {
     // through whole.
     val wins = toks
       .selectExpr("doc_id", s"token_windows(concat_ws(' ', toks), $k)")
-      .withColumn("okey", col("doc_id") * lit(4294967296L) + col("pos"))
       // two consumers (the dup aggregate and the mark join) would each
       // re-run the window build; materialize once. At cluster scale
       // prefer recomputing the (cheap, native) generator pass over
@@ -485,12 +486,12 @@ object Dedup {
     // the duplicated-window set with its canonical (first) occurrence;
     // count and min are both map-side partials
     val dups = wins.groupBy("win")
-      .agg(count(lit(1)).as("c"), min("okey").as("canon"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("pos"))).as("canon"))
       .where(col("c") >= 2)
       .select("win", "canon")
     // positions covered by any NON-canonical occurrence of a dup window
     val covered = wins.join(dups, "win")
-      .where(col("okey") =!= col("canon"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("canon"))
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tpos"))
       .distinct()
     val tokens = toks

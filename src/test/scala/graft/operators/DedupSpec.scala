@@ -160,6 +160,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == (("", 0L, 10L)), s"full dup should empty, not vanish: ${out(4L)}")
   }
 
+  test("span dedup survives doc ids at and above 2^31 (struct canon, no packed-BIGINT overflow)") {
+    import spark.implicits._
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    // Under the old doc_id*2^32+pos packing these ids overflow Long and
+    // ANSI mode throws at exactly the corpus size the operator targets.
+    val lo = Int.MaxValue.toLong + 1          // 2^31
+    val hi = Long.MaxValue / 2 + 17           // far past any packable range
+    val docs = Seq(
+      (lo, s"u0 u1 $boiler"),                 // earliest doc ⇒ canonical
+      (hi, boiler)                            // later copy — stripped empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(lo) == ((s"u0 u1 $boiler", 12L, 0L)), s"canonical mutated: ${out(lo)}")
+    assert(out(hi) == (("", 0L, 10L)), s"huge-id copy should empty: ${out(hi)}")
+  }
+
   test("span dedup removes within-document repeats too") {
     import spark.implicits._
     val span = (0 until 8).map(i => s"s$i").mkString(" ")
