@@ -48,7 +48,15 @@ object ScaleUp {
     def rep(name: String): DataFrame = Tables.table(spark, src, name).crossJoin(reps)
     def key(c: String): Column = (col(c) * factor + col("r")).as(c)
     def write(name: String)(df: DataFrame): Unit = {
-      df.drop("r").write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // a real corpus at this scale is MANY files; the crossJoin
+      // inherits the source's (often single-row-group, unsplittable)
+      // layout, and writing that back as one file caps every scaled
+      // scan at one task — making CPU-bound per-row stages look
+      // super-linear (rows-per-partition, not rows). Round-robin to
+      // the session's parallelism so the scaled dir has honest file
+      // parallelism.
+      df.drop("r").repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
       System.err.println(s"[scaleup] $name ×$factor -> $out")
     }
 

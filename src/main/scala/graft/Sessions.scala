@@ -29,6 +29,14 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // size file splits to the machine, not the 128 MB cluster
+      // default: local test data is tens of MB per table, so default
+      // splits leave 1-2 scan partitions feeding 32 cores — CPU-heavy
+      // per-row stages (multimodal feature extract) then scale with
+      // rows-per-partition instead of rows. On a real cluster the same
+      // knob is sized to executor memory; the principle (splits small
+      // enough to saturate the cores) is identical.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       // bucketed tables must ALWAYS read one-task-per-bucket: the
       // planner's auto-disable (when it sees no join/agg benefit) falls
       // back to size-based file splitting, which at scale can split one

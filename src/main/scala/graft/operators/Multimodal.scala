@@ -53,6 +53,22 @@ object Multimodal {
         .otherwise("unknown").as("kind"))
   }
 
+  /** Low-parallelism guard for the CPU-bound batched stages. Media
+    * corpora arrive as many files at scale, so the scan alone feeds
+    * every core — but a local single-file (single-row-group) table is
+    * unsplittable and pins the whole per-byte decode to ONE task,
+    * making wall time scale with rows-per-partition instead of rows
+    * (SCALING_r8's 11.75x q_multimodal_features flag was exactly
+    * this). When the incoming scan has fewer partitions than the
+    * session's parallelism, one round-robin exchange of the opaque
+    * payload rows buys full-core decode; with healthy input
+    * parallelism it is a no-op (no exchange added).
+    */
+  private def cpuSpread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Decoded-media metadata row. `bit_depth` is the parsed bits-per-
     * channel/pixel for payloads that structurally parse as a real
     * container (PNG/BMP), 0 on the stub path.
@@ -76,7 +92,8 @@ object Multimodal {
     val spark = payloads.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      cpuSpread(
+        payloads.select(col("doc_id").cast("long"), col("payload").cast("binary")))
         .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap(batch => decodeBatch(batch, batch.size))
@@ -100,7 +117,8 @@ object Multimodal {
     val spark = payloads.sparkSession
     import spark.implicits._
     require(width > 0 && height > 0, s"bad target dims ${width}x$height")
-    val ds = payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+    val ds = cpuSpread(
+      payloads.select(col("doc_id").cast("long"), col("payload").cast("binary")))
       .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
@@ -126,7 +144,8 @@ object Multimodal {
   def featureExtract(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    val ds = payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+    val ds = cpuSpread(
+      payloads.select(col("doc_id").cast("long"), col("payload").cast("binary")))
       .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
@@ -164,8 +183,14 @@ object Multimodal {
     val feats = featureExtract(payloads, batchSize)
     val nBytes = payloads.select(
       col("doc_id"), octet_length(col("payload")).cast("bigint").as("n_bytes"))
+    // floor(x+0.5) == round-HALF_UP for the non-negative values here,
+    // WITHOUT round()'s per-element BigDecimal detour — at 256 elements
+    // x 2 inlined consumers per row the BigDecimal allocations were the
+    // dominant cost of the whole query (profiled at sf1, SCALING_r8's
+    // 11.75x flag)
     val counts = transform(
-      col("embedding"), x => round(x.cast("double") * col("n_bytes")).cast("long"))
+      col("embedding"),
+      x => floor(x.cast("double") * col("n_bytes") + lit(0.5)).cast("long"))
     feats.join(nBytes, col("vec_id") === col("doc_id"))
       .withColumn("counts", counts)
       .select(
@@ -196,7 +221,8 @@ object Multimodal {
     val spark = payloads.sparkSession
     import spark.implicits._
     require(everyMs > 0 && maxFrames > 0, s"bad sampling ($everyMs ms, $maxFrames frames)")
-    val ds = payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+    val ds = cpuSpread(
+      payloads.select(col("doc_id").cast("long"), col("payload").cast("binary")))
       .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>

@@ -2,14 +2,17 @@
 """Build the scaling artifact (dev tool): join two Bench JSON lines
 (baseline sf0.1, scaled sf1) into per-query ratios. A ratio near the
 data scale factor (10x) is linear scaling; the artifact flags anything
-above `factor * tolerance` as super-linear.
+above `factor * tolerance` as super-linear. Tolerance defaults to 1.0 —
+anything above the data factor itself gets flagged (r8's 1.5 headroom
+let a real 11.75x slip the flag; better a flag that needs a written
+explanation than a silent pass).
 
 Usage: python3 tools/scaling_report.py <baseJson> <scaledJson> <outJson> [factor] [tolerance]
 """
 import sys, json
 
 
-def main(base_path, scaled_path, out_path, factor=10.0, tolerance=1.5):
+def main(base_path, scaled_path, out_path, factor=10.0, tolerance=1.0):
     base = json.load(open(base_path))
     scaled = json.load(open(scaled_path))
     rows = {}
