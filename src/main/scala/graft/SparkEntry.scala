@@ -248,6 +248,11 @@ object SparkEntry {
     "q_repetition_ratio" -> ((s, dir) => TextOps.repetitionRatio(Tables.documents(s, dir))),
     "q_tfidf_top_terms" ->
       ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir), tfidfTopK)),
+    // PII redaction over deterministically planted emails/phones/IPs
+    // (the corpus text carries none): one fused scan per row, gated
+    // against DuckDB's literal three-pass regexp_replace
+    "q_redact_pii" -> ((s, dir) =>
+      TextOps.redactPii(TextOps.withPlantedPii(Tables.documents(s, dir)))),
     "q_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), packBudget)),
     // O(log n) star-contraction sibling of q_dedup_groups: component
@@ -1317,6 +1322,30 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
         |      FROM s)
         |SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= $tfidfTopK""".stripMargin,
+    // the literal three-pass formulation the fused kernel is spec-pinned
+    // to: email, then phone, then ip — order is load-bearing (see
+    // PiiRedact's scaladoc); counts are taken on the pass inputs exactly
+    // as the kernel's single scan produces them
+    "q_redact_pii" ->
+      """WITH p AS (SELECT doc_id, concat(
+        |'contact user', CAST(doc_id AS VARCHAR), '@mail', CAST(doc_id % 7 AS VARCHAR),
+        |'.com via ', substr(text, 1, 48),
+        |' call +', CAST(doc_id % 89 + 1 AS VARCHAR),
+        |'-', CAST(doc_id % 900 + 100 AS VARCHAR),
+        |'-', CAST(doc_id % 9000 + 1000 AS VARCHAR),
+        |' near a@b or 1.2.3 from 10.', CAST(doc_id % 256 AS VARCHAR),
+        |'.', CAST(doc_id * 7 % 256 AS VARCHAR),
+        |'.', CAST(doc_id % 250 AS VARCHAR), ' end') AS t FROM documents),
+        |e AS (SELECT doc_id, t, regexp_replace(t,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM p),
+        |ph AS (SELECT doc_id, t, t1, regexp_replace(t1,
+        |  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS t2 FROM e)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t1, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+        |FROM ph""".stripMargin,
     // the string-space counts equal the hashed-space counts the Spark
     // side aggregates, barring 64-bit collisions (same argument as the
     // minhash gate); a doc too short for any 3-gram scores 0.0

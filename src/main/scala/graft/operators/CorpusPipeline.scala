@@ -25,11 +25,22 @@ object CorpusPipeline {
   private final case class Stages(scored: DataFrame, canonical: DataFrame, cleaned: DataFrame)
 
   private def build(
-      documents: DataFrame, minQuality: Double, jaccardThreshold: Double): Stages = {
+      documents: DataFrame, minQuality: Double, jaccardThreshold: Double,
+      redactPii: Boolean = false): Stages = {
+    // 0. optional PII redaction — a second projection fused into the
+    // same scan stage (no exchange): redact BEFORE the quality gate so
+    // scoring and both dedup stages see the text that would actually
+    // ship. Off by default; the standalone q_redact_pii query gates the
+    // kernel itself.
+    val input =
+      if (!redactPii) documents
+      else documents.select(
+        col("doc_id"),
+        graft.functions.PiiRedact.redacted(col("text")).getField("clean").as("text"))
     // 1. per-row quality gate — a pure projection + filter inside the
     // scan stage (qualityExpr attaches the score without the join a
     // (doc_id → score) lookup would need)
-    val scored = documents
+    val scored = input
       .select(col("doc_id"), col("text"),
         TextOps.qualityExpr(col("text")).as("quality_score"))
       .filter(col("quality_score") >= minQuality)
@@ -64,8 +75,9 @@ object CorpusPipeline {
   def cleanCorpus(
       documents: DataFrame,
       minQuality: Double = 0.5,
-      jaccardThreshold: Double = 0.8): DataFrame =
-    build(documents, minQuality, jaccardThreshold).cleaned
+      jaccardThreshold: Double = 0.8,
+      redactPii: Boolean = false): DataFrame =
+    build(documents, minQuality, jaccardThreshold, redactPii).cleaned
 
   /** Per-stage survivor counts — the pipeline's audit trail (silent
     * shrinkage is how corpus bugs ship). Shares the staged build with

@@ -285,4 +285,45 @@ object TextOps {
       .where(col("rank") <= topK)
       .select("doc_id", "rank", "term", "tf", "df", "tfidf")
   }
+
+  /** SURVEY #50: deterministic PII plant for the redaction gate. The
+    * corpus text carries no emails/phones/IPs, so the wired query
+    * derives them from doc_id (the Multimodal.withPayload pattern):
+    * one valid email, one valid phone, one valid IPv4 per row, plus
+    * fixed near-misses ("a@b" without a TLD, a two-part version
+    * number) that a sloppy pattern would over-redact. Integer-only
+    * arithmetic — the oracle rebuilds the identical string in SQL.
+    */
+  def withPlantedPii(documents: DataFrame): DataFrame =
+    documents.selectExpr(
+      "doc_id",
+      """concat(
+        |'contact user', CAST(doc_id AS STRING), '@mail', CAST(doc_id % 7 AS STRING),
+        |'.com via ', substr(text, 1, 48),
+        |' call +', CAST(doc_id % 89 + 1 AS STRING),
+        |'-', CAST(doc_id % 900 + 100 AS STRING),
+        |'-', CAST(doc_id % 9000 + 1000 AS STRING),
+        |' near a@b or 1.2.3 from 10.', CAST(doc_id % 256 AS STRING),
+        |'.', CAST(doc_id * 7 % 256 AS STRING),
+        |'.', CAST(doc_id % 250 AS STRING), ' end') AS text""".stripMargin)
+
+  /** SURVEY #50: PII/pattern redaction — emails, phone numbers, and
+    * IPv4 addresses replaced by placeholder tokens, with per-category
+    * hit counts. ONE fused scan per row ([[graft.functions.PiiRedact]]
+    * — the AsciiScan family), not three regex passes: the kernel is
+    * spec-pinned equal to the sequential email → phone → ip global
+    * replaces the DuckDB oracle runs literally. Pure projection inside
+    * the scan stage — no exchange, no UDF, stream-compatible.
+    */
+  def redactPii(documents: DataFrame): DataFrame = {
+    val r = graft.functions.PiiRedact.redacted(col("text"))
+    documents
+      .select(col("doc_id"), r.as("r"))
+      .select(
+        col("doc_id"),
+        col("r.clean").as("clean_text"),
+        col("r.n_email").as("n_email"),
+        col("r.n_phone").as("n_phone"),
+        col("r.n_ip").as("n_ip"))
+  }
 }

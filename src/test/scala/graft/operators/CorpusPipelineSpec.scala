@@ -32,6 +32,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("redactPii flag scrubs planted PII before the pipeline stages see it") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"),
+        concat(lit("mail me x.y@mail.example.com then "), col("text")).as("text"))
+    val clean = CorpusPipeline.cleanCorpus(docs, minQuality = 0.0, redactPii = true)
+    val rows = clean.select("text").as[String].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.contains("x.y@mail.example.com")), "planted email survived")
+    assert(rows.forall(_.contains("<EMAIL>")), "placeholder token missing")
+    // default stays redaction-free: the wired corpus oracles see raw text
+    val raw = CorpusPipeline.cleanCorpus(docs, minQuality = 0.0)
+      .select("text").as[String].collect()
+    assert(raw.forall(_.contains("x.y@mail.example.com")))
+  }
+
   test("stage report is monotonically non-increasing") {
     val report = CorpusPipeline.stageReport(Tables.documents(spark, sfDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
