@@ -52,6 +52,12 @@ case class TokenWindows(child: Expression, k: Int)
       // string_split(text, ' ')
       val toks = raw.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (toks.length < k) Nil
+      // the Iterator IS the result (Iterator <: IterableOnce in 2.13,
+      // and GenerateExec consumes eval's result exactly once): rows
+      // stream into the generate, keeping per-row memory at O(k)
+      // characters. An eager .to(Iterable) here would buffer every
+      // (pos, win) slice — O(tokens x k) for a large document —
+      // defeating the documented streamed in-scan design.
       else new Iterator[InternalRow] {
         private var i = 0
         private val last = toks.length - k
@@ -62,7 +68,7 @@ case class TokenWindows(child: Expression, k: Int)
           i += 1
           r
         }
-      }.to(Iterable)
+      }
     }
   }
 

@@ -177,10 +177,22 @@ object ConnectedComponents {
     def fingerprint(e: DataFrame): (Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = e.agg(
         count(lit(1)),
-        // bit_xor: order-independent and overflow-free under ANSI mode;
-        // the two constant prefixes make two independent hash streams
+        // bit_xor: order-independent and overflow-free under ANSI mode.
+        // The two checksum streams come from DIFFERENT hash families —
+        // xxhash64 and a 64-bit pack of two Murmur3 words (Spark's
+        // `hash`) with swapped argument order — so a collision class
+        // structural to one family does not carry to the other (a
+        // same-function second stream distinguished only by a seed
+        // prefix would not give that). No precise joint bound is
+        // claimed; with the exact count and the exact DECIMAL
+        // coordinate sums alongside, a false fixpoint needs a
+        // simultaneous collision across five structurally different
+        // aggregates of the same edge set.
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
-        coalesce(bit_xor(xxhash64(lit(0x9E3779B97F4A7C15L), col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(
+          shiftleft(hash(col("u"), col("v")).cast("long"), 32)
+            .bitwiseOR(hash(col("v"), col("u")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))),
+          lit(0L)),
         // exact sums (a 1e9-edge sum of 64-bit ids overflows int64)
         sum(col("u").cast("decimal(38,0)")),
         sum(col("v").cast("decimal(38,0)"))).head()

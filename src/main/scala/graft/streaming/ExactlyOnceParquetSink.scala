@@ -62,15 +62,26 @@ object ExactlyOnceParquetSink {
       // stateful streams emit these with the full shuffle fan-out) is
       // merely wasteful — each writes a batch=N dir of schema-only
       // part files plus a marker, accumulating forever on an idle
-      // stream — so it is worth one limit-1 probe job, but only when
-      // the partition count is small enough that scanning empty
-      // partitions is trivially cheap (which IS the idle case: the
-      // fan-out equals spark.sql.shuffle.partitions). A large REAL
-      // batch skips the probe entirely and pays zero extra jobs.
+      // stream — so it is worth a row-emptiness probe. The probe and
+      // the write are SEPARATE actions over the same micro-batch
+      // plan, and isEmpty's limit-1 only short-circuits the final
+      // stage — upstream shuffle map stages re-execute in full — so
+      // the batch is persisted across probe+write: the lineage runs
+      // once, the probe reads the first cached block, and the write
+      // drains the cache. The partition ceiling merely bounds what
+      // the probe is willing to scan; batches wider than any sane
+      // shuffle fan-out skip straight to the write, unpersisted.
       val parts = batch.rdd.getNumPartitions
       if (parts == 0) return
-      if (parts <= EmptyProbeMaxPartitions && batch.isEmpty) return
-      batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      if (parts <= EmptyProbeMaxPartitions) {
+        batch.persist()
+        try {
+          if (batch.isEmpty) return
+          batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        } finally batch.unpersist(blocking = true)
+      } else {
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
       Files.createFile(marker)
     }
   }

@@ -46,4 +46,4 @@ if __name__ == "__main__":
     a = sys.argv
     main(a[1], a[2], a[3],
          float(a[4]) if len(a) > 4 else 10.0,
-         float(a[5]) if len(a) > 5 else 1.5)
+         float(a[5]) if len(a) > 5 else 1.0)
