@@ -155,14 +155,35 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(eager = false)
 
+    // The textbook large-star works on the SYMMETRIC edge set (2|e|
+    // rows through its groupBy and its join). Canonical (hi, lo)
+    // orientation makes that union unnecessary: every symmetric
+    // neighbor of x that is LARGER than x is > x, so
+    //   m(x) = min(N(x) ∪ {x}) = least(x, min of x's smaller nbrs),
+    // computable from canonical rows (x, ·) alone with a map-side-
+    // combined min; and the larger neighbors w of x that large-star
+    // rewires to (w, m(x)) are exactly the canonical rows (w, x).
+    // So one combined aggregate over e plus one join of e — keyed by
+    // its SECOND column — against that per-node min reproduces
+    // large-star with half the raw shuffle (|e| rows, not 2|e|); the
+    // mins side arrives hash-partitioned on its grouping key straight
+    // from the aggregate, so the join adds no exchange for it. Nodes
+    // with no smaller neighbors never enter the aggregate — the left
+    // join's coalesce restores m(x) = x for them.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")) // v > u >= m: stays (hi, lo)
-        .distinct()
+      val mins = e.groupBy(col("u").as("x")).agg(min(col("v")).as("mv"))
+        .select(col("x"), least(col("x"), col("mv")).as("m"))
+      e.join(mins, e("v") === mins("x"), "left")
+        // w > x >= m(x): output stays (hi, lo), never a self-loop.
+        // NOT distinct'ed: the output is exactly one row per input
+        // edge (bounded — a clique's k(k-1)/2 edges yield k(k-1)/2
+        // rows collapsing to k-1 distinct), and both consumers in
+        // small-star tolerate the duplicates — the min aggregate
+        // absorbs them map-side, the trailing distinct restores set
+        // semantics before the fingerprint. Dedup-ing here would cost
+        // a full exchange + two aggregate passes per round to shrink
+        // an already-bounded intermediate.
+        .select(e("u"), coalesce(col("m"), e("v")).as("v"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
