@@ -67,10 +67,24 @@ object ScaleUp {
       col("lang"), col("source"), col("r")) // n_chars recomputed below
       .withColumn("n_chars", length(col("text")).cast("int")))
 
+    // rotation alone only decorrelates factor <= dim replicas (r is
+    // taken mod the dimension, so r and r + dim would alias — exact
+    // cross-replica dups, densifying the pair graph the same way
+    // exact-copy replication would). Composing a per-element
+    // hash-parity sign flip keyed by (r, i) keeps every replica
+    // distinct at ANY factor while preserving norms and WITHIN-replica
+    // inner products exactly (sign flips square away; rotation is a
+    // permutation), so within-replica near-dup structure still
+    // replicates linearly.
     write("embeddings")(rep("embeddings").select(
       key("vec_id"),
-      when(col("r") === 0, col("embedding")).otherwise(
-        expr("concat(slice(embedding, r + 1, size(embedding) - r), slice(embedding, 1, r))"))
+      when(col("r") === 0, col("embedding")).otherwise(expr(
+        """transform(
+          |  concat(slice(embedding, pmod(r, size(embedding)) + 1,
+          |               size(embedding) - pmod(r, size(embedding))),
+          |         slice(embedding, 1, pmod(r, size(embedding)))),
+          |  (e, i) -> CASE WHEN pmod(xxhash64(r, CAST(i AS BIGINT)), 2) = 0
+          |            THEN e ELSE -e END)""".stripMargin))
         .as("embedding"),
       col("label"), col("r")))
 

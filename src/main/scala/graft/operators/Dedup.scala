@@ -356,9 +356,14 @@ object Dedup {
     * deterministic seeded planes shared with Similarity), candidate
     * pairs share ≥1 bucket (group-then-pair under the same hot-bucket
     * cap as the text dedups — a zero or degenerate vector mass is
-    * capped, not exploded), and the exact cosine verifies ≥ threshold.
-    * Shuffles move (table, bucket, vec_id) and capped in-bucket pairs
-    * only; precision is exact post-verify; recall is the sign-LSH curve
+    * capped, not exploded), and the exact cosine verifies ≥ threshold
+    * IN-BUCKET via the [[graft.functions.CosinePairs]] streaming
+    * generator, so the candidate pair space never crosses an exchange
+    * (r9 — the sf10 falsifier killed the explode-distinct-rejoin shape
+    * on >75 GB of candidate spill). The only corpus-sized shuffle
+    * carries the bucketed vectors (n·tables rows); emitted rows are
+    * verified near-dups only. Precision is exact post-verify; recall
+    * is the sign-LSH curve
     * — rising with cosine, so true duplicates are near-certain while
     * borderline pairs may be missed (floor spec'd vs
     * [[embeddingNearDupsExact]] in DedupSpec).
@@ -401,22 +406,30 @@ object Dedup {
     val effBits = math.max(bits, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
     val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tables, effBits)
+    graft.functions.CosinePairs.register(embeddings.sparkSession)
+    // the bucket exchange carries the VECTORS (n·tables rows of
+    // ~dim·8 B payload) so the pair space never has to: scoring happens
+    // inside the bucket via the CosinePairs streaming generator —
+    // compiled pair loop, same dot-product fold and division sequence
+    // as the exact path — and only pairs clearing the threshold leave
+    // the stage. The previous shape (explode ALL capped in-bucket
+    // pairs, distinct, rejoin vectors twice) shuffled the
+    // n·targetBucketSize·tables/2 candidate space itself; the sf10
+    // falsifier measured that as >75 GB of spill before the first
+    // cosine. The window and the aggregate share one hash(tbl, bucket)
+    // exchange (the aggregate's required distribution is already
+    // satisfied), and the cross-table distinct is sound because a
+    // pair's cosine is the same double whichever table emits it.
     val buckets = e.select(
-      col("vec_id"),
+      col("vec_id"), col("v"), col("norm"),
       posexplode(graft.functions.HyperplaneBuckets.buckets(col("v"), planes, tables, effBits)))
-      .toDF("vec_id", "tbl", "bucket")
-    val cands = capBuckets(buckets, Seq("tbl", "bucket"), maxBucketSize, dropObs)
+      .toDF("vec_id", "v", "norm", "tbl", "bucket")
+    capBuckets(buckets, Seq("tbl", "bucket"), maxBucketSize, dropObs)
       .groupBy("tbl", "bucket")
-      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("norm"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .selectExpr(s"cosine_pairs(ms, CAST($threshold AS DOUBLE))")
       .distinct()
-    cosineVerify(
-      cands.join(
-        e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na")),
-        "vec_id_a"),
-      e, threshold)
   }
 
   /** Corpus-wide duplicated-SPAN removal (SURVEY §2 #46) — the

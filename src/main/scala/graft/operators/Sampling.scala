@@ -147,12 +147,20 @@ object Sampling {
     * the oracle so the IEEE doubles — and therefore the integer
     * thresholds — match exactly.
     */
-  def mixtureResample(documents: DataFrame, target: Map[String, Double]): DataFrame = {
+  def mixtureResample(documents: DataFrame, target: Map[String, Double]): DataFrame =
+    applyMixture(documents, mixtureThresholds(documents, target))
+
+  /** The fit half of [[mixtureResample]]: the #sources-row
+    * (source, thr) rate table, computed from per-source counts. Fit
+    * once on the batch corpus, then [[applyMixture]] is a stateless
+    * filter — including over a `readStream` (the fit-once /
+    * apply-streaming contract: incremental ingest keeps the rates the
+    * batch fit chose; re-fit when the corpus composition drifts).
+    */
+  def mixtureThresholds(documents: DataFrame, target: Map[String, Double]): DataFrame = {
     require(target.nonEmpty, "target must name at least one source")
     require(target.values.forall(_ > 0.0), s"target weights must be positive: $target")
     require(math.abs(target.values.sum - 1.0) < 1e-9, s"target must sum to 1: $target")
-    graft.functions.RollingHash.register(documents.sparkSession)
-    graft.functions.FibFinish.register(documents.sparkSession)
     val wcol = target.foldLeft(lit(-1.0)) { case (acc, (s, wt)) =>
       when(col("source") === lit(s), lit(wt)).otherwise(acc)
     }
@@ -166,13 +174,24 @@ object Sampling {
     // weights not exactly representable in binary, w*cap/n can round to
     // 0.99999999999999989 and floor would shave the top key off the
     // very source the contract says keeps everything
-    val thresholds = counts.crossJoin(broadcast(cap))
+    counts.crossJoin(broadcast(cap))
       .select(col("source"),
         when(col("n") / col("w") === col("cap"), lit(KeySpace))
           .otherwise(
             floor(least(lit(1.0), col("w") * col("cap") / col("n")) * lit(KeySpace.toDouble))
               .cast("long"))
           .as("thr"))
+  }
+
+  /** The apply half of [[mixtureResample]]: key, broadcast-join the
+    * rate table, filter. Stateless and content-keyed, so it composes
+    * unchanged with a streaming `documents` (stream–static broadcast
+    * join) and the streamed output equals the batch output row-for-row
+    * regardless of micro-batch chunking — spec'd in StreamingSpec.
+    */
+  def applyMixture(documents: DataFrame, thresholds: DataFrame): DataFrame = {
+    graft.functions.RollingHash.register(documents.sparkSession)
+    graft.functions.FibFinish.register(documents.sparkSession)
     documents
       .select(col("doc_id"), col("source"), col("lang"),
         sampleKey(col("doc_id")).as("sample_key"))
@@ -208,15 +227,9 @@ object Sampling {
       .localCheckpoint(false) // consumers: cut sketch + bucketed rank
     val bucketed =
       if (buckets == 1) keyed.withColumn("bucket", lit(0))
-      else {
-        val fracs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
-        val cuts = keyed.agg(
-          expr(s"approx_percentile(skey, array($fracs), 10000)").as("cuts"))
-        keyed.crossJoin(broadcast(cuts))
-          .withColumn("bucket",
-            expr("CAST(aggregate(cuts, 0, (acc, c) -> acc + IF(skey > c, 1, 0)) AS INT)"))
-          .drop("cuts")
-      }
+      else keyed.crossJoin(broadcast(keyedCuts(keyed, buckets)))
+        .withColumn("bucket", bucketOfKey)
+        .drop("cuts")
     val wLocal = Window.partitionBy("bucket").orderBy("skey", "doc_id")
     val local = bucketed.withColumn("lrank", row_number().over(wLocal))
       .localCheckpoint(false) // consumers: final projection + bucket totals
@@ -231,5 +244,52 @@ object Sampling {
         col("skey").as("sample_key"),
         col("shuffle_pos"),
         pmod(col("shuffle_pos"), lit(shards.toLong)).as("shard"))
+  }
+
+  /** Bucket membership of a keyed row against a broadcast `cuts` array:
+    * count of cuts strictly below keeps tied keys in one bucket.
+    */
+  private def bucketOfKey: Column =
+    expr("CAST(aggregate(cuts, 0, (acc, c) -> acc + IF(skey > c, 1, 0)) AS INT)")
+
+  private def keyedCuts(keyed: DataFrame, buckets: Int): DataFrame = {
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
+    keyed.agg(expr(s"approx_percentile(skey, array($fracs), 10000)").as("cuts"))
+  }
+
+  /** The fit half of [[shuffleShard]]'s bucketing: the 1-row
+    * equal-frequency cut table over the corpus's sample keys. The
+    * GLOBAL rank (and therefore `shuffle_pos`/`shard`) is inherently a
+    * batch compaction — a stream cannot know a row's position in an
+    * order it hasn't finished seeing — but bucket ROUTING is the
+    * streamable half: fit the cuts once on the batch corpus, and
+    * [[assignShuffleBuckets]] places incrementally-ingested documents
+    * into the same equal-frequency buckets statelessly, so a periodic
+    * per-bucket compaction (rank within bucket + offsets) can extend
+    * the shuffled order without re-ranking the corpus. Re-fit when key
+    * distribution drift unbalances the buckets.
+    */
+  def shuffleCuts(documents: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 1, s"need at least two buckets for a cut table, got $buckets")
+    graft.functions.RollingHash.register(documents.sparkSession)
+    graft.functions.FibFinish.register(documents.sparkSession)
+    keyedCuts(documents.select(col("doc_id"), sampleKey(col("doc_id")).as("skey")), buckets)
+  }
+
+  /** The apply half: key each document and place it against a FROZEN
+    * cut table. Stateless (broadcast join on a constant key — the
+    * stream–static join form Structured Streaming supports), so the
+    * streamed assignment equals the batch assignment row-for-row
+    * regardless of micro-batch chunking — spec'd in StreamingSpec.
+    */
+  def assignShuffleBuckets(documents: DataFrame, cuts: DataFrame): DataFrame = {
+    graft.functions.RollingHash.register(documents.sparkSession)
+    graft.functions.FibFinish.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), sampleKey(col("doc_id")).as("skey"))
+      .withColumn("one", lit(1))
+      .join(broadcast(cuts.withColumn("one", lit(1))), "one")
+      .withColumn("bucket", bucketOfKey)
+      .select(col("doc_id"), col("skey").as("sample_key"), col("bucket"))
   }
 }

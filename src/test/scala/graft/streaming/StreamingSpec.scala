@@ -469,6 +469,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(split.isStreaming)
   }
 
+  test("mixture resample + shuffle-bucket routing: batch-fit tables apply to streams unchanged") {
+    // the fit-once / apply-streaming contract (SURVEY §2 #47/#48): the
+    // rate table and the bucket cut table are BATCH-fit artifacts; the
+    // apply halves are stateless content-keyed projections, so the same
+    // operator code composes with a readStream and the streamed output
+    // equals the batch output row-for-row under ANY micro-batch
+    // chunking. (shuffle_pos itself stays a batch compaction — a stream
+    // cannot rank an order it hasn't finished seeing — the spec instead
+    // ties the streamed bucket routing to the batch rank order.)
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    val target = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val thresholds = Sampling.mixtureThresholds(docs, target)
+    val batchKept = Sampling.mixtureResample(docs, target)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val rows = docs.select("doc_id", "source", "lang")
+      .as[(Long, String, String)].collect()
+    for ((nChunks, tag) <- Seq(2 -> "a", 5 -> "b")) {
+      val stream = MemoryStream[(Long, String, String)]
+      val streamed = Sampling.applyMixture(
+        stream.toDF().toDF("doc_id", "source", "lang"), thresholds)
+      assert(streamed.isStreaming, "applyMixture must compose with readStream")
+      val q = streamed.writeStream.format("memory").queryName(s"mix$tag")
+        .outputMode(OutputMode.Append).start()
+      try rows.grouped(math.max(1, rows.length / nChunks + 1)).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"mix$tag").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batchKept,
+        s"$nChunks-chunk streamed mixture diverged from batch: " +
+          s"±${(got diff batchKept).size + (batchKept diff got).size}")
+    }
+
+    // bucket routing: frozen cuts place streamed docs exactly where the
+    // batch compaction ranked them — each streamed bucket must map to a
+    // contiguous, bucket-ordered shuffle_pos range of the batch output
+    val buckets = 32
+    val cuts = Sampling.shuffleCuts(docs, buckets)
+    val stream = MemoryStream[(Long, String, String)]
+    val routed = Sampling.assignShuffleBuckets(
+      stream.toDF().toDF("doc_id", "source", "lang"), cuts)
+    assert(routed.isStreaming, "assignShuffleBuckets must compose with readStream")
+    val q = routed.writeStream.format("memory").queryName("route")
+      .outputMode(OutputMode.Append).start()
+    try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      stream.addData(chunk.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamBucket = spark.table("route").select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchPos = Sampling.shuffleShard(docs, 16, buckets)
+      .select("doc_id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamBucket.keySet == batchPos.keySet)
+    val ranges = streamBucket.groupBy(_._2).toSeq.sortBy(_._1).map { case (b, m) =>
+      val ps = m.keys.map(batchPos)
+      (b, ps.min, ps.max, ps.size)
+    }
+    ranges.foreach { case (b, lo, hi, n) =>
+      assert(hi - lo + 1 == n, s"bucket $b: batch positions not contiguous [$lo,$hi] for $n docs")
+    }
+    ranges.sliding(2).foreach {
+      case Seq((b1, _, hi1, _), (b2, lo2, _, _)) =>
+        assert(hi1 < lo2, s"buckets $b1/$b2 overlap in batch order")
+      case _ =>
+    }
+  }
+
   test("#30 flatMapGroupsWithState MTM engine matches the batch engine") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

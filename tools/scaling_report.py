@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Build the scaling artifact (dev tool): join two Bench JSON lines
-(baseline sf0.1, scaled sf1) into per-query ratios. A ratio near the
+(e.g. baseline sf1, scaled sf10) into per-query ratios. A ratio near the
 data scale factor (10x) is linear scaling; the artifact flags anything
 above `factor * tolerance` as super-linear. Tolerance defaults to 1.0 —
 anything above the data factor itself gets flagged (r8's 1.5 headroom
@@ -22,7 +22,7 @@ def main(base_path, scaled_path, out_path, factor=10.0, tolerance=1.0):
         if t0 is None or t0 <= 0 or t1 <= 0:
             continue
         ratio = round(t1 / t0, 2)
-        rows[name] = {"sf0.1_s": t0, "sf1_s": t1, "ratio": ratio}
+        rows[name] = {"base_s": t0, "scaled_s": t1, "ratio": ratio}
         # sub-second baselines are dominated by fixed task-setup cost, so
         # their ratio UNDERSTATES efficiency; only flag real workloads
         if ratio > factor * tolerance:
@@ -30,14 +30,16 @@ def main(base_path, scaled_path, out_path, factor=10.0, tolerance=1.0):
     out = {
         "factor": factor,
         "queries": rows,
-        "total_sf0.1_s": base["value"],
-        "total_sf1_s": scaled["value"],
+        "base_sf": base.get("sf"),
+        "scaled_sf": scaled.get("sf"),
+        "total_base_s": base["value"],
+        "total_scaled_s": scaled["value"],
         "total_ratio": round(scaled["value"] / base["value"], 2),
         "superlinear_flagged": flagged,
     }
     json.dump(out, open(out_path, "w"), indent=1)
     for name, r in sorted(rows.items(), key=lambda kv: -kv[1]["ratio"]):
-        print(f"{r['ratio']:6.2f}x  {r['sf0.1_s']:7.2f} -> {r['sf1_s']:7.2f}  {name}")
+        print(f"{r['ratio']:6.2f}x  {r['base_s']:7.2f} -> {r['scaled_s']:7.2f}  {name}")
     print(f"\ntotal {out['total_ratio']}x ({base['value']} -> {scaled['value']} s), "
           f"flagged super-linear (> {factor * tolerance}x): {flagged or 'none'}")
 
