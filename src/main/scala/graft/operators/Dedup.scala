@@ -122,18 +122,41 @@ object Dedup {
         inv.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= cap).drop("df")
       case None => inv
     }
-    val common = joinable.select(col("shingle"), col("doc_id").as("doc_id_a"))
-      .join(joinable.select(col("shingle"), col("doc_id").as("doc_id_b")), Seq("shingle"))
+    // Set sizes ride the POSTINGS into the pair join (one postings-
+    // sized join) instead of joining onto the pair set afterwards: the
+    // candidate pair set is ~20× the corpus (113M rows at the sf10
+    // falsifier, linear but large), and the previous jaccardFinalize
+    // shape shuffled it through two more size joins — measured as the
+    // bulk of a 27× wall ratio for 10× rows. With (na, nb) riding, the
+    // only pair-sized exchange left is the map-side-combined common
+    // count itself, and the Jaccard filter runs in that aggregate's
+    // stage. na/nb are functions of their doc ids, so the widened
+    // grouping key changes no group and the emitted doubles are
+    // bit-identical to jaccardFinalize's (same expression shape — the
+    // q_dedup_ngram_jaccard oracle is unchanged).
+    val sized = joinable.join(sizes, "doc_id")
+    val common = sized.select(col("shingle"), col("doc_id").as("doc_id_a"), col("n").as("na"))
+      .join(sized.select(col("shingle"), col("doc_id").as("doc_id_b"), col("n").as("nb")),
+        Seq("shingle"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .groupBy("doc_id_a", "doc_id_b")
+      .groupBy("doc_id_a", "doc_id_b", "na", "nb")
       .agg(count(lit(1)).as("n_common"))
-    jaccardFinalize(common, sizes, threshold)
+    common
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** The ONE Jaccard-finalize shape (size joins + jaccard expression +
-    * threshold), shared by the exact path and the MinHash-LSH verify —
-    * the q_dedup_minhash_lsh oracle assumes the two sites compute the
-    * IDENTICAL double, so they must never drift apart. `common` carries
+  /** Jaccard finalize for a SMALL candidate set (size joins + jaccard
+    * expression + threshold) — the MinHash-LSH verify, where candidates
+    * are few and joining sizes onto them is cheap. The exact path
+    * ([[ngramJaccardPairs]]) computes the IDENTICAL jaccard expression
+    * inline with sizes riding the postings instead (its candidate set
+    * is corpus-scale); the q_dedup_minhash_lsh oracle assumes the two
+    * sites emit the same double for the same pair, so the expression
+    * shape here and there must never drift apart. `common` carries
     * (doc_id_a, doc_id_b, n_common); `sizes` carries (doc_id, n).
     */
   private def jaccardFinalize(
@@ -291,19 +314,22 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)), c =>
         call_function("shiftright", col("simhash"), c * 16).bitwiseAND(lit(0xffffL)))))
       .toDF("doc_id", "simhash", "chunk", "ck")
-    // Group-then-pair (see minhashLshPairs) with the simhash riding along
-    // in the member struct so Hamming verification needs no extra join;
-    // hot chunks are capped before any per-bucket array exists.
+    // Group-then-pair with the simhash riding along in the member
+    // struct so Hamming verification needs no extra join; hot chunks
+    // are capped before any per-bucket array exists. The pair space is
+    // scored IN-BUCKET by the HammingPairs streaming generator (r9 —
+    // the sf10 falsifier measured the previous explode-distinct-filter
+    // shape at 18.5× for 10× rows: with saturated 16-bit chunk spaces
+    // the quadratic pair set itself crossed the distinct exchange;
+    // the quadratic xor+popcount stays, as CPU, but only pairs within
+    // maxHamming — the near-dup set — leave the stage).
+    graft.functions.HammingPairs.register(documents.sparkSession)
     capBuckets(chunks, Seq("chunk", "ck"), maxBucketSize, dropObs)
       .groupBy("chunk", "ck")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(pairCombos(col("ms"))).as("p"))
-      .select(
-        col("p.a.doc_id").as("doc_id_a"), col("p.b.doc_id").as("doc_id_b"),
-        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).cast("bigint").as("hamming"))
+      .selectExpr(s"hamming_pairs(ms, $maxHamming)")
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** All ordered element pairs (a before b in the sorted input array) as
