@@ -253,6 +253,11 @@ object SparkEntry {
     // against DuckDB's literal three-pass regexp_replace
     "q_redact_pii" -> ((s, dir) =>
       TextOps.redactPii(TextOps.withPlantedPii(Tables.documents(s, dir)))),
+    // Gopher-rules quality filter over deterministically planted line
+    // structure (the corpus text is single-line): one fused scan per
+    // row, gated against DuckDB's literal regex/split formulation
+    "q_quality_filter_gopher" -> ((s, dir) =>
+      TextOps.qualityFilterGopher(TextOps.withPlantedStructure(Tables.documents(s, dir)))),
     "q_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), packBudget)),
     // O(log n) star-contraction sibling of q_dedup_groups: component
@@ -1346,6 +1351,59 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t1, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
         |FROM ph""".stripMargin,
+    // the literal regex/split formulation the fused GopherStats kernel
+    // is spec-pinned to; p mirrors TextOps.withPlantedStructure
+    // character-for-character, and every division is a single exact
+    // int/int double op (bit-identical across engines)
+    "q_quality_filter_gopher" ->
+      """WITH p AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 3 = 0 THEN concat('  - bullet intro', chr(10)) ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN concat(chr(9), '* starred item ...', chr(10)) ELSE '' END,
+        |    text,
+        |    CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), 'and that of the have to be with more') ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'trailing thought …  ') ELSE '' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), '## tags #a #b....') ELSE '' END) AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_filter(regexp_extract_all(text, '\S+'), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + length(text) - length(replace(text, '…', ''))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols,
+        |    CAST((CASE WHEN regexp_matches(lower(text), '\b(the)\b') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN regexp_matches(lower(text), '\b(be)\b') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN regexp_matches(lower(text), '\b(to)\b') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN regexp_matches(lower(text), '\b(of)\b') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN regexp_matches(lower(text), '\b(and)\b') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN regexp_matches(lower(text), '\b(that)\b') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN regexp_matches(lower(text), '\b(have)\b') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN regexp_matches(lower(text), '\b(with)\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_distinct
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_ratio,
+        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+        |    CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_ratio,
+        |    CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_ratio,
+        |    n_stop_distinct
+        |  FROM g)
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+        |  bullet_ratio, ellipsis_ratio, n_stop_distinct,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio < 0.1
+        |   AND bullet_ratio <= 0.9
+        |   AND ellipsis_ratio <= 0.3
+        |   AND alpha_ratio >= 0.8
+        |   AND n_stop_distinct >= 2) AS keep
+        |FROM r""".stripMargin,
     // the string-space counts equal the hashed-space counts the Spark
     // side aggregates, barring 64-bit collisions (same argument as the
     // minhash gate); a doc too short for any 3-gram scores 0.0

@@ -326,4 +326,112 @@ object TextOps {
         col("r.n_phone").as("n_phone"),
         col("r.n_ip").as("n_ip"))
   }
+
+  // ---- SURVEY #51: Gopher-rules quality filter ----
+
+  /** Gopher A1.1 thresholds (Rae et al. 2021): the doc survives when
+    * every rule holds. Named so the SQL oracle and the Spark side cite
+    * the same constants.
+    */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMaxBulletRatio = 0.9
+  val GopherMaxEllipsisRatio = 0.3
+  val GopherMinAlphaRatio = 0.8
+  val GopherMinStopDistinct = 2L
+
+  /** Deterministic structure plant for the Gopher gate (the
+    * withPlantedPii pattern): the corpus text is single-line word soup
+    * with no bullets/ellipses/symbols, so the wired query grafts
+    * doc_id-derived lines onto it — bullet intros (space- and
+    * tab-indented), a `...`-terminated starred line, a Gopher-stopword
+    * line, a `…`-terminated line WITH trailing blanks, and a
+    * symbol-heavy `#`/dot-run line — exercising every line- and
+    * symbol-rule in the DuckDB-oracled path, not just in specs.
+    * Integer-only arithmetic; the oracle rebuilds the identical string
+    * (chr(9)/chr(10) — escape-free in both SQL dialects).
+    */
+  def withPlantedStructure(documents: DataFrame): DataFrame =
+    documents.selectExpr(
+      "doc_id",
+      """concat(
+        |CASE WHEN doc_id % 3 = 0 THEN concat('  - bullet intro', chr(10)) ELSE '' END,
+        |CASE WHEN doc_id % 5 = 0 THEN concat(chr(9), '* starred item ...', chr(10)) ELSE '' END,
+        |text,
+        |CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), 'and that of the have to be with more') ELSE '' END,
+        |CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'trailing thought …  ') ELSE '' END,
+        |CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), '## tags #a #b....') ELSE '' END) AS text""".stripMargin)
+
+  private def gopherRatio(num: Column, den: Column): Column =
+    when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+
+  /** The shared stats→(ratios, keep) projection over a frame holding
+    * `doc_id` and a `gs` struct with the eight GopherStats counts —
+    * both the fused kernel and the regex twin route through it, so the
+    * rule arithmetic exists once. Single divisions of exact integers:
+    * bit-identical across engines, no quantization needed.
+    */
+  private def gopherProject(withGs: DataFrame): DataFrame =
+    withGs.select(
+      col("doc_id"),
+      col("gs.n_words").as("n_words"),
+      gopherRatio(col("gs.n_word_chars"), col("gs.n_words")).as("mean_word_len"),
+      gopherRatio(col("gs.n_alpha_words"), col("gs.n_words")).as("alpha_ratio"),
+      gopherRatio(col("gs.n_symbols"), col("gs.n_words")).as("symbol_ratio"),
+      (col("gs.n_bullet_lines").cast("double") / col("gs.n_lines").cast("double")).as("bullet_ratio"),
+      (col("gs.n_ellipsis_lines").cast("double") / col("gs.n_lines").cast("double")).as("ellipsis_ratio"),
+      col("gs.n_stop_distinct").as("n_stop_distinct"))
+      .withColumn("keep",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords &&
+          col("mean_word_len") >= GopherMinMeanWordLen &&
+          col("mean_word_len") <= GopherMaxMeanWordLen &&
+          col("symbol_ratio") < GopherMaxSymbolRatio &&
+          col("bullet_ratio") <= GopherMaxBulletRatio &&
+          col("ellipsis_ratio") <= GopherMaxEllipsisRatio &&
+          col("alpha_ratio") >= GopherMinAlphaRatio &&
+          col("n_stop_distinct") >= GopherMinStopDistinct)
+
+  /** SURVEY #51: the Gopher heuristic-rules quality filter (word-count
+    * bounds, mean word length, symbol-to-word ratio, bullet/ellipsis
+    * line ratios, alphabetic-word ratio, distinct-stopword presence) —
+    * the standard rules stage every corpus build runs alongside the
+    * scored heuristics of [[qualityScore]]. ONE fused scan per row
+    * ([[graft.functions.GopherStats]] — eight counts out), pure
+    * projection inside the scan stage: no exchange, no UDF,
+    * stream-compatible (stateless, applies per-row under any
+    * chunking). At 100 TB the cost is the column read + one text scan,
+    * perfectly data-parallel.
+    */
+  def qualityFilterGopher(documents: DataFrame): DataFrame =
+    gopherProject(documents.select(
+      col("doc_id"), graft.functions.GopherStats.stats(col("text")).as("gs")))
+
+  /** The oracle's literal regex/split formulation (java.util.regex via
+    * Spark builtins) — the parity gate GopherStatsSpec pins against the
+    * fused kernel.
+    */
+  private[graft] def qualityFilterGopherRegex(documents: DataFrame): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val lines = split(col("text"), "\\n", -1)
+    def countChar(ch: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), ch, ""))
+    val gs = struct(
+      size(words).cast("bigint").as("n_words"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("bigint").as("n_word_chars"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("bigint").as("n_alpha_words"),
+      size(lines).cast("bigint").as("n_lines"),
+      size(filter(lines, l => l.rlike("^[ \\t]*[-*•]"))).cast("bigint").as("n_bullet_lines"),
+      // \z, not $: Java's bare $ also matches before a final \r line
+      // terminator; RE2 (the oracle's engine) does not, and the kernel
+      // pins the RE2 shape (GopherStats scaladoc)
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*\\z"))).cast("bigint").as("n_ellipsis_lines"),
+      (countChar("#") + countChar("…") + nMatches(col("text"), "\\.\\.\\.")).cast("bigint").as("n_symbols"),
+      graft.functions.GopherStats.StopWords
+        .map(w => when(lower(col("text")).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop_distinct"))
+    gopherProject(documents.select(col("doc_id"), gs.as("gs")))
+  }
 }
