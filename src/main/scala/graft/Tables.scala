@@ -20,19 +20,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw nanos LongType (spark.sql.legacy.parquet.nanosAsLong=true — set
-    * by [[Sessions]]); convert to a microsecond TIMESTAMP here with
-    * explicit FLOOR division (`div` alone truncates toward zero, which
-    * would land pre-1970 nanos 1 µs above DuckDB's flooring ns→us cast).
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations, so the reader adapts on the footer schema (no data
+    * read; every downstream operator sees one canonical µs TIMESTAMP):
+    *  - parquet TIMESTAMP(NANOS): Spark only reads it as a raw nanos
+    *    LongType (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    *    [[Sessions]]); convert with explicit FLOOR division (`div` alone
+    *    truncates toward zero, which would land pre-1970 nanos 1 µs
+    *    above DuckDB's flooring ns→us cast);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to the session-TZ TIMESTAMP ([[Sessions]]
+    *    pins UTC, so the wall clock IS the instant — same values DuckDB
+    *    reads natively).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // self-healing: callers with their own session (the driver's smoke
     // check) would otherwise hit PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(
-        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a session-TZ TIMESTAMP
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
