@@ -96,7 +96,7 @@ object Bench {
       val warmOk =
         try { materialize(fn); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      if (!warmOk) (name, -1.0, -1.0)
+      if (!warmOk) (name, -1.0, -1.0, 0)
       else {
         // best of nRuns timed runs: damps background-load / GC noise so
         // round-over-round comparisons track the plan, not the machine;
@@ -110,28 +110,42 @@ object Bench {
         // heavy queries, where an extra run costs real seconds, are
         // already far above the noise floor. The top-up only applies
         // to multi-run configs: an explicit nRuns=1 quick pass stays
-        // one run per query, and the emitted "subsec_topup_runs"
-        // records the effective count behind sub-second minima.
+        // one run per query; the per-query effective timed-run count
+        // is emitted in "timed_runs" (default + exceptions).
         if (nRuns >= 2 && times.nonEmpty && times.min < 1.0 && times.size < 3)
           times = times ++ (times.size until 3).flatMap(_ => timedRun(fn))
-        if (times.isEmpty) (name, -1.0, -1.0) else (name, times.min, times.max - times.min)
+        if (times.isEmpty) (name, -1.0, -1.0, 0)
+        else (name, times.min, times.max - times.min, times.size)
       }
     }
     // capped-bucket dedup queries publish their drop count per run
-    results.foreach { case (name, _, _) =>
+    results.foreach { case (name, _, _, _) =>
       SparkEntry.reportedDrops(name).foreach { n =>
         val tag = if (n > 0) " DROPS-NONZERO" else ""
         System.err.println(s"[bench] $name dropped_memberships=$n$tag")
       }
     }
-    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + ms3(s) }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s, _) => "\"" + k + "\":" + ms3(s) }.mkString("{", ",", "}")
     System.err.println(s"[bench] spread=$spreads")
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // per-query effective timed-run counts: the full map goes to stderr;
+    // the stdout JSON (whose tail is the driver's capture window — see
+    // Output discipline above) carries the exact counts compactly as the
+    // modal default plus only the queries that differ from it, so the
+    // line stays well inside the window while every count is recoverable
+    val runCounts = results.map { case (k, _, _, n) => (k, n) }
+    System.err.println(
+      runCounts.map { case (k, n) => s"$k=$n" }.mkString("[bench] timed_runs: ", ",", ""))
+    val modalRuns =
+      if (runCounts.isEmpty) nRuns
+      else runCounts.groupBy(_._2).maxBy { case (_, g) => g.size }._1
+    val runExceptions = runCounts.filter(_._2 != modalRuns)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     println(
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""errors":$errors,"runs":$nRuns,"subsec_topup_runs":${if (nRuns >= 2) 3 else nRuns}}""")
+        s""""errors":$errors,"runs":$nRuns,"timed_runs":{"default":$modalRuns,"except":$runExceptions}}""")
     spark.stop()
   }
 }

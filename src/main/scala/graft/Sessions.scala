@@ -29,14 +29,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // size file splits to the machine, not the 128 MB cluster
-      // default: local test data is tens of MB per table, so default
-      // splits leave 1-2 scan partitions feeding 32 cores — CPU-heavy
-      // per-row stages (multimodal feature extract) then scale with
-      // rows-per-partition instead of rows. On a real cluster the same
-      // knob is sized to executor memory; the principle (splits small
-      // enough to saturate the cores) is identical.
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      // maxPartitionBytes stays at the 128 MB default: r9 tried a
+      // session-global 8m to spread CPU-heavy multimodal scans across
+      // cores, but the A/B showed it taxed the whole suite (~+24 %
+      // total, q_dedup_groups 1.5x) while Multimodal.cpuSpread already
+      // covers the one path that needs it — and 8 MB splits are the
+      // wrong 100 TB default anyway (~13 M scan partitions of driver
+      // scheduling and tiny-row-group reads).
       // bucketed tables must ALWAYS read one-task-per-bucket: the
       // planner's auto-disable (when it sees no join/agg benefit) falls
       // back to size-based file splitting, which at scale can split one

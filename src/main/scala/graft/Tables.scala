@@ -29,22 +29,41 @@ object Tables {
     *    truncates toward zero, which would land pre-1970 nanos 1 µs
     *    above DuckDB's flooring ns→us cast);
     *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
-    *    TIMESTAMP_NTZ; cast to the session-TZ TIMESTAMP ([[Sessions]]
-    *    pins UTC, so the wall clock IS the instant — same values DuckDB
-    *    reads natively).
+    *    TIMESTAMP_NTZ; the NTZ wall clock IS the UTC instant, and the
+    *    cast to TimestampType interprets the wall clock in the SESSION
+    *    time zone — so the self-healing block below pins the session
+    *    zone to UTC alongside nanosAsLong. Without the pin, a foreign
+    *    session (the documented spark-submit smoke-check case) in a
+    *    non-UTC zone would silently read shifted instants. Side effect,
+    *    deliberate and documented: a caller-owned session that reads
+    *    events has its session time zone set to UTC from then on —
+    *    every operator in this library already assumes UTC rendering
+    *    ([[Sessions]] pins it), so a mixed-zone caller was never
+    *    supported.
+    *
+    * Any other physical ts type (a future regen producing INT96 or
+    * string) fails fast with the observed type instead of flowing
+    * wrong-typed values downstream.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // self-healing: callers with their own session (the driver's smoke
     // check) would otherwise hit PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+    // or, in a non-UTC zone, a shifted NTZ→instant conversion
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(
           expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // session zone is pinned UTC above, so this cast maps the NTZ
+        // wall clock to the identical instant
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw // already a session-TZ TIMESTAMP
+      case org.apache.spark.sql.types.TimestampType => raw // already an instant
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected nanos LONG, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP) — testdata generation changed; extend Tables.events")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

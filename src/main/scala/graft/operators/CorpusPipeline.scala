@@ -26,17 +26,25 @@ object CorpusPipeline {
 
   private def build(
       documents: DataFrame, minQuality: Double, jaccardThreshold: Double,
-      redactPii: Boolean = false): Stages = {
+      redactPii: Boolean = false, gopherRules: Boolean = false): Stages = {
     // 0. optional PII redaction — a second projection fused into the
     // same scan stage (no exchange): redact BEFORE the quality gate so
     // scoring and both dedup stages see the text that would actually
     // ship. Off by default; the standalone q_redact_pii query gates the
     // kernel itself.
-    val input =
+    val redacted =
       if (!redactPii) documents
       else documents.select(
         col("doc_id"),
         graft.functions.PiiRedact.redacted(col("text")).getField("clean").as("text"))
+    // 0b. optional Gopher-rules gate — a stateless filter in the same
+    // scan stage (one fused GopherStats pass); off by default, the
+    // standalone q_quality_filter_gopher query gates the rules. The
+    // streaming twin (StreamingJobs.corpusIngestStream) composes the
+    // identical expressions behind the same flags.
+    val input =
+      if (!gopherRules) redacted
+      else redacted.filter(TextOps.gopherKeepExpr(col("text")))
     // 1. per-row quality gate — a pure projection + filter inside the
     // scan stage (qualityExpr attaches the score without the join a
     // (doc_id → score) lookup would need)
@@ -76,8 +84,9 @@ object CorpusPipeline {
       documents: DataFrame,
       minQuality: Double = 0.5,
       jaccardThreshold: Double = 0.8,
-      redactPii: Boolean = false): DataFrame =
-    build(documents, minQuality, jaccardThreshold, redactPii).cleaned
+      redactPii: Boolean = false,
+      gopherRules: Boolean = false): DataFrame =
+    build(documents, minQuality, jaccardThreshold, redactPii, gopherRules).cleaned
 
   /** Per-stage survivor counts — the pipeline's audit trail (silent
     * shrinkage is how corpus bugs ship). Shares the staged build with

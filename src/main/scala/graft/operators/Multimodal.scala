@@ -66,7 +66,40 @@ object Multimodal {
     */
   private def cpuSpread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (scanPartitionEstimate(df).getOrElse(df.rdd.getNumPartitions) < par)
+      df.repartition(par)
+    else df
+  }
+
+  /** Estimated scan partition count for a file-backed frame WITHOUT
+    * forcing physical planning (r9's `df.rdd.getNumPartitions` planned
+    * every multimodal query twice): reproduces Spark's
+    * `FilePartition.maxSplitBytes` sizing from the analyzed plan's
+    * `HadoopFsRelation` file index — total bytes and file count are
+    * footer-free metadata the index already holds. The estimate ignores
+    * bin-packing slack, which only ever under-counts by a few
+    * partitions; the guard compares against core count, where that
+    * precision is irrelevant. None when the frame has no file scan leaf
+    * (in-memory test frames) — callers fall back to the planned count.
+    */
+  private def scanPartitionEstimate(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val rels = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (rels.isEmpty) None
+    else Some(rels.map { rel =>
+      val openCost = conf.filesOpenCostInBytes
+      val nFiles = math.max(1L, rel.location.inputFiles.length.toLong)
+      val totalBytes = rel.location.sizeInBytes + nFiles * openCost
+      val bytesPerCore =
+        totalBytes / math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      val maxSplit =
+        math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+      math.max(nFiles, (totalBytes + maxSplit - 1) / maxSplit).toInt
+    }.sum)
   }
 
   /** Decoded-media metadata row. `bit_depth` is the parsed bits-per-

@@ -368,6 +368,41 @@ object TextOps {
   private def gopherRatio(num: Column, den: Column): Column =
     when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
 
+  /** The A1.1 rule conjunction over the derived ratio columns — the one
+    * place the thresholds are applied; [[gopherProject]] (the audited
+    * per-rule projection) and [[gopherKeepExpr]] (the single-column
+    * streaming/filter form) both route through it.
+    */
+  private def gopherKeepFrom(
+      nWords: Column, meanWordLen: Column, alphaRatio: Column, symbolRatio: Column,
+      bulletRatio: Column, ellipsisRatio: Column, nStopDistinct: Column): Column =
+    nWords >= GopherMinWords && nWords <= GopherMaxWords &&
+      meanWordLen >= GopherMinMeanWordLen &&
+      meanWordLen <= GopherMaxMeanWordLen &&
+      symbolRatio < GopherMaxSymbolRatio &&
+      bulletRatio <= GopherMaxBulletRatio &&
+      ellipsisRatio <= GopherMaxEllipsisRatio &&
+      alphaRatio >= GopherMinAlphaRatio &&
+      nStopDistinct >= GopherMinStopDistinct
+
+  /** The Gopher gate as a single boolean Column over raw text — the
+    * form a stateless streaming stage (or an inline batch filter)
+    * composes without reshaping the frame: one fused
+    * [[graft.functions.GopherStats]] scan, the same rule arithmetic as
+    * [[qualityFilterGopher]] via [[gopherKeepFrom]].
+    */
+  def gopherKeepExpr(text: Column): Column = {
+    val gs = graft.functions.GopherStats.stats(text)
+    gopherKeepFrom(
+      gs.getField("n_words"),
+      gopherRatio(gs.getField("n_word_chars"), gs.getField("n_words")),
+      gopherRatio(gs.getField("n_alpha_words"), gs.getField("n_words")),
+      gopherRatio(gs.getField("n_symbols"), gs.getField("n_words")),
+      gs.getField("n_bullet_lines").cast("double") / gs.getField("n_lines").cast("double"),
+      gs.getField("n_ellipsis_lines").cast("double") / gs.getField("n_lines").cast("double"),
+      gs.getField("n_stop_distinct"))
+  }
+
   /** The shared stats→(ratios, keep) projection over a frame holding
     * `doc_id` and a `gs` struct with the eight GopherStats counts —
     * both the fused kernel and the regex twin route through it, so the
@@ -385,14 +420,9 @@ object TextOps {
       (col("gs.n_ellipsis_lines").cast("double") / col("gs.n_lines").cast("double")).as("ellipsis_ratio"),
       col("gs.n_stop_distinct").as("n_stop_distinct"))
       .withColumn("keep",
-        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords &&
-          col("mean_word_len") >= GopherMinMeanWordLen &&
-          col("mean_word_len") <= GopherMaxMeanWordLen &&
-          col("symbol_ratio") < GopherMaxSymbolRatio &&
-          col("bullet_ratio") <= GopherMaxBulletRatio &&
-          col("ellipsis_ratio") <= GopherMaxEllipsisRatio &&
-          col("alpha_ratio") >= GopherMinAlphaRatio &&
-          col("n_stop_distinct") >= GopherMinStopDistinct)
+        gopherKeepFrom(
+          col("n_words"), col("mean_word_len"), col("alpha_ratio"), col("symbol_ratio"),
+          col("bullet_ratio"), col("ellipsis_ratio"), col("n_stop_distinct")))
 
   /** SURVEY #51: the Gopher heuristic-rules quality filter (word-count
     * bounds, mean word length, symbol-to-word ratio, bullet/ellipsis

@@ -571,4 +571,57 @@ class StreamingSpec extends AnyFunSuite {
         s"bar $k: stream ${got.get(k)} vs batch $v")
     }
   }
+
+  test("corpus ingest stream: redaction + gopher rules match batch stage-for-stage under any chunking") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextOps
+    // plant an email into every doc, then the structure plants: a doc
+    // mix the gopher gate partly keeps and partly drops, and where
+    // redaction changes every fingerprint — so a stream that skipped
+    // either stage (or ran them in the wrong order relative to the
+    // fingerprint) could not match the batch fingerprint set
+    val input = TextOps.withPlantedStructure(
+      Tables.documents(spark, sfDir).selectExpr(
+        "doc_id",
+        "concat('ping u', cast(doc_id as string), '@ex', cast(doc_id % 5 as string), '.org ', text) AS text"))
+    // batch twin of the ingest's stateless stages 0-2; the dedup stage
+    // compares as the SURVIVING FINGERPRINT SET — which member of a
+    // duplicate group wins is arrival-order-dependent, the set is not
+    val minQuality = 0.5
+    val redactedB = input.select(col("doc_id"),
+      graft.functions.PiiRedact.redacted(col("text")).getField("clean").as("text"))
+    val gatedB = redactedB.filter(TextOps.gopherKeepExpr(col("text")))
+    val scoredB = gatedB.filter(TextOps.qualityExpr(col("text")) >= minQuality)
+    val batchFps = scoredB.select(TextOps.fingerprintExpr(col("text")).as("fp"))
+      .distinct().as[String].collect().toSet
+    // the gate must be non-vacuous for the parity to mean anything
+    val nTotal = input.count(); val nGated = gatedB.count()
+    assert(nGated > 0 && nGated < nTotal, s"gopher gate vacuous: kept $nGated of $nTotal")
+    assert(batchFps.nonEmpty)
+
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val rows = input.as[(Long, String)].collect().map { case (id, text) => (t0, id, text) }
+    for ((nChunks, tag) <- Seq(2 -> "a", 5 -> "b")) {
+      val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val q = StreamingJobs.corpusIngestStream(
+          stream.toDF().toDF("ingest_ts", "doc_id", "text"),
+          minQuality = minQuality, watermarkDelay = "2 hours",
+          redactPii = true, gopherRules = true)
+        .writeStream.format("memory").queryName(s"ingestrg$tag")
+        .outputMode(OutputMode.Append).start()
+      try rows.grouped(math.max(1, rows.length / nChunks + 1)).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table(s"ingestrg$tag").select("fp_md5", "text").collect()
+      val gotFps = out.map(_.getString(0)).toSet
+      assert(gotFps == batchFps,
+        s"$nChunks-chunk streamed ingest diverged from batch stages: " +
+          s"±${(gotFps diff batchFps).size + (batchFps diff gotFps).size}")
+      // redaction observable in the emitted rows themselves, not just
+      // via the fingerprint: every planted address is gone
+      assert(out.forall(r => !r.getString(1).contains("@")),
+        "unredacted email escaped the streamed ingest")
+    }
+  }
 }
