@@ -427,18 +427,44 @@ object Dedup {
       bits: Int = 4,
       maxBucketSize: Int = 4096,
       targetBucketSize: Int = 128,
-      dropObs: Option[Observation] = None): DataFrame = {
+      dropObs: Option[Observation] = None,
+      recallFloor: Double = 0.85,
+      maxTables: Int = 128): DataFrame = {
     require(targetBucketSize > 0, s"targetBucketSize must be positive, got $targetBucketSize")
+    require(recallFloor > 0.0 && recallFloor < 1.0,
+      s"recallFloor must be in (0,1), got $recallFloor")
     val e = Similarity.withNorm(embeddings)
       .localCheckpoint(false) // consumers: sizing count, bucketing, both verify sides
-    // size the bucket space to the data: expected population per bucket
-    // stays ~targetBucketSize however large the corpus is, so in-bucket
-    // pair generation stays linear in n. The count's job materializes
-    // the checkpoint the consumers below reuse.
+    // Size the bucket space AND the table count to the data, jointly
+    // (r10 — the RecallProfile falsifier measured recall 0.951 at
+    // sf0.1 collapsing to 0.376 at sf1 under the r8-r9 scheme, which
+    // grew bits with n but held tables at 16): for random hyperplanes,
+    // a pair at exactly `threshold` cosine matches one table's bucket
+    // with p₁ = (1 − θ/π)^bits, so recall after T OR'd tables is
+    // 1 − (1 − p₁)^T. Growing bits alone keeps buckets ~target-sized
+    // (linear in-bucket work) but sends p₁ — and recall — to zero.
+    // Holding BOTH bounded bucket population and a recall floor forces
+    // T ~ n^ρ tables (ρ = ln(1/q₁)/ln 2 — the standard LSH exponent;
+    // ≈0.66 at threshold 0.4): inherent to the method, not this
+    // implementation. So: bits are capped at the largest value whose
+    // recall floor is reachable within `maxTables`, the table count
+    // adapts to the floor, and past the budget boundary
+    // (n ≳ target·2^bitsCap) bucket populations — and in-bucket pair
+    // CPU — grow instead, with `dropObs`/capBuckets as the guard. At
+    // that point the production answer is IVF-style sharding
+    // (annIvfTopK's structure), not more LSH tables.
     val n = e.count()
-    val effBits = math.max(bits, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
-    val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tables, effBits)
+    val q1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    // largest bits for which `maxTables` tables can still reach the
+    // recall floor: p1(bits) >= 1 - (1-floor)^(1/maxTables)
+    val p1Min = 1.0 - math.pow(1.0 - recallFloor, 1.0 / maxTables)
+    val bitsCap = math.max(bits, (math.log(p1Min) / math.log(q1)).toInt)
+    val effBits = math.min(bitsCap, math.max(bits, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt))
+    val p1 = math.pow(q1, effBits)
+    val tablesEff = math.max(tables, math.min(maxTables.toDouble,
+      math.ceil(math.log(1.0 - recallFloor) / math.log(1.0 - p1))).toInt)
+    val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tablesEff, effBits)
     graft.functions.CosinePairs.register(embeddings.sparkSession)
     // the bucket exchange carries the VECTORS (n·tables rows of
     // ~dim·8 B payload) so the pair space never has to: scoring happens
@@ -455,7 +481,7 @@ object Dedup {
     // pair's cosine is the same double whichever table emits it.
     val buckets = e.select(
       col("vec_id"), col("v"), col("norm"),
-      posexplode(graft.functions.HyperplaneBuckets.buckets(col("v"), planes, tables, effBits)))
+      posexplode(graft.functions.HyperplaneBuckets.buckets(col("v"), planes, tablesEff, effBits)))
       .toDF("vec_id", "v", "norm", "tbl", "bucket")
     capBuckets(buckets, Seq("tbl", "bucket"), maxBucketSize, dropObs)
       .groupBy("tbl", "bucket")
