@@ -420,6 +420,29 @@ object Dedup {
     * per-table miss probability compounds over `tables` independent
     * tables (e.g. cos 0.96, 8 bits: miss ≈ (1−0.91⁸)¹⁶ ≈ 4e-5).
     */
+  /** The (bits, tables) choice for [[embeddingNearDupsLsh]], as a pure
+    * function of the corpus size and the quality budget — spec'd
+    * directly (DedupSpec) since the recall floor is a THEOREM about
+    * these two numbers: a pair at exactly `threshold` cosine matches
+    * one table with p₁ = q₁^bits (q₁ = 1 − θ/π), so recall after T
+    * OR'd tables is 1 − (1 − p₁)^T ≥ recallFloor.
+    */
+  private[graft] def lshParams(
+      n: Long, threshold: Double, tables: Int, bits: Int,
+      targetBucketSize: Int, recallFloor: Double, maxTables: Int): (Int, Int) = {
+    val q1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    // largest bits for which `maxTables` tables can still reach the
+    // recall floor: p1(bits) >= 1 - (1-floor)^(1/maxTables)
+    val p1Min = 1.0 - math.pow(1.0 - recallFloor, 1.0 / maxTables)
+    val bitsCap = math.max(bits, (math.log(p1Min) / math.log(q1)).toInt)
+    val effBits = math.min(bitsCap, math.max(bits, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt))
+    val p1 = math.pow(q1, effBits)
+    val tablesEff = math.max(tables, math.min(maxTables.toDouble,
+      math.ceil(math.log(1.0 - recallFloor) / math.log(1.0 - p1))).toInt)
+    (effBits, tablesEff)
+  }
+
   def embeddingNearDupsLsh(
       embeddings: DataFrame,
       threshold: Double = 0.4,
@@ -454,16 +477,8 @@ object Dedup {
     // that point the production answer is IVF-style sharding
     // (annIvfTopK's structure), not more LSH tables.
     val n = e.count()
-    val q1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    // largest bits for which `maxTables` tables can still reach the
-    // recall floor: p1(bits) >= 1 - (1-floor)^(1/maxTables)
-    val p1Min = 1.0 - math.pow(1.0 - recallFloor, 1.0 / maxTables)
-    val bitsCap = math.max(bits, (math.log(p1Min) / math.log(q1)).toInt)
-    val effBits = math.min(bitsCap, math.max(bits, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt))
-    val p1 = math.pow(q1, effBits)
-    val tablesEff = math.max(tables, math.min(maxTables.toDouble,
-      math.ceil(math.log(1.0 - recallFloor) / math.log(1.0 - p1))).toInt)
+    val (effBits, tablesEff) =
+      lshParams(n, threshold, tables, bits, targetBucketSize, recallFloor, maxTables)
     val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tablesEff, effBits)
     graft.functions.CosinePairs.register(embeddings.sparkSession)
     // the bucket exchange carries the VECTORS (n·tables rows of

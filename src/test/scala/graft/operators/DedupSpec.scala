@@ -18,6 +18,27 @@ class DedupSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("doc_id_a", "doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("embedding-LSH params hold the recall floor across corpus decades") {
+    // the r10 RecallProfile falsifier: adaptive BITS alone (r8-r9)
+    // kept buckets tidy while recall collapsed 0.951 -> 0.376 over one
+    // decade. The (bits, tables) choice is a pure function; pin the
+    // floor as the theorem it is: recall(b, T) = 1 - (1 - q1^b)^T.
+    val (threshold, floor, maxT) = (0.4, 0.85, 128)
+    val q1 = 1.0 - math.acos(threshold) / math.Pi
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L, 2000000000L)) {
+      val (b, t) = Dedup.lshParams(n, threshold, 16, 4, 128, floor, maxT)
+      val recall = 1.0 - math.pow(1.0 - math.pow(q1, b), t)
+      assert(t <= maxT && b >= 4, s"n=$n gave (bits=$b, tables=$t)")
+      assert(recall >= floor - 1e-9,
+        s"n=$n: (bits=$b, tables=$t) has theoretical recall $recall < $floor")
+    }
+    // small corpora keep the r9 plan exactly (oracle/bench continuity)
+    assert(Dedup.lshParams(2000L, 0.4, 16, 4, 128, floor, maxT) == (4, 16))
+    // the measured sf1/sf10 shapes
+    assert(Dedup.lshParams(20000L, 0.4, 16, 4, 128, floor, maxT) == (8, 75))
+    assert(Dedup.lshParams(200000L, 0.4, 16, 4, 128, floor, maxT) == (9, 119))
+  }
+
   test("minhash-LSH recovers the exact jaccard>=0.8 pairs (recall 1.0 here)") {
     val docs = Tables.documents(spark, sfDir)
     val exact = pairSet(Dedup.ngramJaccardPairs(docs, threshold = 0.8))
