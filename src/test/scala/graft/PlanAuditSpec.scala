@@ -93,6 +93,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the one exchange must hash on doc_id alone:\n$p")
   }
 
+  test("minhash verify: in-stage merge walk, no pair-x-shingle join") {
+    // r10: the verify must join candidate pairs against per-doc sorted
+    // hash-set ARRAYS and count intersections in-stage — the previous
+    // shape joined the index on (doc_id_b, h), which shipped
+    // |pair|·|shingles| rows across exchanges (11.8 GB at the sf10
+    // falsifier) and re-aggregated them
+    val p = plan(Dedup.minhashLshPairs(Tables.documents(spark, sfDir)))
+    // (the perDoc aggregate itself sits behind a localCheckpoint, so
+    // its sorted_long_set lineage is not visible in this plan — the
+    // unboxed agg is gated by DedupSpec's pair parity instead)
+    assert(p.contains("sorted_intersect_count"),
+      "verify must count intersections via the compiled merge walk")
+    assert(!"hashpartitioning\\(doc_id_b#\\d+L?, h#".r.findAllIn(p).hasNext,
+      s"the pair-x-shingle (doc_id_b, h) exchange is back:\n$p")
+  }
+
   test("bucket cap: window count shares the pair aggregation's shuffle") {
     import spark.implicits._
     import org.apache.spark.sql.functions.collect_set

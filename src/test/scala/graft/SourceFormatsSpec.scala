@@ -13,6 +13,28 @@ class SourceFormatsSpec extends AnyFunSuite {
   private lazy val spark = Sessions.local("4")
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("events reader self-heals a foreign non-UTC session (instants, not wall clocks)") {
+    // the ADVICE r9 medium: the TIMESTAMP_NTZ -> TIMESTAMP cast reads
+    // the wall clock in the SESSION zone, so a spark-submit session in
+    // e.g. Asia/Tokyo silently shifted every instant by -9h until
+    // Tables.events pinned UTC in its self-healing block. Simulate the
+    // foreign session by un-pinning the zone on this one.
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val utc = Tables.events(spark, sfDir)
+        .select("event_id", "ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val foreign = Tables.events(spark, sfDir)
+        .select("event_id", "ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      assert(utc.nonEmpty && foreign == utc,
+        "a non-UTC caller session must read the same instants (self-healing UTC pin)")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "events() documents that it pins the session zone to UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("documents round-trip through CSV (multiline text, quotes) bit-identically") {
     val docs = Tables.documents(spark, sfDir)
     val dir = Files.createTempDirectory("graft_csv").toString + "/docs"
