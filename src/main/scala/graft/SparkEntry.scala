@@ -223,6 +223,16 @@ object SparkEntry {
     // SQL replay as q_corpus_clean
     "q_corpus_stage_report" -> ((s, dir) =>
       CorpusPipeline.stageReport(Tables.documents(s, dir))),
+    // the FULL composed pipeline behind every flag: PII redaction →
+    // Gopher rules → quality gate → exact dedup → near-dup drop, over
+    // a plant that exercises redaction (doc_id-derived PII changes
+    // every fingerprint) and the Gopher gate (stopword/symbol
+    // keep-drop mix) — each stage's oracle is the SAME shared SQL
+    // fragment its standalone query is gated by
+    "q_corpus_clean_full" -> ((s, dir) =>
+      CorpusPipeline.cleanCorpus(
+        TextOps.withPlantedPipeline(Tables.documents(s, dir)),
+        redactPii = true, gopherRules = true).drop("text")),
     // -- sampling / packing / corpus stats (LLM pipeline) --
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.events(s, dir), sampleRates.toMap)),
@@ -381,13 +391,13 @@ object SparkEntry {
     * definition for both q_corpus_clean and q_corpus_stage_report, so
     * the two gates can never drift apart.
     */
-  private val CORPUS_STAGES =
-    """qm AS (
+  private def corpusStagesSql(src: String): String =
+    s"""qm AS (
       |  SELECT doc_id, text, length(text) AS n_chars,
-      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
-      |    len(regexp_extract_all(text, '\S+')) AS n_ws,
-      |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in|that|it|on)\b')) AS n_stop
-      |  FROM documents),
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+      |    len(regexp_extract_all(text, '\\S+')) AS n_ws,
+      |    len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|that|it|on)\\b')) AS n_stop
+      |  FROM $src),
       |qr AS (
       |  SELECT doc_id, text,
       |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
@@ -400,11 +410,67 @@ object SparkEntry {
       |  FROM qr),
       |qf AS (SELECT * FROM qs WHERE quality_score >= 0.5),
       |fp AS (SELECT doc_id, text, quality_score,
-      |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5 FROM qf),
+      |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5 FROM qf),
       |canon AS (
       |  SELECT doc_id, text, quality_score FROM
       |    (SELECT *, min(doc_id) OVER (PARTITION BY fp_md5) AS cid FROM fp)
       |  WHERE doc_id = cid)""".stripMargin
+
+  /** The staged replay over the raw documents table — the shared base
+    * for q_corpus_clean / q_corpus_stage_report (one definition, the
+    * gates cannot drift); the composed q_corpus_clean_full runs the
+    * same stages over its redacted + Gopher-gated source CTE.
+    */
+  private val CORPUS_STAGES = corpusStagesSql("documents")
+
+  /** Shared DuckDB fragment: the Gopher A1.1 stats + rule conjunction
+    * over a relation `src(doc_id, text)` — the literal regex/split
+    * formulation the fused GopherStats kernel is spec-pinned to
+    * (GopherStatsSpec). Yields `gr` (per-rule ratio columns) and
+    * `gk(doc_id, keep)`. ONE definition for q_quality_filter_gopher
+    * and the composed pipeline gate, so the two cannot drift.
+    */
+  private def gopherStatsSql(src: String): String =
+    s"""gg AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+      |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+      |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+      |    CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS BIGINT) AS n_ellipsis_lines,
+      |    CAST(length(text) - length(replace(text, '#', ''))
+      |      + length(text) - length(replace(text, '…', ''))
+      |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+      |    CAST((CASE WHEN regexp_matches(lower(text), '\\b(the)\\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(text), '\\b(be)\\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(text), '\\b(to)\\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(text), '\\b(of)\\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(text), '\\b(and)\\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(text), '\\b(that)\\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(text), '\\b(have)\\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(text), '\\b(with)\\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_distinct
+      |  FROM $src),
+      |gr AS (
+      |  SELECT doc_id, n_words,
+      |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+      |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_ratio,
+      |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+      |    CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_ratio,
+      |    CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_ratio,
+      |    n_stop_distinct
+      |  FROM gg),
+      |gk AS (
+      |  SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+      |    bullet_ratio, ellipsis_ratio, n_stop_distinct,
+      |    (n_words >= 50 AND n_words <= 100000
+      |     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |     AND symbol_ratio < 0.1
+      |     AND bullet_ratio <= 0.9
+      |     AND ellipsis_ratio <= 0.3
+      |     AND alpha_ratio >= 0.8
+      |     AND n_stop_distinct >= 2) AS keep
+      |  FROM gr)""".stripMargin
 
   /** Shared DuckDB fragment replaying Sampling.sampleKey over a CTE
     * `src` carrying `sid` (an id's decimal string): rolling hash of the
@@ -1102,6 +1168,32 @@ object SparkEntry {
         |${jaccardPairsSql("canon", None)}
         |SELECT doc_id, quality_score FROM canon
         |WHERE doc_id NOT IN (SELECT doc_id_b FROM jpairs)""".stripMargin,
+    // the full composed pipeline: plant mirror → the q_redact_pii
+    // oracle's three-pass redaction → the shared Gopher fragment →
+    // the shared corpus stages over the gated survivors → the shared
+    // jaccard pair fragment. Every stage replays through the SAME SQL
+    // its standalone gate uses.
+    "q_corpus_clean_full" ->
+      s"""WITH pp AS (
+        |  SELECT doc_id, concat(text,
+        |    chr(10), 'contact u', CAST(doc_id AS VARCHAR), '@ex', CAST(doc_id % 5 AS VARCHAR),
+        |    '.org or +1-555-', CAST(1000 + doc_id % 9000 AS VARCHAR),
+        |    ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.', CAST(doc_id % 250 AS VARCHAR),
+        |    CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), 'and that of the have to be with more') ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN concat(chr(10), repeat('# ', 40)) ELSE '' END) AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS text
+        |  FROM pp),
+        |${gopherStatsSql("red")},
+        |gf AS (SELECT red.doc_id, red.text FROM red JOIN gk ON red.doc_id = gk.doc_id WHERE gk.keep),
+        |${corpusStagesSql("gf")},
+        |${jaccardPairsSql("canon", None)}
+        |SELECT doc_id, quality_score FROM canon
+        |WHERE doc_id NOT IN (SELECT doc_id_b FROM jpairs)""".stripMargin,
     // the SAME staged replay (shared fragment — the two oracles can
     // never drift apart), surfaced as the survivor-count audit table
     "q_corpus_stage_report" ->
@@ -1356,7 +1448,7 @@ object SparkEntry {
     // character-for-character, and every division is a single exact
     // int/int double op (bit-identical across engines)
     "q_quality_filter_gopher" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id, concat(
         |    CASE WHEN doc_id % 3 = 0 THEN concat('  - bullet intro', chr(10)) ELSE '' END,
         |    CASE WHEN doc_id % 5 = 0 THEN concat(chr(9), '* starred item ...', chr(10)) ELSE '' END,
@@ -1365,45 +1457,10 @@ object SparkEntry {
         |    CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'trailing thought …  ') ELSE '' END,
         |    CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), '## tags #a #b....') ELSE '' END) AS text
         |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_word_chars,
-        |    CAST(len(list_filter(regexp_extract_all(text, '\S+'), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
-        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS BIGINT) AS n_bullet_lines,
-        |    CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) AS BIGINT) AS n_ellipsis_lines,
-        |    CAST(length(text) - length(replace(text, '#', ''))
-        |      + length(text) - length(replace(text, '…', ''))
-        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols,
-        |    CAST((CASE WHEN regexp_matches(lower(text), '\b(the)\b') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN regexp_matches(lower(text), '\b(be)\b') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN regexp_matches(lower(text), '\b(to)\b') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN regexp_matches(lower(text), '\b(of)\b') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN regexp_matches(lower(text), '\b(and)\b') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN regexp_matches(lower(text), '\b(that)\b') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN regexp_matches(lower(text), '\b(have)\b') THEN 1 ELSE 0 END)
-        |      + (CASE WHEN regexp_matches(lower(text), '\b(with)\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_distinct
-        |  FROM p),
-        |r AS (
-        |  SELECT doc_id, n_words,
-        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
-        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_ratio,
-        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio,
-        |    CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_ratio,
-        |    CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_ratio,
-        |    n_stop_distinct
-        |  FROM g)
+        |${gopherStatsSql("p")}
         |SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
-        |  bullet_ratio, ellipsis_ratio, n_stop_distinct,
-        |  (n_words >= 50 AND n_words <= 100000
-        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |   AND symbol_ratio < 0.1
-        |   AND bullet_ratio <= 0.9
-        |   AND ellipsis_ratio <= 0.3
-        |   AND alpha_ratio >= 0.8
-        |   AND n_stop_distinct >= 2) AS keep
-        |FROM r""".stripMargin,
+        |  bullet_ratio, ellipsis_ratio, n_stop_distinct, keep
+        |FROM gk""".stripMargin,
     // the string-space counts equal the hashed-space counts the Spark
     // side aggregates, barring 64-bit collisions (same argument as the
     // minhash gate); a doc too short for any 3-gram scores 0.0

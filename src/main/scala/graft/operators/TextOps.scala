@@ -365,6 +365,27 @@ object TextOps {
         |CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'trailing thought …  ') ELSE '' END,
         |CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), '## tags #a #b....') ELSE '' END) AS text""".stripMargin)
 
+  /** Composite plant for the END-TO-END pipeline gate
+    * (q_corpus_clean_full): unlike [[withPlantedPii]] (which replaces
+    * the text) this APPENDS to it, so the corpus's planted near-dups
+    * and quality profile survive into the later stages. Appends: a PII
+    * line (email + phone + IPv4 — doc_id-derived, so redaction changes
+    * every fingerprint), a Gopher-stopword line for even doc_ids (a
+    * keep/drop mix on the stopword rule), and a `# `-bomb for
+    * doc_id % 11 == 0 (fails the symbol AND alpha rules — those docs
+    * must drop at the Gopher stage before any later stage sees them).
+    * Integer-only arithmetic; the oracle rebuilds the identical string.
+    */
+  def withPlantedPipeline(documents: DataFrame): DataFrame =
+    documents.selectExpr(
+      "doc_id",
+      """concat(text,
+        |chr(10), 'contact u', CAST(doc_id AS STRING), '@ex', CAST(doc_id % 5 AS STRING),
+        |'.org or +1-555-', CAST(1000 + doc_id % 9000 AS STRING),
+        |' from 10.', CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 250 AS STRING),
+        |CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), 'and that of the have to be with more') ELSE '' END,
+        |CASE WHEN doc_id % 11 = 0 THEN concat(chr(10), repeat('# ', 40)) ELSE '' END) AS text""".stripMargin)
+
   private def gopherRatio(num: Column, den: Column): Column =
     when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
 
