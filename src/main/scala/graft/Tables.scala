@@ -29,17 +29,23 @@ object Tables {
     *    truncates toward zero, which would land pre-1970 nanos 1 µs
     *    above DuckDB's flooring ns→us cast);
     *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
-    *    TIMESTAMP_NTZ; the NTZ wall clock IS the UTC instant, and the
-    *    cast to TimestampType interprets the wall clock in the SESSION
-    *    time zone — so the self-healing block below pins the session
-    *    zone to UTC alongside nanosAsLong. Without the pin, a foreign
-    *    session (the documented spark-submit smoke-check case) in a
-    *    non-UTC zone would silently read shifted instants. Side effect,
-    *    deliberate and documented: a caller-owned session that reads
-    *    events has its session time zone set to UTC from then on —
-    *    every operator in this library already assumes UTC rendering
-    *    ([[Sessions]] pins it), so a mixed-zone caller was never
-    *    supported.
+    *    TIMESTAMP_NTZ; the NTZ wall clock IS the UTC instant. A bare
+    *    cast to TimestampType would interpret the wall clock in the
+    *    SESSION time zone (a spark-submit session in Asia/Tokyo would
+    *    silently shift every instant −9 h) — and so would every other
+    *    built-in route, `to_utc_timestamp(ntz, "UTC")` included (it
+    *    session-casts before its shift; measured in SourceFormatsSpec).
+    *    The conversion is the native [[graft.functions.NtzAsUtcInstant]]
+    *    reinterpret — zero arithmetic, zone-independent, and no session
+    *    mutation (r10 pinned `spark.sql.session.timeZone=UTC` as a side
+    *    effect of the read; a caller rendering its OWN tables'
+    *    timestamps in its own zone got silently shifted output from
+    *    that point on).
+    *
+    * The one remaining conf write, `nanosAsLong`, is read-time-required
+    * for the NANOS generation (Spark refuses TIMESTAMP(NANOS) without
+    * it), set only when it differs, and logged — it changes how a
+    * pathological-schema file reads, never how values render.
     *
     * Any other physical ts type (a future regen producing INT96 or
     * string) fails fast with the observed type instead of flowing
@@ -48,18 +54,21 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     // self-healing: callers with their own session (the driver's smoke
     // check) would otherwise hit PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
-    // or, in a non-UTC zone, a shifted NTZ→instant conversion
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(nanosKey).forall(_ != "true")) {
+      org.slf4j.LoggerFactory.getLogger("graft.Tables")
+        .info(s"events: setting $nanosKey=true (required to read a TIMESTAMP(NANOS) generation)")
+      spark.conf.set(nanosKey, "true")
+    }
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(
           expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
-        // session zone is pinned UTC above, so this cast maps the NTZ
-        // wall clock to the identical instant
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // pure NTZ→instant reinterpret (see NtzAsUtcInstant: every
+        // built-in route casts through the SESSION zone first)
+        raw.withColumn("ts", graft.functions.NtzAsUtcInstant.column(col("ts")))
       case org.apache.spark.sql.types.TimestampType => raw // already an instant
       case other => throw new IllegalStateException(
         s"events.ts: unsupported physical type $other (expected nanos LONG, " +

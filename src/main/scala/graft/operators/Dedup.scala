@@ -432,9 +432,16 @@ object Dedup {
       targetBucketSize: Int, recallFloor: Double, maxTables: Int): (Int, Int) = {
     val q1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     // largest bits for which `maxTables` tables can still reach the
-    // recall floor: p1(bits) >= 1 - (1-floor)^(1/maxTables)
+    // recall floor: p1(bits) >= 1 - (1-floor)^(1/maxTables). The cap
+    // binds UNCONDITIONALLY — including over a caller-supplied `bits`
+    // above it (r10 took max(bits, cap), so an oversized floor request
+    // silently produced a configuration whose theoretical recall was
+    // below recallFloor — the exact failure mode this function exists
+    // to prevent). `bits` is a bucket-granularity FLOOR, recallFloor is
+    // the contract; when they conflict, granularity yields (bigger
+    // buckets, never silent recall loss).
     val p1Min = 1.0 - math.pow(1.0 - recallFloor, 1.0 / maxTables)
-    val bitsCap = math.max(bits, (math.log(p1Min) / math.log(q1)).toInt)
+    val bitsCap = math.max(1, (math.log(p1Min) / math.log(q1)).toInt)
     val effBits = math.min(bitsCap, math.max(bits, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt))
     val p1 = math.pow(q1, effBits)

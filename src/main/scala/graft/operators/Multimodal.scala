@@ -76,9 +76,16 @@ object Multimodal {
     * every multimodal query twice): reproduces Spark's
     * `FilePartition.maxSplitBytes` sizing from the analyzed plan's
     * `HadoopFsRelation` file index — total bytes and file count are
-    * footer-free metadata the index already holds. The estimate ignores
-    * bin-packing slack, which only ever under-counts by a few
-    * partitions; the guard compares against core count, where that
+    * footer-free metadata the index already holds. The estimate is
+    * `ceil(totalBytes / maxSplit)` with each file's open cost folded
+    * into totalBytes — the same padded-bytes arithmetic `FilePartition`
+    * bins against, so many tiny files still raise the count through
+    * their open-cost padding WITHOUT a `max(nFiles, …)` floor (Spark
+    * bin-packs small files together, so actual partitions can be far
+    * FEWER than nFiles; the r10 floor over-counted in exactly that
+    * case and could make `cpuSpread` skip a needed repartition).
+    * Bin-packing slack means the estimate only ever UNDER-counts by a
+    * few partitions; the guard compares against core count, where that
     * precision is irrelevant. None when the frame has no file scan leaf
     * (in-memory test frames) — callers fall back to the planned count.
     */
@@ -98,7 +105,7 @@ object Multimodal {
         totalBytes / math.max(1, df.sparkSession.sparkContext.defaultParallelism)
       val maxSplit =
         math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
-      math.max(nFiles, (totalBytes + maxSplit - 1) / maxSplit).toInt
+      ((totalBytes + maxSplit - 1) / maxSplit).toInt
     }.sum)
   }
 

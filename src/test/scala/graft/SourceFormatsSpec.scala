@@ -13,12 +13,16 @@ class SourceFormatsSpec extends AnyFunSuite {
   private lazy val spark = Sessions.local("4")
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("events reader self-heals a foreign non-UTC session (instants, not wall clocks)") {
-    // the ADVICE r9 medium: the TIMESTAMP_NTZ -> TIMESTAMP cast reads
+  test("events reader is zone-pure: same instants in a foreign non-UTC session, no conf mutation") {
+    // the ADVICE r9 medium: a bare TIMESTAMP_NTZ -> TIMESTAMP cast reads
     // the wall clock in the SESSION zone, so a spark-submit session in
-    // e.g. Asia/Tokyo silently shifted every instant by -9h until
-    // Tables.events pinned UTC in its self-healing block. Simulate the
-    // foreign session by un-pinning the zone on this one.
+    // e.g. Asia/Tokyo silently shifted every instant by -9h. r10 fixed
+    // this by pinning the session zone inside events() — which ADVICE
+    // r10 flagged as its own hazard (the read permanently mutated the
+    // caller's session). The r11 contract: the NtzAsUtcInstant
+    // reinterpret — correct instants in ANY session zone, zone conf
+    // untouched. (to_utc_timestamp(ntz, "UTC") was tried first and
+    // FAILED this spec: it implicitly session-casts before shifting.)
     val before = spark.conf.get("spark.sql.session.timeZone")
     try {
       val utc = Tables.events(spark, sfDir)
@@ -29,9 +33,9 @@ class SourceFormatsSpec extends AnyFunSuite {
         .select("event_id", "ts").collect()
         .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
       assert(utc.nonEmpty && foreign == utc,
-        "a non-UTC caller session must read the same instants (self-healing UTC pin)")
-      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-        "events() documents that it pins the session zone to UTC")
+        "a non-UTC caller session must read the same instants (pure NTZ conversion)")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo",
+        "events() must NOT mutate the caller's session time zone")
     } finally spark.conf.set("spark.sql.session.timeZone", before)
   }
 

@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** SortedIntersectCount parity: codegen'd merge walk vs the obvious
   * set-intersection reference, on edge shapes and fuzzed sorted-set
   * pairs. The caller contract is ascending DISTINCT arrays (the minhash
-  * verify feeds `sort_array(collect_list(h))` over a distinct index).
+  * verify feeds `SortedLongSetAgg` — the typed imperative aggregate that
+  * replaced the boxed `sort_array(collect_list(h))` shape in r10 and
+  * emits each doc's hash set already ascending-distinct).
   */
 class SortedIntersectCountSpec extends AnyFunSuite {
 

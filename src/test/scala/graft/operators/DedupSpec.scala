@@ -32,6 +32,16 @@ class DedupSpec extends AnyFunSuite {
       assert(recall >= floor - 1e-9,
         s"n=$n: (bits=$b, tables=$t) has theoretical recall $recall < $floor")
     }
+    // a caller-supplied bits ABOVE the recall-feasible cap must be
+    // clamped, not honored (ADVICE r10: max(bits, cap) made the floor
+    // silently unreachable — p1 = q1^20 ≈ 1e-4, 128 tables nowhere
+    // near enough). recallFloor is the contract; bits is only a floor.
+    for (n <- Seq(2000L, 2000000L)) {
+      val (b20, t20) = Dedup.lshParams(n, threshold, 16, 20, 128, floor, maxT)
+      val recall20 = 1.0 - math.pow(1.0 - math.pow(q1, b20), t20)
+      assert(recall20 >= floor - 1e-9,
+        s"bits=20 request, n=$n: (bits=$b20, tables=$t20) recall $recall20 < $floor")
+    }
     // small corpora keep the r9 plan exactly (oracle/bench continuity)
     assert(Dedup.lshParams(2000L, 0.4, 16, 4, 128, floor, maxT) == (4, 16))
     // the measured sf1/sf10 shapes
