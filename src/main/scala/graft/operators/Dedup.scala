@@ -155,6 +155,23 @@ object Dedup {
       .join(sized.select(col("shingle"), col("doc_id").as("doc_id_b"), col("n").as("nb")),
         Seq("shingle"))
       .filter(col("doc_id_a") < col("doc_id_b"))
+      // Length (size-compatibility) prune, applied IN the join stage
+      // before any candidate row reaches the pair aggregate: jaccard is
+      // maximized at c = min(na, nb), where it evaluates to EXACTLY
+      // min/max (denominator na+nb−c = max), so a pair failing
+      // min/max ≥ t cannot pass the final filter — the standard length
+      // filter of set-similarity joins (AllPairs/PPJoin family). The
+      // prune reuses the IDENTICAL double-division shape the jaccard
+      // filter would evaluate in that best case (never a rearranged
+      // bound like min ≥ t·max, whose different rounding could prune a
+      // pair whose computed jaccard lands exactly on the threshold), so
+      // the emitted pair set is bit-identical with or without it. At
+      // the sf10 falsifier the candidate aggregate's input is the
+      // dominant stage (2.5 GB partial-agg spill of mostly-unique
+      // pairs); size compatibility keeps ~37 % of candidate rows at
+      // threshold 0.8 (measured sf0.1, 469k of 1.27M).
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")).cast("double") >= threshold)
       .groupBy("doc_id_a", "doc_id_b", "na", "nb")
       .agg(count(lit(1)).as("n_common"))
     common
