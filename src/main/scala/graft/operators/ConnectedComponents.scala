@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Algorithm: min-label propagation — every vertex starts labeled with
   * itself; each round takes the min of its own and its neighbors'
   * labels; fixpoint when no label changes. Each round is one
-  * join + partial-aggregated groupBy (labels and edges shuffle, never
-  * payloads); rounds = component diameter, and near-dup components are
+  * join + partial-aggregated groupBy (only the LABELS shuffle per
+  * round — the symmetric edge set is checkpointed pre-partitioned and
+  * pre-sorted on the join key, and never payloads move); rounds =
+  * component diameter, and near-dup components are
   * shallow in practice (stars around a canonical doc). Convergence is
   * detected by the label-sum invariant: labels only ever decrease, so
   * the sum (exact, DECIMAL — a 1e9-vertex sum overflows int64) is
@@ -63,11 +65,43 @@ object ConnectedComponents {
     // edges job
     val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(eager = false)
-    val edges = p.union(p.select(col("dst"), col("src")))
-      .distinct()
-      // lazy: the first round's join materializes it; stored partitions
-      // serve every later round without recomputing the pair lineage
-      .localCheckpoint(eager = false)
+    // No distinct on the symmetric set: when the input pairs are a set
+    // of canonically-ordered pairs (every wired producer ends in a
+    // groupBy or distinct and emits a < b), the forward branch (a < b)
+    // and the reversed branch (a > b) are disjoint by construction, so
+    // the union is already duplicate-free — the r10 profile's "2.2 GB
+    // doubled-edge distinct" was an avoidable full exchange+aggregate
+    // over 2|e| rows, not an inherent cost. A caller that DOES pass
+    // duplicate or both-ordered pairs only inflates join input rows
+    // (each round's min aggregate absorbs duplicates map-side);
+    // correctness never depends on edge-set uniqueness, and the seeded
+    // random-graph specs exercise exactly that input shape. Instead the
+    // checkpoint stores the edges hash-partitioned AND sorted on the
+    // join key: localCheckpoint captures the physical plan's
+    // outputPartitioning/outputOrdering into its LogicalRDD, so every
+    // propagation round's sort-merge join reuses both — the 2|e| edge
+    // rows are exchanged and sorted ONCE instead of once per round
+    // (only the per-round labels side still moves). The capture only
+    // works when the checkpoint is PLANNED with AQE off: under AQE the
+    // checkpointed plan is an AdaptiveSparkPlanExec whose partitioning
+    // is not final at capture time, so the LogicalRDD records unknown
+    // partitioning and every round re-exchanges (probed empirically on
+    // this Spark). The toggle is save/restored around plan construction
+    // only — the lazy checkpoint's physical plan is fixed at this call,
+    // so the later materialization job is unaffected by the restore,
+    // and consumer queries (each round's join) still plan under AQE,
+    // which honors the scan's captured distribution.
+    val aqeSaved = pairs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+    pairs.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val edges =
+      try p.union(p.select(col("dst"), col("src")))
+        .repartition(col("src"))
+        .sortWithinPartitions("src")
+        // lazy: the first round's join materializes it; stored
+        // partitions serve every later round without recomputing the
+        // pair lineage
+        .localCheckpoint(eager = false)
+      finally pairs.sparkSession.conf.set("spark.sql.adaptive.enabled", aqeSaved)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(eager = false)
