@@ -34,6 +34,14 @@ NOTES = {
         "emitted pair set is bit-identical) - at sf10 the pruned "
         "aggregate was the dominant stage (2.5 GB partial-agg output, "
         "~63% of candidate rows size-incompatible at t=0.8).",
+        "q_dedup_groups / q_dedup_groups_star: the doubled-edge "
+        "distinct is gone (union of canonically-ordered distinct pairs "
+        "with their reversals is duplicate-free by construction - the "
+        "r10 'inherent 2.2 GB distinct' was avoidable), and the "
+        "propagation edge checkpoint is stored hash-partitioned+sorted "
+        "on the join key (planned with AQE momentarily off so "
+        "LogicalRDD captures the partitioning), so each round's "
+        "sort-merge join reads edges with no exchange and no sort.",
     ],
 }
 
