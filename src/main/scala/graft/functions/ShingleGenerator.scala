@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 // CodegenFallback: GenerateExec drives generators through eval() — the
 // win here is eliminating the exchange, not expression codegen
-case class ShingleGenerator(child: Expression, n: Int = 3, fname: String = "shingles")
+case class ShingleGenerator(
+    child: Expression, n: Int = 3, fname: String = "shingles", distinct: Boolean = false)
     extends UnaryExpression with CollectionGenerator with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -47,16 +48,31 @@ case class ShingleGenerator(child: Expression, n: Int = 3, fname: String = "shin
     else {
       val tokens = ShingleGenerator.tokenize(raw.asInstanceOf[UTF8String].toString)
       if (tokens.length < n) Nil
-      else new Iterator[InternalRow] {
-        private var i = 0
-        private val last = tokens.length - n
-        def hasNext: Boolean = i <= last
-        def next(): InternalRow = {
-          val s = tokens.slice(i, i + n).mkString(" ")
-          i += 1
-          InternalRow(UTF8String.fromString(s))
+      else {
+        val all = new Iterator[InternalRow] {
+          private var i = 0
+          private val last = tokens.length - n
+          def hasNext: Boolean = i <= last
+          def next(): InternalRow = {
+            val s = tokens.slice(i, i + n).mkString(" ")
+            i += 1
+            InternalRow(UTF8String.fromString(s))
+          }
         }
-      }.to(Iterable)
+        // distinct mode dedupes WITHIN the row while streaming (first
+        // occurrence wins): per-doc set semantics computed map-side in
+        // the scan stage, so no downstream distinct/countDistinct needs
+        // to shuffle duplicate shingles at all. Memory is bounded by the
+        // row's own shingle count — the same order as the token array
+        // the tokenizer already materialized.
+        val out =
+          if (!distinct) all
+          else {
+            val seen = new java.util.HashSet[UTF8String]()
+            all.filter(r => seen.add(r.getUTF8String(0)))
+          }
+        out.to(Iterable)
+      }
     }
   }
 
@@ -83,9 +99,10 @@ object ShingleGenerator {
   private[graft] def tokenize(text: String): Array[String] =
     text.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
-  /** Register `shingles(str)` (3-gram) and `tokens(str)` (the n=1
-    * degenerate case — the normalized unigram stream) as generator
-    * functions.
+  /** Register `shingles(str)` (3-gram), `tokens(str)` (the n=1
+    * degenerate case — the normalized unigram stream) and
+    * `shingles_distinct(str)` (per-row set semantics, first occurrence
+    * wins) as generator functions.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -96,6 +113,11 @@ object ShingleGenerator {
       "tokens",
       FunctionArity.checked("tokens", 1)(exprs =>
         ShingleGenerator(exprs.head, n = 1, fname = "tokens")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles_distinct",
+      FunctionArity.checked("shingles_distinct", 1)(exprs =>
+        ShingleGenerator(exprs.head, fname = "shingles_distinct", distinct = true)),
       "built-in")
   }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * itself; each round takes the min of its own and its neighbors'
   * labels; fixpoint when no label changes. Each round is one
   * join + partial-aggregated groupBy (only the LABELS shuffle per
-  * round — the symmetric edge set is checkpointed pre-partitioned and
+  * round — the symmetric edge set is cached pre-partitioned and
   * pre-sorted on the join key, and never payloads move); rounds =
   * component diameter, and near-dup components are
   * shallow in practice (stars around a canonical doc). Convergence is
@@ -51,6 +51,57 @@ object ConnectedComponents {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
     }
 
+  /** The symmetric edge set of the propagation loop, stored
+    * hash-partitioned AND sorted on the join key so every round's
+    * sort-merge join reads it with no exchange and no sort (only the
+    * per-round labels side moves).
+    *
+    * No distinct on the symmetric set: when the input pairs are a set
+    * of canonically-ordered pairs (every wired producer ends in a
+    * groupBy or distinct and emits a < b), the forward branch (a < b)
+    * and the reversed branch (a > b) are disjoint by construction, so
+    * the union is already duplicate-free — the r10 profile's "2.2 GB
+    * doubled-edge distinct" was an avoidable full exchange+aggregate
+    * over 2|e| rows, not an inherent cost. A caller that DOES pass
+    * duplicate or both-ordered pairs only inflates join input rows
+    * (each round's min aggregate absorbs duplicates map-side);
+    * correctness never depends on edge-set uniqueness, and the seeded
+    * random-graph specs exercise exactly that input shape.
+    *
+    * Storage is `persist()`, not localCheckpoint: Spark plans cached
+    * queries so their output partitioning/ordering is preserved (AQE
+    * may not change a cached plan's output partitioning unless
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` is
+    * flipped on — it defaults off precisely so consumers can rely on
+    * it), so the InMemoryTableScan every round reads REPORTS
+    * hashpartitioning(src)+sorted and EnsureRequirements inserts
+    * nothing on the edge side. The r11 localCheckpoint variant needed a
+    * session-global AQE toggle around plan construction to get the
+    * same capture (under AQE the checkpointed plan's partitioning is
+    * not final at capture time) — a conf mutation visible to any
+    * concurrently-planning query on the session; the cache path has no
+    * such window. PlanAuditSpec pins the no-exchange/no-sort property
+    * against Spark upgrades. Caller unpersists.
+    */
+  private[graft] def buildEdges(p: DataFrame): DataFrame =
+    p.union(p.select(col("dst"), col("src")))
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .persist()
+
+  /** Canonical dup groups from a near-dup pair list (see object doc for
+    * the algorithm).
+    *
+    * Input contract (performance, not correctness): `pairs` is expected
+    * to be a DEDUPLICATED, canonically-ordered pair set — one row per
+    * undirected edge, with `aCol < bCol` — which every wired producer
+    * (the dedup operators all end in a groupBy or distinct emitting
+    * a < b) satisfies by construction. The symmetric edge set is built
+    * WITHOUT a distinct on that basis; a caller passing duplicate or
+    * both-ordered pairs still gets the correct labeling (each round's
+    * min aggregate absorbs duplicates map-side) but carries the
+    * duplicated edge rows through every propagation round's join.
+    */
   def dupGroups(
       pairs: DataFrame,
       aCol: String = "doc_id_a",
@@ -65,43 +116,10 @@ object ConnectedComponents {
     // edges job
     val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(eager = false)
-    // No distinct on the symmetric set: when the input pairs are a set
-    // of canonically-ordered pairs (every wired producer ends in a
-    // groupBy or distinct and emits a < b), the forward branch (a < b)
-    // and the reversed branch (a > b) are disjoint by construction, so
-    // the union is already duplicate-free — the r10 profile's "2.2 GB
-    // doubled-edge distinct" was an avoidable full exchange+aggregate
-    // over 2|e| rows, not an inherent cost. A caller that DOES pass
-    // duplicate or both-ordered pairs only inflates join input rows
-    // (each round's min aggregate absorbs duplicates map-side);
-    // correctness never depends on edge-set uniqueness, and the seeded
-    // random-graph specs exercise exactly that input shape. Instead the
-    // checkpoint stores the edges hash-partitioned AND sorted on the
-    // join key: localCheckpoint captures the physical plan's
-    // outputPartitioning/outputOrdering into its LogicalRDD, so every
-    // propagation round's sort-merge join reuses both — the 2|e| edge
-    // rows are exchanged and sorted ONCE instead of once per round
-    // (only the per-round labels side still moves). The capture only
-    // works when the checkpoint is PLANNED with AQE off: under AQE the
-    // checkpointed plan is an AdaptiveSparkPlanExec whose partitioning
-    // is not final at capture time, so the LogicalRDD records unknown
-    // partitioning and every round re-exchanges (probed empirically on
-    // this Spark). The toggle is save/restored around plan construction
-    // only — the lazy checkpoint's physical plan is fixed at this call,
-    // so the later materialization job is unaffected by the restore,
-    // and consumer queries (each round's join) still plan under AQE,
-    // which honors the scan's captured distribution.
-    val aqeSaved = pairs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
-    pairs.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
-    val edges =
-      try p.union(p.select(col("dst"), col("src")))
-        .repartition(col("src"))
-        .sortWithinPartitions("src")
-        // lazy: the first round's join materializes it; stored
-        // partitions serve every later round without recomputing the
-        // pair lineage
-        .localCheckpoint(eager = false)
-      finally pairs.sparkSession.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    // lazy: the first labels action materializes the cache; stored
+    // partitions serve every later round without recomputing the pair
+    // lineage
+    val edges = buildEdges(p)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(eager = false)
@@ -114,7 +132,7 @@ object ConnectedComponents {
     // looping on it would NPE — return the (empty) labeling directly
     if (prevSum == null) {
       dropCheckpointBlocks(p) // the loop (which usually drops it) never runs
-      dropCheckpointBlocks(edges)
+      edges.unpersist(blocking = false)
       return labels.select(col("v").as("doc_id"), col("label").as("group_id"))
     }
     var iter = 0
@@ -141,7 +159,7 @@ object ConnectedComponents {
     }
     // the returned plan reads only the final labels checkpoint; the
     // symmetric edge set (the largest per-round artifact) is done
-    dropCheckpointBlocks(edges)
+    edges.unpersist(blocking = false)
     labels.select(col("v").as("doc_id"), col("label").as("group_id"))
   }
 

@@ -36,16 +36,25 @@ object Decontaminate {
     val evalSizes = evalInv.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
     val evalSide = evalInv.join(evalSizes, "doc_id")
       .select(col("doc_id").as("eval_id"), col("shingle"), col("n_eval"))
-    // The corpus side stays RAW (duplicate shingles included): a
-    // distinct here would shuffle the whole corpus index before the
-    // join. Instead the broadcast join filters to eval hits map-side
-    // and countDistinct dedupes only those — so every exchange in the
-    // plan moves join hits, never corpus rows.
+    // The corpus side dedupes shingles WITHIN each document map-side
+    // (shingles_distinct: per-row set semantics streamed inside the
+    // scan stage — never a corpus-wide distinct, which would shuffle
+    // the whole corpus index before the join). Both join inputs then
+    // carry set semantics — shingleIndex distincts the eval side — so
+    // each common shingle of a (train, eval) pair matches EXACTLY once
+    // and a plain count IS the distinct-intersection size: the same
+    // integer the previous countDistinct computed, feeding the
+    // IDENTICAL division, so the flagged set is bit-identical. The win
+    // is the aggregate's exchange: partial counts combine map-side to
+    // one (train, eval) row per partition — the countDistinct rewrite
+    // instead shuffled every distinct (train, eval, shingle-STRING)
+    // triple to dedupe globally before counting, a hit-set-sized
+    // string shuffle that grows with corpus×eval overlap.
     graft.functions.ShingleGenerator.register(corpus.sparkSession)
-    corpus.selectExpr("doc_id", "shingles(text) AS shingle")
+    corpus.selectExpr("doc_id", "shingles_distinct(text) AS shingle")
       .join(broadcast(evalSide), "shingle")
       .groupBy(col("doc_id"), col("eval_id"), col("n_eval"))
-      .agg(countDistinct(col("shingle")).as("n_common"))
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("containment",
         col("n_common").cast("double") / col("n_eval").cast("double"))
       .filter(col("containment") >= minContainment)

@@ -121,6 +121,74 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the size guard must reuse the bucket aggregation's exchange, saw $exchanges:\n$p")
   }
 
+  test("CC edge cache: a propagation-round join reads edges with no exchange and no sort") {
+    // Pins the capture semantics dupGroups relies on (r11 probed it
+    // empirically; this makes a Spark upgrade that changes them fail a
+    // test): the persisted symmetric edge set — built by the REAL
+    // buildEdges — must report hashpartitioning(src)+sorted from the
+    // cache, so the round's sort-merge join adds neither an Exchange
+    // nor a Sort on the edge side. Expected wide ops are exactly the
+    // labels side's: the distinct's exchange (whose output partitioning
+    // then also serves the join, plus one sort on v) and the per-round
+    // groupBy(dst) exchange. The merge hint forces SMJ (tiny test data
+    // would otherwise broadcast and assert nothing).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    val p = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L)).toDF("src", "dst")
+    val edges = ConnectedComponents.buildEdges(p)
+    try {
+      edges.count() // materialize the cache, as dupGroups' first action does
+      val labels = edges.select(col("src").as("v")).distinct().withColumn("label", col("v"))
+      val round = edges.hint("merge").join(labels, edges("src") === labels("v"))
+        .groupBy(edges("dst")).agg(fmin(col("label")).as("nbr_label"))
+      round.collect()
+      // count by tree traversal, not plan-string grep: the string form
+      // re-prints the cached plan's OWN exchange+sort under every
+      // InMemoryRelation (innerChildren), which is build-time work done
+      // once, not per-round work. The walk expands AQE/query-stage
+      // wrappers but stops at InMemoryTableScan — exactly the per-round
+      // execution boundary.
+      import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def gather(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }).flatMap(gather)
+      val nodes = gather(round.queryExecution.executedPlan)
+      val p2 = plan(round)
+      assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+        s"merge hint must force SMJ:\n$p2")
+      assert(nodes.exists(_.nodeName.contains("InMemoryTableScan")),
+        s"edge side must read the cache:\n$p2")
+      val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+      // 1 = the groupBy(dst) aggregate. Even the labels-side distinct
+      // rides the cache's hashpartitioning(src) (v is an alias of src),
+      // and the edge side of the SMJ must add nothing.
+      assert(exchanges == 1,
+        s"expected only the groupBy(dst) exchange, saw $exchanges:\n$p2")
+      val sorts = nodes.count(_.isInstanceOf[SortExec])
+      assert(sorts == 1, s"expected only the labels-side SMJ sort, saw $sorts:\n$p2")
+    } finally edges.unpersist(blocking = true)
+  }
+
+  test("decontaminate: pair aggregate is a partial count, no distinct-triple shuffle") {
+    // shingles_distinct gives both join inputs set semantics, so the
+    // overlap count is a plain count(1) whose partials combine map-side
+    // — the aggregate's exchange moves (train, eval) count rows, never
+    // (train, eval, shingle-STRING) triples (the countDistinct rewrite
+    // it replaces shuffled the whole deduped hit set)
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(Decontaminate.flagged(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0), 0.5))
+    assert(p.contains("shingles_distinct"), s"corpus side must dedupe map-side:\n$p")
+    assert(!p.toLowerCase.contains("count(distinct"),
+      s"the distinct-triple countDistinct shape is back:\n$p")
+    assert(p.contains("partial_count"), s"overlap count must partial-aggregate map-side:\n$p")
+  }
+
   test("exact dedup: single hash-partition shuffle on the fingerprint") {
     val p = plan(Dedup.exactDups(Tables.documents(spark, sfDir)))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

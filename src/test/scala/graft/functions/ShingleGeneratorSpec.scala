@@ -35,6 +35,28 @@ class ShingleGeneratorSpec extends AnyFunSuite {
     assert(shinglesOf(null) == Seq.empty)
   }
 
+  test("shingles_distinct: per-row set semantics, first occurrence wins") {
+    import spark.implicits._
+    ShingleGenerator.register(spark)
+    def d(text: String): Seq[String] =
+      Seq(Option(text)).toDF("text").selectExpr("shingles_distinct(text) AS s")
+        .collect().map(_.getString(0)).toSeq
+    // "a b a b a b" → shingles: aba, bab, aba, bab → distinct keeps first of each
+    assert(d("a b a b a b") == Seq("a b a", "b a b"))
+    assert(d("x y z w") == Seq("x y z", "y z w")) // no dups: identical to shingles
+    assert(d("a b") == Seq.empty)
+    assert(d(null) == Seq.empty)
+    // equivalence on the real corpus: same multiset as distinct-per-doc shingles
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val viaDistinct = docs.selectExpr("doc_id", "shingles(text) AS s").distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list("s")).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = docs.selectExpr("doc_id", "shingles_distinct(text) AS s")
+      .groupBy("doc_id").agg(sort_array(collect_list("s")).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == viaDistinct)
+  }
+
   /** Compare the native generator against the SQL-side equivalent
     * (split normalized text, slide via sequence) on the given docs.
     */

@@ -29,11 +29,16 @@ class DecontaminateSpec extends AnyFunSuite {
       // shares nothing
       (2L, "completely different content nothing shared here at all"),
       // shares 1 of the eval doc's 3 shingles (containment 1/3 < 0.5)
-      (3L, "alpha beta gamma but then it diverges")
+      (3L, "alpha beta gamma but then it diverges"),
+      // REPEATS every eval shingle twice: containment is set
+      // intersection over eval size and must stay exactly 1.0 — an
+      // occurrence-counting bug (the map-side shingles_distinct dedupe
+      // failing) would report 2.0 here
+      (4L, "alpha beta gamma delta epsilon then alpha beta gamma delta epsilon again")
     ).toDF("doc_id", "text")
     val flagged = Decontaminate.flagged(corpus, evalDocs, 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(flagged.toSeq == Seq((1L, 100L, 1.0)), s"got ${flagged.toSeq}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(flagged.toSeq == Seq((1L, 100L, 1.0), (4L, 100L, 1.0)), s"got ${flagged.toSeq}")
     val kept = Decontaminate.clean(corpus, evalDocs, 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
