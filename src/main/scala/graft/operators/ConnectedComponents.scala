@@ -137,25 +137,36 @@ object ConnectedComponents {
     }
     var iter = 0
     var converged = false
-    while (!converged) {
-      iter += 1
-      require(iter <= maxIter,
-        s"connected components did not converge in $maxIter rounds — " +
-          "adversarially deep graph; raise maxIter or switch to star contraction")
-      val nbrMin = edges.join(labels, edges("src") === labels("v"))
-        .groupBy(edges("dst"))
-        .agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
-        .select(labels("v"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        // lazy: the labelSum action below materializes it — one job per
-        // round instead of two (eager checkpoint + sum)
-        .localCheckpoint(eager = false)
-      val s = labelSum(updated)
-      if (iter == 1) dropCheckpointBlocks(p) // edges are materialized now
-      dropCheckpointBlocks(labels) // superseded by `updated`
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = updated
+    // on ANY loop failure (the maxIter require, a task failure mid
+    // round) release the edge cache and the current labels checkpoint
+    // before propagating — without this a non-converging call leaked
+    // the largest per-round artifacts until JVM GC noticed
+    try {
+      while (!converged) {
+        iter += 1
+        require(iter <= maxIter,
+          s"connected components did not converge in $maxIter rounds — " +
+            "adversarially deep graph; raise maxIter or switch to star contraction")
+        val nbrMin = edges.join(labels, edges("src") === labels("v"))
+          .groupBy(edges("dst"))
+          .agg(min(col("label")).as("nbr_label"))
+        val updated = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
+          .select(labels("v"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          // lazy: the labelSum action below materializes it — one job per
+          // round instead of two (eager checkpoint + sum)
+          .localCheckpoint(eager = false)
+        val s = labelSum(updated)
+        if (iter == 1) dropCheckpointBlocks(p) // edges are materialized now
+        dropCheckpointBlocks(labels) // superseded by `updated`
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = updated
+      }
+    } catch {
+      case e: Throwable =>
+        dropCheckpointBlocks(labels)
+        edges.unpersist(blocking = false)
+        throw e
     }
     // the returned plan reads only the final labels checkpoint; the
     // symmetric edge set (the largest per-round artifact) is done
@@ -283,18 +294,27 @@ object ConnectedComponents {
     }
     var iter = 0
     var converged = false
-    while (!converged) {
-      iter += 1
-      require(iter <= maxIter,
-        s"star contraction did not converge in $maxIter rounds (O(log n) expected) — " +
-          "malformed edge set or maxIter set below log2(vertex count)")
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
-      val fp = fingerprint(next)
-      converged = fp == prev
-      prev = fp
-      val superseded = edges
-      edges = next
-      dropCheckpointBlocks(superseded)
+    // mirror propagation mode's failure cleanup: a maxIter throw (or a
+    // mid-round task failure) must not leak the current edge checkpoint
+    try {
+      while (!converged) {
+        iter += 1
+        require(iter <= maxIter,
+          s"star contraction did not converge in $maxIter rounds (O(log n) expected) — " +
+            "malformed edge set or maxIter set below log2(vertex count)")
+        val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+        val fp = fingerprint(next)
+        converged = fp == prev
+        prev = fp
+        val superseded = edges
+        edges = next
+        dropCheckpointBlocks(superseded)
+      }
+    } catch {
+      case e: Throwable =>
+        dropCheckpointBlocks(edges)
+        dropCheckpointBlocks(verts) // only the success-path return plan reads it
+        throw e
     }
     val labeled = edges.select(col("u").as("doc_id"), col("v").as("group_id"))
       .union(edges.select(col("v"), col("v")).distinct())

@@ -32,6 +32,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         starContraction = star)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("non-convergence releases the edge cache and label checkpoints") {
+    // the maxIter require fires mid-loop; without the cleanup path the
+    // persisted edge set and the current label checkpoint stayed in the
+    // block manager until JVM GC noticed (the largest per-call blocks)
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    def leakedAfter(star: Boolean): Set[Int] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      intercept[IllegalArgumentException] {
+        ConnectedComponents.dupGroups(
+          chain.toDF("doc_id_a", "doc_id_b"), maxIter = 2, starContraction = star)
+      }
+      // unpersists are async (blocking = false): poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      while (leaked.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      }
+      leaked.toSet
+    }
+    assert(leakedAfter(star = false).isEmpty, "propagation mode leaked blocks")
+    // star mode converges a 40-chain in ~log rounds, so 2 is still too few
+    assert(leakedAfter(star = true).isEmpty, "star mode leaked blocks")
+  }
+
   test("a chain collapses to one group (the transitive case pairs alone miss)") {
     val got = run(Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L)))
     assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 50L, 60L -> 50L))
