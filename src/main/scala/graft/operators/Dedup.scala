@@ -25,17 +25,26 @@ object Dedup {
 
   /** The shared backbone: distinct (doc_id, shingle) inverted index,
     * produced by the native [[graft.functions.ShingleGenerator]] — a
-    * streamed flatMap inside the scan stage, so the only exchange is the
-    * distinct itself. (Two rejected designs, both measured slower: array
-    * lambdas re-evaluate the normalize+split per element interpreted
-    * (~10×); the relational posexplode + window-lead variant pays a
-    * shuffle + sort per consumer just to adjoin neighboring tokens.)
+    * streamed flatMap inside the scan stage. (Two rejected designs, both
+    * measured slower: array lambdas re-evaluate the normalize+split per
+    * element interpreted (~10×); the relational posexplode + window-lead
+    * variant pays a shuffle + sort per consumer just to adjoin
+    * neighboring tokens.)
+    *
+    * Distinctness comes from the GENERATOR, not an aggregate: each
+    * input row carries a unique doc_id (the documents-table key every
+    * wired caller passes), so the generator's per-row set semantics
+    * (`shingles_distinct`, r12) make the (doc_id, shingle) pairs
+    * globally distinct with NO exchange and NO dedup hash table at all
+    * — the previous `.distinct()` was the index's whole shuffle and its
+    * partial aggregate dominated the scan stage's CPU/GC at sf10. A
+    * caller passing DUPLICATE doc_ids would get duplicate index rows
+    * (the old distinct absorbed them); no wired producer does.
     */
   private[graft] def shingleIndex(documents: DataFrame): DataFrame = {
     graft.functions.ShingleGenerator.register(documents.sparkSession)
     documents
-      .selectExpr("doc_id", "shingles(text) AS shingle")
-      .distinct()
+      .selectExpr("doc_id", "shingles_distinct(text) AS shingle")
   }
 
   /** The signature-space backbone: the same inverted index with the
