@@ -1231,7 +1231,7 @@ object SparkEntry {
         |        + (((h // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
         |        ) % 18446744073709551616::HUGEINT AS h FROM f2),
         |f4 AS (SELECT doc_id, xor(h, h // 8589934592::HUGEINT) AS h FROM f3),
-        |dh AS (SELECT DISTINCT doc_id,
+        |dh AS (SELECT doc_id,
         |        CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
         |                  THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS hs
         |       FROM f4),

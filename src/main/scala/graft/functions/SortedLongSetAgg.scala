@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   * `long[]` (amortized doubling, no per-element allocation) sorted once
   * at eval — allocation is O(groups), not O(rows).
   *
-  * Inputs are assumed DISTINCT per group (the shingle index dedups
-  * before aggregating); duplicates would be emitted, not collapsed —
-  * same as collect_list.
+  * Inputs are assumed DISTINCT per group (the shingle index's
+  * generator dedupes each document's shingle STRINGS before hashing —
+  * r12; a duplicate hash can only arise from two distinct shingles of
+  * one document colliding in 64 bits, inside the hashed space's
+  * documented n²/2⁶⁴ tolerance); duplicates would be emitted, not
+  * collapsed — same as collect_list.
   */
 case class SortedLongSetAgg(
     child: Expression,

@@ -62,20 +62,25 @@ object Dedup {
   private[graft] def hashedShingleIndex(documents: DataFrame): DataFrame = {
     graft.functions.ShingleGenerator.register(documents.sparkSession)
     documents
-      .selectExpr("doc_id", "shingles(text) AS shingle")
+      // set semantics from the generator (r12, as shingleIndex): the
+      // per-row dedup of distinct STRINGS leaves (doc_id, h) distinct
+      // except when two distinct shingles of ONE document collide in
+      // 64 bits — probability ~(shingles/doc)²/2⁶⁵, far inside the
+      // hashed space's documented n²/2⁶⁴ tolerance — so the dedup
+      // aggregate this index used to run after the exchange is gone
+      // (it was a full ObjectHashAggregate pass over the index).
+      .selectExpr("doc_id", "shingles_distinct(text) AS shingle")
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      // partition by doc_id BEFORE the dedup aggregate: hash(doc_id)
-      // co-locates equal (doc_id, h) rows too, so distinct() adds no
-      // exchange of its own, and — the load-bearing part — every
-      // downstream per-doc aggregate (the 128-long MinHash signature,
-      // the sorted hash-set array) runs in this same stage with ONE
-      // local buffer per doc. Letting the aggregates partial-combine
-      // across scan-order partitions instead shipped a WIDE partial
-      // buffer per doc per map task: 33× the index bytes at the sf10
-      // falsifier (357 MB of (doc_id, h) rows became 11.8 GB of
-      // signature partials crossing the exchange).
+      // partition by doc_id BEFORE the per-doc aggregates — the
+      // load-bearing part: every downstream per-doc aggregate (the
+      // 128-long MinHash signature, the sorted hash-set array) runs
+      // just past this exchange with ONE local buffer per doc. Letting
+      // the aggregates partial-combine across scan-order partitions
+      // instead shipped a WIDE partial buffer per doc per map task:
+      // 33× the index bytes at the sf10 falsifier (357 MB of
+      // (doc_id, h) rows became 11.8 GB of signature partials crossing
+      // the exchange).
       .repartition(col("doc_id"))
-      .distinct()
   }
 
   /** [[hashedShingleIndex]]'s oracle-replayable twin for SimHash:
@@ -94,13 +99,16 @@ object Dedup {
     graft.functions.RollingHash.register(spark)
     graft.functions.Mix64.register(spark)
     documents
-      .selectExpr("doc_id", "shingles(text) AS shingle")
+      // generator-side set semantics, same rationale and collision
+      // class as [[hashedShingleIndex]] (and the oracle replays
+      // list_distinct before hashing, so both engines see the same
+      // per-doc distinct shingle stream)
+      .selectExpr("doc_id", "shingles_distinct(text) AS shingle")
       .selectExpr("doc_id", "mix64(rolling_hash(shingle)) AS h")
       // same doc_id pre-partition as [[hashedShingleIndex]]: the SimHash
       // aggregate's 65-long vote buffers stay one-per-doc local instead
       // of one-per-doc-per-map-task crossing the exchange
       .repartition(col("doc_id"))
-      .distinct()
   }
 
   /** SURVEY #21: exact duplicate groups by md5 of normalized text. One
