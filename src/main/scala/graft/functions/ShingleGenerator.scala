@@ -68,7 +68,10 @@ case class ShingleGenerator(
         val out =
           if (!distinct) all
           else {
-            val seen = new java.util.HashSet[UTF8String]()
+            // pre-sized: the shingle count is exactly tokens-n+1, so a
+            // capacity of count/0.75+1 never rehash-grows mid-document
+            val seen = new java.util.HashSet[UTF8String](
+              (tokens.length - n + 1) * 4 / 3 + 1)
             all.filter(r => seen.add(r.getUTF8String(0)))
           }
         out.to(Iterable)

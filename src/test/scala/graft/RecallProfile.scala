@@ -64,9 +64,14 @@ object RecallProfile {
           .distinct()
         val exact = pairSet(exactS)
         val t1 = System.nanoTime()
-        val lshAll = pairSet(Dedup.embeddingNearDupsLsh(emb, threshold))
+        // restrict to query-touching pairs IN THE PLAN (an InSet over
+        // the ~2k sampled ids), never a full-pair-set collect: at sf10
+        // the full set is ~17M driver Rows and the next decade makes it
+        // GBs — the restricted estimator is identical either way
+        val qidSeq = qids.toSeq
+        val lsh = pairSet(Dedup.embeddingNearDupsLsh(emb, threshold)
+          .filter(col("vec_id_a").isin(qidSeq: _*) || col("vec_id_b").isin(qidSeq: _*)))
         val t2 = System.nanoTime()
-        val lsh = lshAll.filter { case (a, b) => qids(a) || qids(b) }
         // precision leg stays FULL-set: any LSH pair outside the exact
         // RESTRICTED set but touching a query is a true extra
         val extra = (lsh -- exact).size
