@@ -579,11 +579,12 @@ object Dedup {
     * struct-min == "earliest doc, then earliest position" for the
     * FULL 64-bit doc_id range — no packed-BIGINT overflow cliff at
     * 2³¹ documents), so the canonical pick partial-aggregates
-    * instead of needing a global sort. Window
-    * STRINGS shuffle in exchange (a) for oracle-exactness; the
-    * production variant hashes them to 128 bits first (same shape,
-    * n²/2¹²⁸ collision odds — a constant swap, not an exchange
-    * change). Windows build in the native positional generator
+    * instead of needing a global sort. Window equality rides a
+    * 128-bit double-xxhash64 key through every exchange (r12 — the
+    * window text never reaches the output, so the swap is invisible
+    * outside n²/2¹²⁸ collision odds; the string replay lives in the
+    * DuckDB oracle, which hash-gates the equivalence). Windows build
+    * in the native positional generator
     * [[graft.functions.TokenWindows]] — a streamed in-scan flatMap,
     * replacing the interpreted transform/slice lambda. Reassembly
     * aggregates each document's kept tokens once — O(doc) rows per
@@ -605,6 +606,21 @@ object Dedup {
     // through whole.
     val wins = toks
       .selectExpr("doc_id", s"token_windows(concat_ws(' ', toks), $k)")
+      // the window TEXT never reaches the output (clean_text rebuilds
+      // from token positions), so window equality rides a 128-bit
+      // key — two xxhash64 streams with distinct constant prefixes,
+      // the CC-fingerprint construction — instead of the k-token
+      // string. Both window-set exchanges (the dup aggregate and the
+      // mark join) move 16-byte keys instead of ~50-byte strings, and
+      // the aggregate/join compare longs, not text. Distinct windows
+      // colliding in BOTH streams is the only divergence from string
+      // equality: ~n²/2¹²⁸ across the corpus — tighter than the
+      // hashed-shingle space's accepted n²/2⁶⁴, and the DuckDB oracle
+      // (exact string replay) hash-gates exactly this equivalence.
+      .select(col("doc_id"), col("pos"),
+        struct(
+          xxhash64(col("win")),
+          xxhash64(lit(-7046029254386353131L), col("win"))).as("win"))
       // two consumers (the dup aggregate and the mark join) would each
       // re-run the window build; materialize once. At cluster scale
       // prefer recomputing the (cheap, native) generator pass over
