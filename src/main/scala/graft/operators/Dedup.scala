@@ -125,73 +125,131 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
   }
 
-  /** SURVEY #22: word-3-gram Jaccard ≥ threshold pairs via the inverted
-    * index: self-join on the shingle (reused exchange), count common
-    * shingles per ordered pair, then Jaccard from per-doc set sizes
-    * (joined unhinted — AQE broadcasts while sizes fit, falls back to
-    * shuffle join at corpus scale). Shuffles carry (shingle, doc_id) and
-    * (pair, count) only.
+  /** SURVEY #22: word-3-gram Jaccard ≥ threshold pairs, r13: an
+    * AllPairs/PPJoin-style PREFIX-filtered join in the 64-bit hashed
+    * shingle space (Chaudhuri et al. SSJoin '06, Bayardo et al.
+    * WWW '07, Xiao et al. WWW '08 — public algorithms).
+    *
+    * Shape: hash every shingle to 64 bits in the scan stage, adjoin
+    * global document frequency (one window by h), then per doc (one
+    * window by doc_id) rank the joinable shingles rarest-first in the
+    * (df, h) global total order and keep only each doc's PREFIX —
+    * its first m − α + 1 ranked shingles. Prefix-colliding docs are the
+    * candidate pairs; candidates verify by intersecting the two docs'
+    * full sorted hash-set arrays in-stage ([[graft.functions
+    * .SortedIntersectCount]], the committed MinHash verify kernel).
+    *
+    * Losslessness (the prefix-filtering principle): if |A∩B| ≥ α, the
+    * (|A|−α+1)-prefixes of A and B under ANY shared total order must
+    * intersect. For a pair passing jaccard ≥ t: c ≥ t·(na+nb)/(1+t) and
+    * nb ≥ c ≥ t·na (else max-jaccard min/max < t), so c ≥ ⌈t·na⌉ and
+    * symmetrically c ≥ ⌈t·nb⌉ — each doc may prefix at
+    * α_x = ⌈t·n_x⌉, and the pairwise α = max(α_a, α_b) ≤ c makes both
+    * indexed prefixes at least the lemma's length. Under the df cap the
+    * same algebra runs in the capped universe: c′ (capped common) ≥
+    * t·(na+nb−c′) ⟹ c′ ≥ t·na with na/nb still the FULL sizes the
+    * final filter divides by, and prefixes rank only joinable shingles
+    * (length m − α + 1, m = capped size). α is slackened by 3 to
+    * dominate double-arithmetic rounding at the threshold boundary
+    * (the filter evaluates in doubles: a pair can pass within ~2⁻⁵²·na
+    * of t, and the double-evaluated ⌈t·na⌉ itself can land one high
+    * when t·na is integral) — ≤ 3 extra prefix shingles per doc buys
+    * bit-level losslessness for any na < 2⁵⁰.
+    *
+    * Hashed-universe note: candidate generation, the df/cap, and the
+    * verify count all run over xxhash64(shingle) — equal to the
+    * exact-string pair set barring 64-bit collisions (≈n²/2⁶⁴,
+    * immaterial below ~10⁸ distinct shingles — the SAME adjudicated
+    * tolerance [[minhashLshPairs]] rides against the identical
+    * exact-string DuckDB oracle). na/nb stay EXACT string counts
+    * regardless (the generator emits distinct strings; row counts are
+    * collision-free). What this buys at scale: every exchange after the
+    * scan moves 16-byte (doc_id, h) rows, never shingle text, and the
+    * pair-candidate aggregate — the dominant stage of the r12 shape,
+    * 113M mostly-unique rows / 2.5 GB of partial-agg spill at the sf10
+    * falsifier — now receives only prefix-colliding rows (rare-first
+    * ordering keeps prefix postings short).
+    *
+    * Input contract: doc_ids must be UNIQUE (the documents-table key) —
+    * [[shingleIndex]]'s generator-side set semantics and the na row
+    * counts both assume it; duplicate ids would inflate sizes and
+    * jaccard values (the r12 `.distinct()` removal moved this contract
+    * here from the plan).
     *
     * @param maxShingleDf optional document-frequency cap: a shingle
     *        appearing in more than this many docs is excluded from the
-    *        pair join (its contribution to Σdf² is quadratic — THE skew
-    *        bomb of inverted-index joins at corpus scale). None (default)
-    *        keeps exact Jaccard semantics for the oracle; production
-    *        corpora should cap (standard practice — ultra-common
-    *        shingles carry no near-dup signal).
+    *        pair join AND the common count (its contribution to Σdf² is
+    *        quadratic — THE skew bomb of inverted-index joins at corpus
+    *        scale). None (default) keeps exact Jaccard semantics for
+    *        the oracle; production corpora should cap (standard
+    *        practice — ultra-common shingles carry no near-dup signal).
     */
   def ngramJaccardPairs(
       documents: DataFrame,
       threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    // materialized once — three consumers (both join sides + sizes)
-    // would otherwise re-run the shingle pipeline per branch
-    val inv = shingleIndex(documents).localCheckpoint(false)
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val joinable = maxShingleDf match {
-      case Some(cap) =>
-        val w = Window.partitionBy("shingle")
-        inv.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= cap).drop("df")
-      case None => inv
-    }
-    // Set sizes ride the POSTINGS into the pair join (one postings-
-    // sized join) instead of joining onto the pair set afterwards: the
-    // candidate pair set is ~20× the corpus (113M rows at the sf10
-    // falsifier, linear but large), and the previous finalize shape
-    // shuffled it through two more size joins — measured as the bulk
-    // of a 27× wall ratio for 10× rows. With (na, nb) riding, the
-    // only pair-sized exchange left is the map-side-combined common
-    // count itself, and the Jaccard filter runs in that aggregate's
-    // stage. na/nb are functions of their doc ids, so the widened
-    // grouping key changes no group. The jaccard expression below is
-    // the shared shape: [[minhashLshPairs]]' in-stage verify emits the
-    // SAME double for the same pair (both oracles assume it) — the two
-    // sites must never drift apart.
-    val sized = joinable.join(sizes, "doc_id")
-    val common = sized.select(col("shingle"), col("doc_id").as("doc_id_a"), col("n").as("na"))
-      .join(sized.select(col("shingle"), col("doc_id").as("doc_id_b"), col("n").as("nb")),
-        Seq("shingle"))
+    graft.functions.ShingleGenerator.register(documents.sparkSession)
+    val hashed = documents
+      .selectExpr("doc_id", "shingles_distinct(text) AS shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val keep = maxShingleDf.map(cap => col("df") <= cap).getOrElse(lit(true))
+    val wDoc = Window.partitionBy("doc_id")
+    // One doc-partitioned pass computes everything per-doc: full size
+    // na (exact string count — uncapped rows ride this exchange so no
+    // second sizes branch re-runs the scan), capped size m, and the
+    // rarest-first rank rn among joinable shingles (capped rows sort
+    // first, so rn restricted to them is 1..m). Checkpointed once for
+    // its two consumers (prefix rows + verify arrays); the LogicalRDD
+    // keeps hashpartitioning(doc_id), so the verify aggregate below
+    // adds NO exchange (pinned in PlanAuditSpec).
+    val ranked = hashed
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("na", count(lit(1)).over(wDoc))
+      .withColumn("m", count(when(keep, lit(1))).over(wDoc))
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(when(keep, 0).otherwise(1), col("df"), col("h"))))
+      .withColumn("keep", keep)
+      .select("doc_id", "h", "na", "m", "rn", "keep")
+      .localCheckpoint(false)
+    val alpha = greatest(ceil(col("na") * lit(threshold)).cast("long") - lit(3L), lit(1L))
+    val pre = ranked
+      .filter(col("keep") && col("rn") <= col("m") - alpha + lit(1L))
+      .select("doc_id", "h", "na")
+    val perDoc = ranked
+      .groupBy("doc_id")
+      .agg(graft.functions.SortedLongSetAgg.column(when(col("keep"), col("h"))).as("hs"))
+      .localCheckpoint(false)
+    val cand = pre.select(col("h"), col("doc_id").as("doc_id_a"), col("na").as("na"))
+      .join(pre.select(col("h"), col("doc_id").as("doc_id_b"), col("na").as("nb")),
+        Seq("h"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       // Length (size-compatibility) prune, applied IN the join stage
       // before any candidate row reaches the pair aggregate: jaccard is
       // maximized at c = min(na, nb), where it evaluates to EXACTLY
       // min/max (denominator na+nb−c = max), so a pair failing
-      // min/max ≥ t cannot pass the final filter — the standard length
-      // filter of set-similarity joins (AllPairs/PPJoin family). The
-      // prune reuses the IDENTICAL double-division shape the jaccard
-      // filter would evaluate in that best case (never a rearranged
-      // bound like min ≥ t·max, whose different rounding could prune a
-      // pair whose computed jaccard lands exactly on the threshold), so
-      // the emitted pair set is bit-identical with or without it. At
-      // the sf10 falsifier the candidate aggregate's input is the
-      // dominant stage (2.5 GB partial-agg spill of mostly-unique
-      // pairs); size compatibility keeps ~37 % of candidate rows at
-      // threshold 0.8 (measured sf0.1, 469k of 1.27M).
+      // min/max ≥ t cannot pass the final filter — and the prune reuses
+      // the IDENTICAL double-division shape the jaccard filter would
+      // evaluate in that best case (never a rearranged bound like
+      // min ≥ t·max, whose different rounding could prune a pair whose
+      // computed jaccard lands exactly on the threshold), so the
+      // emitted pair set is bit-identical with or without it.
       .filter(least(col("na"), col("nb")).cast("double") /
         greatest(col("na"), col("nb")).cast("double") >= threshold)
       .groupBy("doc_id_a", "doc_id_b", "na", "nb")
-      .agg(count(lit(1)).as("n_common"))
-    common
+      .agg(count(lit(1)).as("n_pref"))
+      .drop("n_pref")
+    // Verify in-stage: the candidate pair set joins the two per-doc
+    // sorted hash-set arrays and counts the intersection with a
+    // compiled merge walk — the exchanges carry candidate pairs and one
+    // array row per doc, never pair×shingle rows. The jaccard
+    // expression is the shared shape: [[minhashLshPairs]]' in-stage
+    // verify emits the SAME double for the same pair (both oracles
+    // assume it) — the two sites must never drift apart.
+    cand
+      .join(perDoc.select(col("doc_id").as("doc_id_a"), col("hs").as("hs_a")), "doc_id_a")
+      .join(perDoc.select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b")), "doc_id_b")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount.column(col("hs_a"), col("hs_b")))
       .withColumn(
         "jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))

@@ -74,6 +74,37 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "planted near-dups should collide in simhash")
   }
 
+  test("ngram-jaccard prefix filter is lossless vs driver-side brute force") {
+    // r13 guard for the PPJoin prefix rewrite: every jaccard>=t pair of
+    // the real corpus must survive candidate generation. The reference
+    // is an independent driver-side all-pairs jaccard over string
+    // shingle sets built with the oracle's exact normalization; run at
+    // TWO thresholds so the prefix-length arithmetic (m - ceil(t*na) +
+    // slack) is exercised at different prefix fractions.
+    val rows = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sets: Map[Long, Set[String]] = rows.map { case (id, text) =>
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+      id -> (if (toks.length < 3) Set.empty[String]
+             else toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val ids = sets.keys.toArray.sorted
+    for (t <- Seq(0.8, 0.5)) {
+      val brute = (for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.length
+        a = sets(ids(i)); b = sets(ids(j))
+        c = (a & b).size
+        if c > 0 && c.toDouble / (a.size + b.size - c).toDouble >= t
+      } yield (ids(i), ids(j))).toSet
+      val got = pairSet(Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), threshold = t))
+      assert(got == brute,
+        s"t=$t missed: ${brute -- got}, extra: ${got -- brute}")
+      assert(brute.nonEmpty, s"t=$t: corpus should contain planted near-dups")
+    }
+  }
+
   test("ngram-jaccard df cap keeps planted near-dups, excludes hot-shingle pairs") {
     import spark.implicits._
     // 20 junk docs all sharing one ultra-common shingle ("aaa bbb ccc")
