@@ -125,50 +125,36 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
   }
 
-  /** SURVEY #22: word-3-gram Jaccard ≥ threshold pairs, r13: an
-    * AllPairs/PPJoin-style PREFIX-filtered join in the 64-bit hashed
-    * shingle space (Chaudhuri et al. SSJoin '06, Bayardo et al.
-    * WWW '07, Xiao et al. WWW '08 — public algorithms).
+  /** SURVEY #22: word-3-gram Jaccard ≥ threshold pairs — r13 shape:
+    * ADAPTIVE exact-fingerprint canonicalization feeding an
+    * AllPairs/PPJoin-style prefix+positional-filtered join in the
+    * 64-bit hashed shingle space (Chaudhuri et al. SSJoin '06, Bayardo
+    * et al. WWW '07, Xiao et al. WWW '08 — public algorithms), with
+    * duplicate groups expanded back over the rep-level pair set.
     *
-    * Shape: hash every shingle to 64 bits in the scan stage, adjoin
-    * global document frequency (one window by h), then per doc (one
-    * window by doc_id) rank the joinable shingles rarest-first in the
-    * (df, h) global total order and keep only each doc's PREFIX —
-    * its first m − α + 1 ranked shingles. Prefix-colliding docs are the
-    * candidate pairs; candidates verify by intersecting the two docs'
-    * full sorted hash-set arrays in-stage ([[graft.functions
-    * .SortedIntersectCount]], the committed MinHash verify kernel).
+    * Canonicalization (phase 0): jaccard is a pure function of the
+    * shingle SET, and the md5 fingerprint (exactDups' normalization —
+    * the SAME lower/\\s+/trim the shingle generator applies) equates
+    * exactly the docs with identical normalized text, so the quadratic
+    * stage only needs ONE representative per group; member pairs
+    * reconstruct afterwards (within a group every pair shares all m
+    * joinable shingles — jaccard m/(2n−m), NOT always 1.0 under a df
+    * cap; a cross-group rep pair's jaccard double holds verbatim for
+    * every member combination). Real crawl corpora are heavy with
+    * exact dups — the reason pipelines exact-dedup before near-dedup —
+    * but a corpus of unique docs would pay the member-expansion joins
+    * for nothing, so the choice is ADAPTIVE: one scan-level
+    * approx_count_distinct(fp) (2 % rsd) estimates the dup mass and
+    * the canonical path engages only when >10 % of docs are copies.
+    * Either branch emits the identical pair set — the estimate picks a
+    * plan, never semantics.
     *
-    * Losslessness (the prefix-filtering principle): if |A∩B| ≥ α, the
-    * (|A|−α+1)-prefixes of A and B under ANY shared total order must
-    * intersect. For a pair passing jaccard ≥ t: c ≥ t·(na+nb)/(1+t) and
-    * nb ≥ c ≥ t·na (else max-jaccard min/max < t), so c ≥ ⌈t·na⌉ and
-    * symmetrically c ≥ ⌈t·nb⌉ — each doc may prefix at
-    * α_x = ⌈t·n_x⌉, and the pairwise α = max(α_a, α_b) ≤ c makes both
-    * indexed prefixes at least the lemma's length. Under the df cap the
-    * same algebra runs in the capped universe: c′ (capped common) ≥
-    * t·(na+nb−c′) ⟹ c′ ≥ t·na with na/nb still the FULL sizes the
-    * final filter divides by, and prefixes rank only joinable shingles
-    * (length m − α + 1, m = capped size). α is slackened by 3 to
-    * dominate double-arithmetic rounding at the threshold boundary
-    * (the filter evaluates in doubles: a pair can pass within ~2⁻⁵²·na
-    * of t, and the double-evaluated ⌈t·na⌉ itself can land one high
-    * when t·na is integral) — ≤ 3 extra prefix shingles per doc buys
-    * bit-level losslessness for any na < 2⁵⁰.
-    *
-    * Hashed-universe note: candidate generation, the df/cap, and the
-    * verify count all run over xxhash64(shingle) — equal to the
-    * exact-string pair set barring 64-bit collisions (≈n²/2⁶⁴,
-    * immaterial below ~10⁸ distinct shingles — the SAME adjudicated
-    * tolerance [[minhashLshPairs]] rides against the identical
-    * exact-string DuckDB oracle). na/nb stay EXACT string counts
-    * regardless (the generator emits distinct strings; row counts are
-    * collision-free). What this buys at scale: every exchange after the
-    * scan moves 16-byte (doc_id, h) rows, never shingle text, and the
-    * pair-candidate aggregate — the dominant stage of the r12 shape,
-    * 113M mostly-unique rows / 2.5 GB of partial-agg spill at the sf10
-    * falsifier — now receives only prefix-colliding rows (rare-first
-    * ordering keeps prefix postings short).
+    * Pair phase (see [[prefixPairPhase]]) and expansion both keep the
+    * md5 OUT of the shingle-level pipeline: phase 1 is keyed by the
+    * rep's doc_id (16-byte rows), and fingerprints rejoin on the
+    * pair-sized results only — carrying the 33-byte fp string through
+    * the inverted index measured +~700 MB of pure key freight at the
+    * sf10 falsifier.
     *
     * Input contract: doc_ids must be UNIQUE (the documents-table key) —
     * [[shingleIndex]]'s generator-side set semantics and the na row
@@ -177,33 +163,146 @@ object Dedup {
     * here from the plan).
     *
     * @param maxShingleDf optional document-frequency cap: a shingle
-    *        appearing in more than this many docs is excluded from the
-    *        pair join AND the common count (its contribution to Σdf² is
-    *        quadratic — THE skew bomb of inverted-index joins at corpus
-    *        scale). None (default) keeps exact Jaccard semantics for
-    *        the oracle; production corpora should cap (standard
-    *        practice — ultra-common shingles carry no near-dup signal).
+    *        appearing in more than this many docs (FULL corpus count,
+    *        not rep count — the rep-level window weights by group
+    *        size) is excluded from the pair join AND the common count
+    *        (its contribution to Σdf² is quadratic — THE skew bomb of
+    *        inverted-index joins at corpus scale). None (default)
+    *        keeps exact Jaccard semantics for the oracle; production
+    *        corpora should cap (standard practice — ultra-common
+    *        shingles carry no near-dup signal).
     */
   def ngramJaccardPairs(
       documents: DataFrame,
       threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
     graft.functions.ShingleGenerator.register(documents.sparkSession)
-    val hashed = documents
-      .selectExpr("doc_id", "shingles_distinct(text) AS shingle")
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val fpCol = TextOps.fingerprintExpr(col("text"))
+    val est = documents
+      .agg(count(lit(1)).as("n"), approx_count_distinct(fpCol, 0.02).as("nfp")).head()
+    val nDocs = est.getLong(0)
+    val nFp = est.getLong(1)
+    if (nDocs == 0 || nFp >= 0.9 * nDocs) {
+      val (pairs, _) = prefixPairPhase(
+        documents.select(col("doc_id"), lit(1L).as("g"), col("text")),
+        threshold, maxShingleDf)
+      pairs.select(
+        col("rid_a").as("doc_id_a"), col("rid_b").as("doc_id_b"), col("jaccard"))
+    } else {
+      val members = documents.select(col("doc_id"), fpCol.as("fp")).localCheckpoint(false)
+      val groups = members.groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("g"))
+        .localCheckpoint(false)
+      // rep text rides a doc_id join (broadcasts while the rep set
+      // fits; degrades to one text shuffle at corpus scale), never a
+      // min_by(text) aggregate — whose per-map-partition partials
+      // moved the whole corpus text through the fp exchange
+      val repDocs = documents.select(col("doc_id"), col("text"))
+        .join(groups.select(col("doc_id"), col("g")), Seq("doc_id"))
+        .select(col("doc_id"), col("g"), col("text"))
+      val (repPairs, repStats) = prefixPairPhase(repDocs, threshold, maxShingleDf)
+      // Phase 2: expand rep pairs back through the duplicate groups.
+      // The two sets are disjoint (same vs different fingerprint), so
+      // a plain union needs no dedup; expansion rows are exactly the
+      // output rows.
+      val repMap = groups.select(col("doc_id").as("rid"), col("fp"), col("g"))
+      val within = repStats
+        .join(repMap.filter(col("g") >= 2), col("doc_id") === col("rid"))
+        .withColumn("jaccard",
+          col("m").cast("double") / (col("n") + col("n") - col("m")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("fp", "jaccard")
+        .join(members.select(col("fp"), col("doc_id").as("doc_id_a")), "fp")
+        .join(members.select(col("fp"), col("doc_id").as("doc_id_b")), "fp")
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "jaccard")
+      val cross = repPairs
+        .join(repMap.select(col("rid").as("rid_a"), col("fp").as("fp_a")), "rid_a")
+        .join(repMap.select(col("rid").as("rid_b"), col("fp").as("fp_b")), "rid_b")
+        .join(members.select(col("fp").as("fp_a"), col("doc_id").as("ma")), "fp_a")
+        .join(members.select(col("fp").as("fp_b"), col("doc_id").as("mb")), "fp_b")
+        .select(
+          least(col("ma"), col("mb")).as("doc_id_a"),
+          greatest(col("ma"), col("mb")).as("doc_id_b"),
+          col("jaccard"))
+      within.unionByName(cross)
+    }
+  }
+
+  /** The r13 set-similarity engine shared by both ngramJaccardPairs
+    * branches: a prefix-filtered, positional-filtered, length-filtered
+    * self-join over the hashed shingle space, with exact in-stage
+    * verification. Input: (doc_id, g, text) with UNIQUE doc_id; g is
+    * the exact-dup multiplicity the df window weights by (1 when
+    * uncanonicalized). Returns (pairs(rid_a, rid_b, jaccard),
+    * stats(doc_id, n, m)) — n the full distinct-shingle count, m the
+    * joinable (df ≤ cap) count.
+    *
+    * Plan, in exchange order: the scan hashes each doc's distinct
+    * shingles to 64 bits; a window by h adjoins Σg document frequency;
+    * a window by doc_id ranks each doc's joinable shingles
+    * rarest-first in the (df, h) global total order and computes
+    * n/m — checkpointed once for its two consumers, with the
+    * LogicalRDD keeping hashpartitioning(doc_id) so the per-doc
+    * aggregate (sorted hash-set array + n + m) adds NO exchange
+    * (pinned in PlanAuditSpec). Only each doc's PREFIX — its first
+    * m − α + 1 ranked shingles — enters the self-join, and matched
+    * rows pass three in-stage prunes before anything crosses to the
+    * pair-dedup aggregate, whose rows are the bare 16-byte
+    * (rid_a, rid_b) key (sizes rejoin from the per-doc table in the
+    * verify, so candidate freight is the minimum possible).
+    *
+    * Losslessness of the three prunes at threshold t (all proofs in
+    * REAL arithmetic, then slackened for doubles):
+    *  - PREFIX (the prefix-filtering principle): if |A∩B| ≥ α, the
+    *    (|A|−α+1)-prefixes under ANY shared total order intersect.
+    *    A pair passing the final filter has c ≥ t·(na+nb)/(1+t), and
+    *    nb ≥ c ≥ t·na (else max-jaccard min/max < t), so c ≥ ⌈t·na⌉
+    *    and symmetrically ⌈t·nb⌉: with per-doc α_x = ⌈t·n_x⌉ the
+    *    pairwise α = max(α_a, α_b) ≤ c and both indexed prefixes are
+    *    at least the lemma's length. Under the df cap the same
+    *    algebra runs in the capped universe (c′ ≥ t·na with na/nb
+    *    still the FULL sizes the final filter divides by; prefixes
+    *    rank only joinable shingles).
+    *  - LENGTH: jaccard ≤ min(na,nb)/max(na,nb) (at c = min the
+    *    denominator is max) — evaluated with the IDENTICAL
+    *    double-division shape the final filter would produce in that
+    *    best case, so the prune is bit-exactly conservative.
+    *  - POSITIONAL (PPJoin): for the pair's FIRST shared ranked
+    *    shingle, everything before rank ra in A and rb in B is
+    *    disjoint, so c′ ≤ 1 + min(m_a−ra, m_b−rb); a row failing
+    *    1 + min(...) ≥ t/(1+t)·(na+nb) cannot be a qualifying pair's
+    *    first match, and a qualifying pair's first-match row always
+    *    passes — later matches of the same pair may die, the first
+    *    cannot, so the pair always reaches the dedup aggregate.
+    * Double slack: α is lowered by 3 and the positional bound widened
+    * by +3 — a pair can pass the double-evaluated final filter within
+    * ~2⁻⁵²·n of t, and the double ⌈t·n⌉ can land one high when t·n is
+    * integral; ≤3 extra prefix shingles per doc buys bit-level
+    * losslessness for any n < 2⁵⁰.
+    *
+    * Hashed-universe note: candidate generation, the df/cap, and the
+    * verify count all run over xxhash64(shingle) — equal to the
+    * exact-string pair set barring 64-bit collisions (≈n²/2⁶⁴,
+    * immaterial below ~10⁸ distinct shingles — the SAME adjudicated
+    * tolerance [[minhashLshPairs]] rides against the identical
+    * exact-string DuckDB oracle). n (and the final jaccard's sizes)
+    * stay EXACT string counts regardless: the generator emits distinct
+    * strings and row counts are collision-free. The verify jaccard is
+    * the shared c/(na+nb−c) double shape of [[minhashLshPairs]] — the
+    * two sites must never drift apart.
+    */
+  private def prefixPairPhase(
+      docsG: DataFrame,
+      threshold: Double,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
+    val hashed = docsG
+      .selectExpr("doc_id", "g", "shingles_distinct(text) AS shingle")
+      .select(col("doc_id"), col("g"), xxhash64(col("shingle")).as("h"))
     val keep = maxShingleDf.map(cap => col("df") <= cap).getOrElse(lit(true))
     val wDoc = Window.partitionBy("doc_id")
-    // One doc-partitioned pass computes everything per-doc: full size
-    // na (exact string count — uncapped rows ride this exchange so no
-    // second sizes branch re-runs the scan), capped size m, and the
-    // rarest-first rank rn among joinable shingles (capped rows sort
-    // first, so rn restricted to them is 1..m). Checkpointed once for
-    // its two consumers (prefix rows + verify arrays); the LogicalRDD
-    // keeps hashpartitioning(doc_id), so the verify aggregate below
-    // adds NO exchange (pinned in PlanAuditSpec).
     val ranked = hashed
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("df", sum(col("g")).over(Window.partitionBy("h")))
       .withColumn("na", count(lit(1)).over(wDoc))
       .withColumn("m", count(when(keep, lit(1))).over(wDoc))
       .withColumn("rn", row_number().over(
@@ -214,48 +313,42 @@ object Dedup {
     val alpha = greatest(ceil(col("na") * lit(threshold)).cast("long") - lit(3L), lit(1L))
     val pre = ranked
       .filter(col("keep") && col("rn") <= col("m") - alpha + lit(1L))
-      .select("doc_id", "h", "na")
+      .select("doc_id", "h", "na", "m", "rn")
     val perDoc = ranked
       .groupBy("doc_id")
-      .agg(graft.functions.SortedLongSetAgg.column(when(col("keep"), col("h"))).as("hs"))
+      .agg(
+        graft.functions.SortedLongSetAgg.column(when(col("keep"), col("h"))).as("hs"),
+        max(col("na")).as("n"),
+        max(col("m")).as("m"))
       .localCheckpoint(false)
-    val cand = pre.select(col("h"), col("doc_id").as("doc_id_a"), col("na").as("na"))
-      .join(pre.select(col("h"), col("doc_id").as("doc_id_b"), col("na").as("nb")),
-        Seq("h"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      // Length (size-compatibility) prune, applied IN the join stage
-      // before any candidate row reaches the pair aggregate: jaccard is
-      // maximized at c = min(na, nb), where it evaluates to EXACTLY
-      // min/max (denominator na+nb−c = max), so a pair failing
-      // min/max ≥ t cannot pass the final filter — and the prune reuses
-      // the IDENTICAL double-division shape the jaccard filter would
-      // evaluate in that best case (never a rearranged bound like
-      // min ≥ t·max, whose different rounding could prune a pair whose
-      // computed jaccard lands exactly on the threshold), so the
-      // emitted pair set is bit-identical with or without it.
-      .filter(least(col("na"), col("nb")).cast("double") /
-        greatest(col("na"), col("nb")).cast("double") >= threshold)
-      .groupBy("doc_id_a", "doc_id_b", "na", "nb")
+    val tt = threshold / (1.0 + threshold)
+    val cand = pre.select(col("h"), col("doc_id").as("rid_a"),
+        col("na").as("pna"), col("m").as("ma"), col("rn").as("ra"))
+      .join(pre.select(col("h"), col("doc_id").as("rid_b"),
+        col("na").as("pnb"), col("m").as("mb"), col("rn").as("rb")), Seq("h"))
+      .filter(col("rid_a") < col("rid_b"))
+      .filter(least(col("pna"), col("pnb")).cast("double") /
+        greatest(col("pna"), col("pnb")).cast("double") >= threshold)
+      .filter((least(col("ma") - col("ra"), col("mb") - col("rb")) + lit(4L)).cast("double") >=
+        (col("pna") + col("pnb")).cast("double") * lit(tt))
+      .groupBy("rid_a", "rid_b")
       .agg(count(lit(1)).as("n_pref"))
       .drop("n_pref")
-    // Verify in-stage: the candidate pair set joins the two per-doc
-    // sorted hash-set arrays and counts the intersection with a
-    // compiled merge walk — the exchanges carry candidate pairs and one
-    // array row per doc, never pair×shingle rows. The jaccard
-    // expression is the shared shape: [[minhashLshPairs]]' in-stage
-    // verify emits the SAME double for the same pair (both oracles
-    // assume it) — the two sites must never drift apart.
-    cand
-      .join(perDoc.select(col("doc_id").as("doc_id_a"), col("hs").as("hs_a")), "doc_id_a")
-      .join(perDoc.select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b")), "doc_id_b")
+    val pairs = cand
+      .join(perDoc.select(
+        col("doc_id").as("rid_a"), col("hs").as("hs_a"), col("n").as("na")), "rid_a")
+      .join(perDoc.select(
+        col("doc_id").as("rid_b"), col("hs").as("hs_b"), col("n").as("nb")), "rid_b")
       .withColumn("n_common",
         graft.functions.SortedIntersectCount.column(col("hs_a"), col("hs_b")))
       .withColumn(
         "jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+      .select("rid_a", "rid_b", "jaccard")
+    (pairs, perDoc.select("doc_id", "n", "m"))
   }
+
 
   /** Drop bucket memberships belonging to a bucket larger than
     * `maxBucketSize` BEFORE any `collect_set` builds a per-bucket array:

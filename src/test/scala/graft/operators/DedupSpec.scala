@@ -105,6 +105,64 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram-jaccard canonicalization expands dup groups exactly (incl. capped within-group)") {
+    import spark.implicits._
+    // Exercises the r13 exact-fingerprint phase: duplicate groups that
+    // only match after normalization (case/whitespace variants), a
+    // near-dup CROSS two groups, a df cap that pushes a within-group
+    // jaccard to m/(2n-m) < 1 (and below threshold for one group), and
+    // sub-3-token docs that have no shingles at all. Reference is a
+    // driver-side brute force replaying the oracle's cap semantics: df
+    // over ALL docs, common count over capped shingles, sizes full.
+    val words = (0 until 30).map(i => s"u$i")
+    val base = words.mkString(" ")
+    val baseVar = words.mkString("  ").toUpperCase // same normalized text
+    val near = (words.drop(1) :+ "x1" :+ "x2").mkString(" ") // near-dup of base
+    // hot: 8 docs sharing shingle stream "h0 h1 h2 h3" (df=10 with the
+    // pair below -> capped at 5); the capped group: two identical docs
+    // whose text is MOSTLY hot shingles plus a rare tail
+    val hotBody = "h0 h1 h2 h3"
+    val docs = (
+      (0 until 8).map(i => (300L + i, s"$hotBody filler$i a b")) ++
+      Seq(
+        (1L, base), (2L, baseVar), (3L, base),       // exact-dup group of 3
+        (10L, near),                                  // near-dup vs group {1,2,3}
+        (20L, s"$hotBody rare20a rare20b"),           // identical pair whose
+        (21L, s"$hotBody rare20a rare20b"),           // capped jaccard drops
+        (30L, "tiny doc"), (31L, "tiny doc")          // <3 tokens: no shingles
+      )).toDF("doc_id", "text")
+    val cap = 5
+    // driver-side brute force with cap replay
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets = rows.map { case (id, t) =>
+      val toks = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+      id -> (if (toks.length < 3) Set.empty[String]
+             else toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val ids = sets.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      c = (a & b).count(s => df(s) <= cap)
+      if c > 0
+      jac = c.toDouble / (a.size + b.size - c).toDouble
+      if jac >= 0.8
+    } yield ((ids(i), ids(j)), jac)).toMap
+    val got = Dedup.ngramJaccardPairs(docs, threshold = 0.8, maxShingleDf = Some(cap))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == brute,
+      s"missed: ${brute.keySet -- got.keySet}, extra: ${got.keySet -- brute.keySet}, " +
+        s"valueDiff: ${brute.filter { case (k, v) => got.get(k).exists(_ != v) }}")
+    // the scenario really covers its cases
+    assert(brute.contains((1L, 3L)) && brute.contains((1L, 2L)), "exact-dup group pairs")
+    assert(brute.contains((1L, 10L)) || brute.contains((2L, 10L)), "cross-group near-dup")
+    assert(!brute.contains((20L, 21L)),
+      "capped within-group pair should fall below threshold (m/(2n-m))")
+    assert(!got.keySet.exists { case (a, b) => a == 30L || a == 31L || b == 30L || b == 31L },
+      "shingle-less docs never pair (even as an identical-text group)")
+  }
+
   test("ngram-jaccard df cap keeps planted near-dups, excludes hot-shingle pairs") {
     import spark.implicits._
     // 20 junk docs all sharing one ultra-common shingle ("aaa bbb ccc")
