@@ -27,6 +27,12 @@ object Verify {
         }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // operators may persist() internal frames (r13: the ngram
+        // prefix phase); drop both the cache entries and the blocks so
+        // no query reads a predecessor's cache or inherits its memory
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -242,8 +242,8 @@ object Dedup {
     * shingles to 64 bits; a window by h adjoins Σg document frequency;
     * a window by doc_id ranks each doc's joinable shingles
     * rarest-first in the (df, h) global total order and computes
-    * n/m — checkpointed once for its two consumers, with the
-    * LogicalRDD keeping hashpartitioning(doc_id) so the per-doc
+    * n/m — persist()ed once for its two consumers, with the
+    * InMemoryRelation keeping hashpartitioning(doc_id) so the per-doc
     * aggregate (sorted hash-set array + n + m) adds NO exchange
     * (pinned in PlanAuditSpec). Only each doc's PREFIX — its first
     * m − α + 1 ranked shingles — enters the self-join, and matched
@@ -292,10 +292,21 @@ object Dedup {
     * the shared c/(na+nb−c) double shape of [[minhashLshPairs]] — the
     * two sites must never drift apart.
     */
-  private def prefixPairPhase(
+  private[graft] def prefixPairPhase(
       docsG: DataFrame,
       threshold: Double,
-      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
+      maxShingleDf: Option[Int],
+      // materialization hook for the two multi-consumer frames (ranked
+      // and perDoc). Production uses persist(), NOT localCheckpoint:
+      // under AQE a checkpoint's LogicalRDD reports Unknown
+      // partitioning (AdaptiveSparkPlanExec hides the final plan's),
+      // so the per-doc aggregate silently re-exchanged the whole index
+      // by doc_id — the same hazard class CC's edge cache hit in r12;
+      // the InMemoryRelation keeps hashpartitioning(doc_id) and
+      // PlanAuditSpec pins the no-exchange read. The hook exists so
+      // the audit can observe the frames production materializes.
+      mat: DataFrame => DataFrame = _.persist()): (DataFrame, DataFrame) = {
+    graft.functions.ShingleGenerator.register(docsG.sparkSession)
     val hashed = docsG
       .selectExpr("doc_id", "g", "shingles_distinct(text) AS shingle")
       .select(col("doc_id"), col("g"), xxhash64(col("shingle")).as("h"))
@@ -309,18 +320,18 @@ object Dedup {
         wDoc.orderBy(when(keep, 0).otherwise(1), col("df"), col("h"))))
       .withColumn("keep", keep)
       .select("doc_id", "h", "na", "m", "rn", "keep")
-      .localCheckpoint(false)
+    val rankedM = mat(ranked)
     val alpha = greatest(ceil(col("na") * lit(threshold)).cast("long") - lit(3L), lit(1L))
-    val pre = ranked
+    val pre = rankedM
       .filter(col("keep") && col("rn") <= col("m") - alpha + lit(1L))
       .select("doc_id", "h", "na", "m", "rn")
-    val perDoc = ranked
+    val perDoc = rankedM
       .groupBy("doc_id")
       .agg(
         graft.functions.SortedLongSetAgg.column(when(col("keep"), col("h"))).as("hs"),
         max(col("na")).as("n"),
         max(col("m")).as("m"))
-      .localCheckpoint(false)
+    val perDocM = mat(perDoc)
     val tt = threshold / (1.0 + threshold)
     val cand = pre.select(col("h"), col("doc_id").as("rid_a"),
         col("na").as("pna"), col("m").as("ma"), col("rn").as("ra"))
@@ -335,9 +346,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_pref"))
       .drop("n_pref")
     val pairs = cand
-      .join(perDoc.select(
+      .join(perDocM.select(
         col("doc_id").as("rid_a"), col("hs").as("hs_a"), col("n").as("na")), "rid_a")
-      .join(perDoc.select(
+      .join(perDocM.select(
         col("doc_id").as("rid_b"), col("hs").as("hs_b"), col("n").as("nb")), "rid_b")
       .withColumn("n_common",
         graft.functions.SortedIntersectCount.column(col("hs_a"), col("hs_b")))
@@ -346,7 +357,7 @@ object Dedup {
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("rid_a", "rid_b", "jaccard")
-    (pairs, perDoc.select("doc_id", "n", "m"))
+    (pairs, perDocM.select("doc_id", "n", "m"))
   }
 
 

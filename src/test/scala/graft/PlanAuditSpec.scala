@@ -194,4 +194,46 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected one shuffle, saw $exchanges")
   }
+
+  test("ngram prefix phase: per-doc aggregate rides the ranked cache's partitioning") {
+    // r13 pin for the prefixPairPhase materialization choice. The
+    // doc-partitioned ranked frame is persist()ed, NOT checkpointed —
+    // under AQE a checkpoint's LogicalRDD reports Unknown partitioning
+    // (this test, run against a localCheckpoint hook, catches exactly
+    // that full re-exchange of the index by doc_id), while the
+    // InMemoryRelation keeps hashpartitioning(doc_id). The hook
+    // records the perDoc frame production builds over the REAL
+    // materialized ranked frame; after driving an action we audit its
+    // executed plan by tree walk (the CC edge-cache pattern): the
+    // aggregate must read an InMemoryTableScan and add NO shuffle.
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.execution.{SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val recorded = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit(1L).as("g"), col("text"))
+    // persist ranked exactly as production does; leave perDoc bare so
+    // its executed plan (agg over the ranked cache) stays inspectable
+    Dedup.prefixPairPhase(docs, 0.8, Some(1000),
+      df => { recorded += df; if (recorded.size == 1) df.persist() else df })
+    try {
+      assert(recorded.size == 2, "expected ranked + perDoc materializations")
+      val perDoc = recorded(1)
+      perDoc.count() // drive AQE to the final plan
+      def gather(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }).flatMap(gather)
+      val nodes = gather(perDoc.queryExecution.executedPlan)
+      val p2 = plan(perDoc)
+      assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
+        s"perDoc must aggregate the sorted hash-set arrays:\n$p2")
+      assert(nodes.exists(_.nodeName.contains("InMemoryTableScan")),
+        s"perDoc must read the ranked cache:\n$p2")
+      assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"perDoc aggregate must ride the cache's doc_id partitioning, no exchange:\n$p2")
+    } finally recorded.headOption.foreach(_.unpersist())
+  }
 }

@@ -31,6 +31,10 @@ object QueryProfile {
     })
     val fn = SparkEntry.queries(q)
     for (i <- 1 to nRuns) {
+      // drop operator-persisted caches so every run measures the full
+      // pipeline (same hygiene as Bench.timedRun)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       fn(spark, sf).write.format("noop").mode("overwrite").save()
