@@ -141,6 +141,11 @@ object ConnectedComponents {
     // round) release the edge cache and the current labels checkpoint
     // before propagating — without this a non-converging call leaked
     // the largest per-round artifacts until JVM GC noticed
+    // the round's lazily-checkpointed frame, visible to the catch: if
+    // labelSum fails MID-materialization, that frame's partially
+    // persisted blocks are the leak the superseded-labels drop below
+    // cannot see (ADVICE r12)
+    var inFlight: DataFrame = null
     try {
       while (!converged) {
         iter += 1
@@ -155,15 +160,18 @@ object ConnectedComponents {
           // lazy: the labelSum action below materializes it — one job per
           // round instead of two (eager checkpoint + sum)
           .localCheckpoint(eager = false)
+        inFlight = updated
         val s = labelSum(updated)
         if (iter == 1) dropCheckpointBlocks(p) // edges are materialized now
         dropCheckpointBlocks(labels) // superseded by `updated`
         converged = s.compareTo(prevSum) == 0
         prevSum = s
         labels = updated
+        inFlight = null
       }
     } catch {
       case e: Throwable =>
+        if (inFlight != null) dropCheckpointBlocks(inFlight)
         dropCheckpointBlocks(labels)
         edges.unpersist(blocking = false)
         throw e
@@ -296,6 +304,9 @@ object ConnectedComponents {
     var converged = false
     // mirror propagation mode's failure cleanup: a maxIter throw (or a
     // mid-round task failure) must not leak the current edge checkpoint
+    // — nor the round's in-flight frame if fingerprint() dies mid-
+    // materialization (ADVICE r12)
+    var inFlight: DataFrame = null
     try {
       while (!converged) {
         iter += 1
@@ -303,15 +314,18 @@ object ConnectedComponents {
           s"star contraction did not converge in $maxIter rounds (O(log n) expected) — " +
             "malformed edge set or maxIter set below log2(vertex count)")
         val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+        inFlight = next
         val fp = fingerprint(next)
         converged = fp == prev
         prev = fp
         val superseded = edges
         edges = next
+        inFlight = null
         dropCheckpointBlocks(superseded)
       }
     } catch {
       case e: Throwable =>
+        if (inFlight != null) dropCheckpointBlocks(inFlight)
         dropCheckpointBlocks(edges)
         dropCheckpointBlocks(verts) // only the success-path return plan reads it
         throw e

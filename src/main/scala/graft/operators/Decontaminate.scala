@@ -25,6 +25,14 @@ object Decontaminate {
 
   /** Flagged (doc_id, eval_id, containment) pairs at or above the
     * containment floor — the audit artifact reviewed before dropping.
+    *
+    * Input contract (ADVICE r12): doc_ids must be UNIQUE within EACH
+    * input — both sides' set semantics come from the per-row
+    * `shingles_distinct` generator, so a duplicated id would emit
+    * duplicate (id, shingle) rows, inflate n_eval and n_common, and
+    * push containment past 1.0 (the corpus-wide distincts this shape
+    * replaced used to absorb that). Both wired producers pass the
+    * documents-table key, which is unique by construction.
     */
   def flagged(
       corpus: DataFrame,

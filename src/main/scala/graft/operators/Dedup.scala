@@ -770,15 +770,22 @@ object Dedup {
       .selectExpr("doc_id", s"token_windows(concat_ws(' ', toks), $k)")
       // the window TEXT never reaches the output (clean_text rebuilds
       // from token positions), so window equality rides a 128-bit
-      // key — two xxhash64 streams with distinct constant prefixes,
-      // the CC-fingerprint construction — instead of the k-token
-      // string. Both window-set exchanges (the dup aggregate and the
-      // mark join) move 16-byte keys instead of ~50-byte strings, and
-      // the aggregate/join compare longs, not text. Distinct windows
-      // colliding in BOTH streams is the only divergence from string
-      // equality: ~n²/2¹²⁸ across the corpus — tighter than the
-      // hashed-shingle space's accepted n²/2⁶⁴, and the DuckDB oracle
-      // (exact string replay) hash-gates exactly this equivalence.
+      // key — two SEED-SEPARATED streams of the same xxhash64 family
+      // (distinct constant prefixes). This is deliberately WEAKER than
+      // CC's fingerprint, which pairs two different hash families for
+      // cross-family independence; a seed-separated pair's streams are
+      // not provably independent, so the ~n²/2¹²⁸ collision figure
+      // below is the heuristic uniform-hashing estimate, not a
+      // family-independence theorem (ADVICE r12 — the two comments
+      // used to claim the same construction). Both window-set
+      // exchanges (the dup aggregate and the mark join) move 16-byte
+      // keys instead of ~50-byte strings, and the aggregate/join
+      // compare longs, not text. Distinct windows colliding in BOTH
+      // streams is the only divergence from string equality: ~n²/2¹²⁸
+      // heuristically — far tighter than the hashed-shingle space's
+      // accepted n²/2⁶⁴ even with generous slack for seed
+      // correlation, and the DuckDB oracle (exact string replay)
+      // hash-gates exactly this equivalence.
       .select(col("doc_id"), col("pos"),
         struct(
           xxhash64(col("win")),

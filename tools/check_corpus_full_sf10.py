@@ -32,19 +32,21 @@ computes min(rare/n) over canon docs and ABORTS unless it is > 0.2
 (strictly greater: the bound needs r_a > 0.2*na, and ties would make
 the argument vacuous).
 
-Usage: python3 tools/check_corpus_full_sf10.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_corpus_full_sf10.py <sfDir> <verifyOutDir> [CAP]
 (expects <verifyOutDir>/q_corpus_clean_full/*.parquet from graft.Verify
 and the stock oracle under <verifyOutDir>/oracle_sql.json, whose
-pp..canon prefix is reused verbatim).
+pp..canon prefix is reused verbatim). CAP (default 1000) is the rare/hot
+df split — a plan parameter only: the completeness assertion re-derives
+its validity at whatever value is passed, and the emitted pair set is
+CAP-independent by the phase-2 exact count.
 """
 import sys, glob, json, os
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
-CAP = 1000
-
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, cap=1000):
+    CAP = cap
     con = duckdb.connect()
     con.execute("SET memory_limit='60GB'")
     con.execute("SET temp_directory='/tmp/duck_tmp'")
@@ -72,18 +74,21 @@ def main(sf_dir, out_dir):
       CREATE TEMP TABLE hot AS
       SELECT shingle FROM (SELECT shingle, count(*) AS d FROM jinv GROUP BY 1)
       WHERE d > {CAP}""")
-    hot_list = [r[0] for r in con.execute("SELECT shingle FROM hot").fetchall()]
-    print(f"[drill] hot shingles (df > {CAP}): {len(hot_list)}")
-    # DuckDB lambdas can't reference subqueries; the hot set is tiny by
-    # construction (planted-line shingles), so inline it as a literal
-    lit = "[" + ",".join("'" + s.replace("'", "''") + "'" for s in hot_list) + "]"
+    n_hot = con.execute("SELECT count(*) FROM hot").fetchone()[0]
+    print(f"[drill] hot shingles (df > {CAP}): {n_hot}")
 
-    # per-doc full size, rare fraction, and hot list (sorted for stable intersect)
-    con.execute(f"""
+    # per-doc full size and hot list via a JOIN on the registered hot
+    # table (r12 inlined the hot set as a list literal because DuckDB
+    # lambdas can't reference subqueries; the join form has no size
+    # ceiling and keeps the SQL parameterizable — ADVICE r12)
+    con.execute("""
+      CREATE TEMP TABLE dochot AS
+      SELECT doc_id, list_sort(list(shingle)) AS hot_gs
+      FROM jinv JOIN hot USING (shingle) GROUP BY doc_id""")
+    con.execute("""
       CREATE TEMP TABLE docsets AS
-      SELECT j.doc_id, len(j.gs) AS n,
-             list_sort(list_intersect(j.gs, {lit})) AS hot_gs
-      FROM jsh j""")
+      SELECT j.doc_id, len(j.gs) AS n, coalesce(d.hot_gs, []) AS hot_gs
+      FROM jsh j LEFT JOIN dochot d USING (doc_id)""")
     min_rare = con.execute("""
       SELECT min(CAST(n - len(hot_gs) AS DOUBLE) / CAST(n AS DOUBLE))
       FROM docsets WHERE n > 0""").fetchone()[0]
@@ -138,4 +143,4 @@ def main(sf_dir, out_dir):
     print(f"OK   q_corpus_clean_full at {sf_dir}  ({len(g)} rows, exact match)")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 1000)
