@@ -585,13 +585,18 @@ object Dedup {
     * deterministic seeded planes shared with Similarity), candidate
     * pairs share ≥1 bucket (group-then-pair under the same hot-bucket
     * cap as the text dedups — a zero or degenerate vector mass is
-    * capped, not exploded), and the exact cosine verifies ≥ threshold
-    * IN-BUCKET via the [[graft.functions.CosinePairs]] streaming
-    * generator, so the candidate pair space never crosses an exchange
-    * (r9 — the sf10 falsifier killed the explode-distinct-rejoin shape
-    * on >75 GB of candidate spill). The only corpus-sized shuffle
-    * carries the bucketed vectors (n·tables rows); emitted rows are
-    * verified near-dups only. Precision is exact post-verify; recall
+    * capped, not exploded), in-bucket pairs pass the
+    * [[graft.functions.QuantCosinePairs]] LOSSLESS int8 prefilter
+    * (r13 — quantized cosine plus a rigorous per-pair error bound;
+    * bucket assignment stays full-precision, so recall is untouched),
+    * and the surviving candidate IDs rejoin full-precision vectors for
+    * the exact cosine ≥ threshold — so the quadratic pair space never
+    * crosses an exchange (r9 — the sf10 falsifier killed the
+    * explode-distinct-rejoin shape on >75 GB of candidate spill) and
+    * the only corpus-sized shuffle carries QUANTIZED bucketed vectors
+    * (n·tables rows of dim bytes + 3 doubles, ~5× under the double
+    * arrays it shipped through r12). Emitted rows are verified
+    * near-dups only. Precision is exact post-verify; recall
     * is the sign-LSH curve
     * — rising with cosine, so true duplicates are near-certain while
     * borderline pairs may be missed (floor spec'd vs
@@ -683,30 +688,54 @@ object Dedup {
     val (effBits, tablesEff) =
       lshParams(n, threshold, tables, bits, targetBucketSize, recallFloor, maxTables)
     val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tablesEff, effBits)
-    graft.functions.CosinePairs.register(embeddings.sparkSession)
-    // the bucket exchange carries the VECTORS (n·tables rows of
-    // ~dim·8 B payload) so the pair space never has to: scoring happens
-    // inside the bucket via the CosinePairs streaming generator —
-    // compiled pair loop, same dot-product fold and division sequence
-    // as the exact path — and only pairs clearing the threshold leave
-    // the stage. The previous shape (explode ALL capped in-bucket
-    // pairs, distinct, rejoin vectors twice) shuffled the
-    // n·targetBucketSize·tables/2 candidate space itself; the sf10
-    // falsifier measured that as >75 GB of spill before the first
-    // cosine. The window and the aggregate share one hash(tbl, bucket)
-    // exchange (the aggregate's required distribution is already
-    // satisfied), and the cross-table distinct is sound because a
-    // pair's cosine is the same double whichever table emits it.
+    graft.functions.QuantCosinePairs.register(embeddings.sparkSession)
+    // r13 (verdict item 5): the bucket exchange carries int8-QUANTIZED
+    // vectors — (vec_id, dim bytes + scale + quantized-norm + norm) —
+    // instead of the dim·8 B double arrays, ~5× fewer bytes on the one
+    // corpus-sized exchange (measured 2.9 GB at sf10 shipping each
+    // vector once per table). Bucket ASSIGNMENT still hashes the
+    // full-precision vector map-side (before the exchange), so recall
+    // is bit-identical to the unquantized pipeline; in-bucket scoring
+    // is the QuantCosinePairs LOSSLESS prefilter (quantized cosine +
+    // rigorous per-pair error bound — see its scaladoc for the proof),
+    // so no qualifying pair is dropped; and survivors rejoin the
+    // full-precision vectors for the exact cosine, so emitted RESULTS
+    // are bit-identical too. The pair space still never crosses an
+    // exchange (the r9 falsifier killed that shape on >75 GB of
+    // candidate spill); only the distinct candidate ID pairs — 16-byte
+    // rows, near-output-sized plus the bound's margin band — cross to
+    // the verify. The window and the aggregate share one
+    // hash(tbl, bucket) exchange, and the cross-table distinct on bare
+    // ID pairs is sound because the verify recomputes one cosine per
+    // pair whichever table surfaced it.
     val buckets = e.select(
-      col("vec_id"), col("v"), col("norm"),
+      col("vec_id"),
+      graft.functions.QuantizeVec.column(col("v")).as("qs"),
+      col("norm"),
       posexplode(graft.functions.HyperplaneBuckets.buckets(col("v"), planes, tablesEff, effBits)))
-      .toDF("vec_id", "v", "norm", "tbl", "bucket")
-    capBuckets(buckets, Seq("tbl", "bucket"), maxBucketSize, dropObs)
+      .toDF("vec_id", "qs", "norm", "tbl", "bucket")
+    val cands = capBuckets(buckets, Seq("tbl", "bucket"), maxBucketSize, dropObs)
       .groupBy("tbl", "bucket")
-      .agg(collect_list(struct(col("vec_id"), col("v"), col("norm"))).as("ms"))
+      .agg(collect_list(struct(
+        col("vec_id"), col("qs.q"), col("qs.s"), col("qs.qn"), col("qs.en"),
+        col("norm"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .selectExpr(s"cosine_pairs(ms, CAST($threshold AS DOUBLE))")
+      .selectExpr(s"quant_cosine_pairs(ms, CAST($threshold AS DOUBLE))")
+      // the one pair-sized exchange: candidates dedupe BEFORE the
+      // verify. At int16 the margin band is empty for any realistic
+      // density, so this stream is the passing pairs times their
+      // cross-table multiplicity — the same rows any global dedup has
+      // to move — and deduping first keeps the verify joins at the
+      // distinct-pair count (8.5M vs 60M rows at the sf10 falsifier).
+      // (The measured alternatives both lose: int8's loose bound let
+      // ~5× margin-band junk into this exchange, and post-verify
+      // dedup shipped the multiplicity through the verify joins.)
       .distinct()
+    cosineVerify(
+      cands.join(
+        e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na")),
+        "vec_id_a"),
+      e, threshold)
   }
 
   /** Corpus-wide duplicated-SPAN removal (SURVEY §2 #46) — the
