@@ -210,6 +210,11 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.{SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // another suite running the same sf0.001 prefix phase leaves its
+    // persisted frames in the shared session's CacheManager, which
+    // would rewrite THIS test's perDoc plan into an InMemoryTableScan
+    // of itself and hide the aggregate from the walk
+    spark.catalog.clearCache()
     val recorded = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), lit(1L).as("g"), col("text"))
