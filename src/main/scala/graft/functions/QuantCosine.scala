@@ -8,21 +8,28 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Per-vector int8 quantization for the embedding-LSH bucket payload
+/** Per-vector int16 quantization for the embedding-LSH bucket payload
   * (r13, verdict item 5): `quantize_vec(v)` →
   * `struct<q: binary, s: double, qn: double, en: double>` with
-  * `q(i) = round(v(i) / s)` for `s = max|v(i)| / 127` (all-zero input
-  * → s = 0, q = 0), `qn = √Σ q(i)²`, and `en = |v − s·q|₂` — the
+  * `q(i) = round(v(i) / s)` stored big-endian in 2 bytes, for
+  * `s = max|v(i)| / 32767` (all-zero input → s = 0, q = 0),
+  * `qn = √Σ q(i)²`, and `en = |v − s·q|₂` — the
   * EXACT residual norm, ~1.7× tighter than the worst-case `s·√d/2`
   * (rounding errors are ~uniform on [−s/2, s/2], so |e|₂ concentrates
   * at s·√(d/12)) — everything [[QuantCosinePairs]] needs to score a
   * pair approximately AND bound its own error rigorously. The payload a bucket exchange carries drops
-  * from dim·8 B of doubles to dim bytes + three doubles (~5× at
-  * dim 64); full-precision vectors stay OUT of the exchange and rejoin
-  * only for the exact verify of the (small) surviving candidate set.
+  * from dim·8 B of doubles to 2·dim bytes + three doubles (~3.4× at
+  * dim 64; the measured sf10 bucket exchange dropped 2.2×, the rest
+  * being per-row framing); full-precision vectors stay OUT of the
+  * exchange and rejoin only for the exact verify of the (small)
+  * surviving candidate set. Width adjudication (SCALING_r13): int8's
+  * ~256× looser error bound admitted ~5× margin-band junk into the
+  * candidate exchange at this corpus's dense 0.4-threshold cosine
+  * shell, costing more than its smaller payload saved; int16's band
+  * is empty.
   *
-  * No clamping ever occurs: |v(i)/s| ≤ 127 by the choice of s, so the
-  * rounding error per coordinate is at most s/2 — the bound
+  * No clamping ever occurs: |v(i)/s| ≤ 32767 by the choice of s, so
+  * the rounding error per coordinate is at most s/2 — the bound
   * [[QuantCosinePairs]] relies on.
   */
 case class QuantizeVec(child: Expression)

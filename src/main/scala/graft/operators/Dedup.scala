@@ -586,7 +586,7 @@ object Dedup {
     * pairs share ≥1 bucket (group-then-pair under the same hot-bucket
     * cap as the text dedups — a zero or degenerate vector mass is
     * capped, not exploded), in-bucket pairs pass the
-    * [[graft.functions.QuantCosinePairs]] LOSSLESS int8 prefilter
+    * [[graft.functions.QuantCosinePairs]] LOSSLESS int16 prefilter
     * (r13 — quantized cosine plus a rigorous per-pair error bound;
     * bucket assignment stays full-precision, so recall is untouched),
     * and the surviving candidate IDs rejoin full-precision vectors for
@@ -594,7 +594,7 @@ object Dedup {
     * crosses an exchange (r9 — the sf10 falsifier killed the
     * explode-distinct-rejoin shape on >75 GB of candidate spill) and
     * the only corpus-sized shuffle carries QUANTIZED bucketed vectors
-    * (n·tables rows of dim bytes + 3 doubles, ~5× under the double
+    * (n·tables rows of 2·dim bytes + 3 doubles, ~3.4× under the double
     * arrays it shipped through r12). Emitted rows are verified
     * near-dups only. Precision is exact post-verify; recall
     * is the sign-LSH curve
@@ -689,9 +689,9 @@ object Dedup {
       lshParams(n, threshold, tables, bits, targetBucketSize, recallFloor, maxTables)
     val planes = Similarity.hyperplanes(Similarity.dimOf(embeddings), tablesEff, effBits)
     graft.functions.QuantCosinePairs.register(embeddings.sparkSession)
-    // r13 (verdict item 5): the bucket exchange carries int8-QUANTIZED
-    // vectors — (vec_id, dim bytes + scale + quantized-norm + norm) —
-    // instead of the dim·8 B double arrays, ~5× fewer bytes on the one
+    // r13 (verdict item 5): the bucket exchange carries int16-QUANTIZED
+    // vectors — (vec_id, 2·dim bytes + scale + quantized-norm + norm) —
+    // instead of the dim·8 B double arrays, ~3.4× fewer bytes on the one
     // corpus-sized exchange (measured 2.9 GB at sf10 shipping each
     // vector once per table). Bucket ASSIGNMENT still hashes the
     // full-precision vector map-side (before the exchange), so recall

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Losslessness gate for the r13 quantized LSH prefilter: every pair
   * the full-precision [[CosinePairs]] kernel scores ≥ threshold must
   * survive [[QuantCosinePairs]]' quantized-cosine-plus-error-bound
-  * test — the property that makes the int8 bucket payload safe. Also
+  * test — the property that makes the int16 bucket payload safe. Also
   * pins that the bound is TIGHT enough to prune (a vacuous bound would
   * silently ship the whole quadratic pair space to the verify) and the
   * [[QuantizeVec]] no-clamping/zero-vector contracts.
