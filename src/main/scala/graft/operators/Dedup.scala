@@ -777,16 +777,19 @@ object Dedup {
     * DuckDB oracle, which hash-gates the equivalence). Windows build
     * in the native positional generator
     * [[graft.functions.TokenWindows]] — a streamed in-scan flatMap,
-    * replacing the interpreted transform/slice lambda. Reassembly
-    * aggregates each document's kept tokens once — O(doc) rows per
-    * group, the same per-key bound every text kernel here carries.
+    * replacing the interpreted transform/slice lambda. Removal and
+    * reassembly (r13) gather each document's non-canonical window
+    * STARTS — the tail's one exchange, 12-byte rows — and rebuild the
+    * text with [[graft.functions.RemoveSpans]]' interval walk over the
+    * checkpointed token arrays: O(doc) work per document, and the
+    * corpus text itself never crosses a post-scan exchange.
     */
   def dedupSpans(documents: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     graft.functions.TokenWindows.register(documents.sparkSession)
     val toks = documents
       .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
-      .localCheckpoint(false) // consumers: windows, token positions, final doc frame
+      .localCheckpoint(false) // consumers: windows, the final span-removal join
     // one row per k-token window with its start position, via the
     // native positional generator (a streamed in-scan flatMap; the SQL
     // transform/slice lambda formulation runs interpreted and re-slices
@@ -831,29 +834,36 @@ object Dedup {
       .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("pos"))).as("canon"))
       .where(col("c") >= 2)
       .select("win", "canon")
-    // positions covered by any NON-canonical occurrence of a dup window
-    val covered = wins.join(dups, "win")
+    // START positions of every NON-canonical occurrence of a dup
+    // window, gathered per document (r13): the tail's one exchange
+    // moves 12-byte (doc_id, pos) rows — k× fewer than the expanded
+    // covered-position set the previous shape shuffled — and span
+    // expansion, the covered-union, and text reassembly all happen
+    // inside [[graft.functions.RemoveSpans]]' O(tokens + starts)
+    // interval walk over the ALREADY-checkpointed token arrays. The
+    // corpus text never crosses an exchange after the window build
+    // (the previous tail posexploded every token, anti-joined the
+    // covered set, and re-aggregated the whole corpus through a
+    // groupBy(doc_id) just to rebuild strings `toks` already held).
+    val spanStarts = wins.join(dups, "win")
       .where(struct(col("doc_id"), col("pos")) =!= col("canon"))
-      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tpos"))
-      .distinct()
-    val tokens = toks
-      .select(col("doc_id"), posexplode(col("toks")))
-      .toDF("doc_id", "tpos", "tok")
-    val keptAgg = tokens
-      .join(covered, Seq("doc_id", "tpos"), "left_anti")
       .groupBy("doc_id")
-      .agg(
-        expr("array_join(transform(array_sort(collect_list(struct(tpos, tok))), s -> s.tok), ' ')")
-          .as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    // left join from the full doc frame: a fully-duplicated document
-    // must surface as an empty row, not vanish
-    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
-      .join(keptAgg, Seq("doc_id"), "left")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    // left join from the full doc frame: docs with no duplicated spans
+    // pass through whole (empty starts — exact round trip), and a
+    // fully-duplicated document surfaces as an empty row, not vanishes
+    toks
+      .join(spanStarts, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        graft.functions.RemoveSpans.column(
+          col("toks"),
+          coalesce(col("starts"), expr("cast(array() as array<int>)")),
+          k).as("rs"))
+      .select(
+        col("doc_id"),
+        col("rs.clean_text").as("clean_text"),
+        col("rs.n_kept").as("n_kept"),
+        col("rs.n_removed").as("n_removed"))
   }
 }
