@@ -759,18 +759,18 @@ object Dedup {
     * minimal-cut.
     *
     * Plan shape at 100 TB: tokenization and window building run inside
-    * the scan stage (array transform — no exchange); the only wide
-    * exchanges are (a) the window groupBy — partial-aggregated
-    * count + min, so each map task emits one row per distinct local
-    * window — and (b) the join of windows against the duplicated-window
-    * set, which is the corpus's REPEATED content only (usually tiny
-    * relative to the corpus ⇒ broadcast; AQE decides). Occurrence
-    * order rides a `(doc_id, pos)` struct whose `min` is still a
-    * map-side partial (structs order lexicographically, so
+    * the scan stage (array transform — no exchange); the ONE
+    * window-set-sized exchange is the win-keyed cache build (r13),
+    * whose partitioning both the dup aggregate AND the mark join then
+    * ride with no further shuffle — the duplicated-window set itself
+    * is the corpus's REPEATED content only, already win-partitioned
+    * where the join needs it. Occurrence
+    * order rides a `(doc_id, pos)` struct whose `min` aggregates
+    * per cache partition (structs order lexicographically, so
     * struct-min == "earliest doc, then earliest position" for the
     * FULL 64-bit doc_id range — no packed-BIGINT overflow cliff at
-    * 2³¹ documents), so the canonical pick partial-aggregates
-    * instead of needing a global sort. Window equality rides a
+    * 2³¹ documents), so the canonical pick never needs a global
+    * sort. Window equality rides a
     * 128-bit double-xxhash64 key through every exchange (r12 — the
     * window text never reaches the output, so the swap is invisible
     * outside n²/2¹²⁸ collision odds; the string replay lives in the
@@ -779,10 +779,13 @@ object Dedup {
     * [[graft.functions.TokenWindows]] — a streamed in-scan flatMap,
     * replacing the interpreted transform/slice lambda. Removal and
     * reassembly (r13) gather each document's non-canonical window
-    * STARTS — the tail's one exchange, 12-byte rows — and rebuild the
-    * text with [[graft.functions.RemoveSpans]]' interval walk over the
-    * checkpointed token arrays: O(doc) work per document, and the
-    * corpus text itself never crosses a post-scan exchange.
+    * STARTS — 12-byte rows, k× fewer than the expanded covered set the
+    * previous tail moved — and rebuild the text with
+    * [[graft.functions.RemoveSpans]]' interval walk over the
+    * checkpointed token arrays: O(doc) work per document, and the only
+    * post-scan exchange the text itself crosses is the final
+    * doc-keyed join, each token array once (zero when the span-starts
+    * side is small enough to broadcast; AQE decides).
     */
   def dedupSpans(documents: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -822,12 +825,22 @@ object Dedup {
         struct(
           xxhash64(col("win")),
           xxhash64(lit(-7046029254386353131L), col("win"))).as("win"))
-      // two consumers (the dup aggregate and the mark join) would each
-      // re-run the window build; materialize once. At cluster scale
-      // prefer recomputing the (cheap, native) generator pass over
-      // caching the window set — it is ~k× the corpus text; this
-      // checkpoint is the single-node tradeoff
-      .localCheckpoint(false)
+      // ONE win-keyed exchange serves both consumers (r13): the dup
+      // aggregate and the mark join each require
+      // hashpartitioning(win), so partitioning the materialized frame
+      // on win makes BOTH read the cache with no further exchange —
+      // previously the aggregate shuffled its partial rows AND the
+      // join re-shuffled the raw window set (662 + 732 MB at sf10;
+      // now the 732 MB cache-build exchange alone). persist(), NOT
+      // localCheckpoint: under AQE a checkpoint's LogicalRDD reports
+      // Unknown partitioning and both consumers would re-exchange
+      // (the prefixPairPhase/CC hazard class); the InMemoryRelation
+      // keeps hashpartitioning(win), pinned in PlanAuditSpec. At
+      // cluster scale prefer recomputing the (cheap, native)
+      // generator pass over caching the window set — it is ~k× the
+      // corpus text; this cache is the single-node tradeoff.
+      .repartition(col("win"))
+      .persist()
     // the duplicated-window set with its canonical (first) occurrence;
     // count and min are both map-side partials
     val dups = wins.groupBy("win")
@@ -841,9 +854,9 @@ object Dedup {
     // expansion, the covered-union, and text reassembly all happen
     // inside [[graft.functions.RemoveSpans]]' O(tokens + starts)
     // interval walk over the ALREADY-checkpointed token arrays. The
-    // corpus text never crosses an exchange after the window build
-    // (the previous tail posexploded every token, anti-joined the
-    // covered set, and re-aggregated the whole corpus through a
+    // corpus text crosses at most the ONE doc-keyed join exchange
+    // below (the previous tail posexploded every token, anti-joined
+    // the covered set, and re-aggregated the whole corpus through a
     // groupBy(doc_id) just to rebuild strings `toks` already held).
     val spanStarts = wins.join(dups, "win")
       .where(struct(col("doc_id"), col("pos")) =!= col("canon"))

@@ -241,4 +241,40 @@ class PlanAuditSpec extends AnyFunSuite {
         s"perDoc aggregate must ride the cache's doc_id partitioning, no exchange:\n$p2")
     } finally recorded.headOption.foreach(_.unpersist())
   }
+
+  test("span dedup: dup aggregate and mark join share the window cache's win partitioning") {
+    // r13 pin for dedupSpans' materialization choice: the window set is
+    // persist()ed REPARTITIONED ON win, so the dup aggregate and the
+    // mark join both read the cache with no further exchange — one
+    // win-keyed shuffle (the cache build) instead of the aggregate's
+    // partial shuffle PLUS a raw re-shuffle for the join (662 + 732 MB
+    // at sf10). If a Spark upgrade stopped preserving cached-plan
+    // output partitioning (or the operator regressed to a
+    // localCheckpoint, whose LogicalRDD reports Unknown partitioning
+    // under AQE), both consumers would re-exchange and the post-cache
+    // exchange count below would jump. Expected post-cache exchanges
+    // are exactly the TAIL's: the span-starts groupBy(doc_id) and at
+    // most the toks side of the final doc join (absent when AQE
+    // broadcasts the span-starts side — tiny test data usually does).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache() // cross-suite cache entries would rewrite this plan
+    val out = Dedup.dedupSpans(Tables.documents(spark, sfDir), k = 8)
+    out.write.format("noop").mode("overwrite").save()
+    def gather(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }).flatMap(gather)
+    val nodes = gather(out.queryExecution.executedPlan)
+    val p2 = plan(out)
+    val cacheScans = nodes.count(_.nodeName.contains("InMemoryTableScan"))
+    assert(cacheScans >= 2,
+      s"both the dup aggregate and the mark join must read the window cache:\n$p2")
+    val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(exchanges <= 2,
+      s"dup aggregate / mark join must ride the cache's win partitioning " +
+        s"(expected <= 2 tail exchanges, got $exchanges):\n$p2")
+  }
 }
