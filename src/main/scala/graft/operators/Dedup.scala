@@ -760,13 +760,14 @@ object Dedup {
     *
     * Plan shape at 100 TB: tokenization and window building run inside
     * the scan stage (array transform — no exchange); the ONE
-    * window-set-sized exchange is the win-keyed cache build (r13),
-    * whose partitioning both the dup aggregate AND the mark join then
-    * ride with no further shuffle — the duplicated-window set itself
-    * is the corpus's REPEATED content only, already win-partitioned
-    * where the join needs it. Occurrence
-    * order rides a `(doc_id, pos)` struct whose `min` aggregates
-    * per cache partition (structs order lexicographically, so
+    * window-set-sized exchange is the win-keyed shuffle feeding a
+    * single WindowExec pass (r13) that computes occurrence count and
+    * the canonical occurrence together — no duplicated-window
+    * aggregate, no join back against the window set, no materialized
+    * window cache. Occurrence
+    * order rides a `(doc_id, pos)` struct whose `min` is an analytic
+    * function over the win partitioning (structs order
+    * lexicographically, so
     * struct-min == "earliest doc, then earliest position" for the
     * FULL 64-bit doc_id range — no packed-BIGINT overflow cliff at
     * 2³¹ documents), so the canonical pick never needs a global
@@ -812,11 +813,11 @@ object Dedup {
       // not provably independent, so the ~n²/2¹²⁸ collision figure
       // below is the heuristic uniform-hashing estimate, not a
       // family-independence theorem (ADVICE r12 — the two comments
-      // used to claim the same construction). Both window-set
-      // exchanges (the dup aggregate and the mark join) move 16-byte
-      // keys instead of ~50-byte strings, and the aggregate/join
-      // compare longs, not text. Distinct windows colliding in BOTH
-      // streams is the only divergence from string equality: ~n²/2¹²⁸
+      // used to claim the same construction). The ONE window-set
+      // exchange moves 16-byte keys instead of ~50-byte strings, and
+      // the dup test compares longs, not text. Distinct windows
+      // colliding in BOTH streams is the only divergence from string
+      // equality: ~n²/2¹²⁸
       // heuristically — far tighter than the hashed-shingle space's
       // accepted n²/2⁶⁴ even with generous slack for seed
       // correlation, and the DuckDB oracle (exact string replay)
@@ -825,41 +826,44 @@ object Dedup {
         struct(
           xxhash64(col("win")),
           xxhash64(lit(-7046029254386353131L), col("win"))).as("win"))
-      // ONE win-keyed exchange serves both consumers (r13): the dup
-      // aggregate and the mark join each require
-      // hashpartitioning(win), so partitioning the materialized frame
-      // on win makes BOTH read the cache with no further exchange —
-      // previously the aggregate shuffled its partial rows AND the
-      // join re-shuffled the raw window set (662 + 732 MB at sf10;
-      // now the 732 MB cache-build exchange alone). persist(), NOT
-      // localCheckpoint: under AQE a checkpoint's LogicalRDD reports
-      // Unknown partitioning and both consumers would re-exchange
-      // (the prefixPairPhase/CC hazard class); the InMemoryRelation
-      // keeps hashpartitioning(win), pinned in PlanAuditSpec. At
-      // cluster scale prefer recomputing the (cheap, native)
-      // generator pass over caching the window set — it is ~k× the
-      // corpus text; this cache is the single-node tradeoff.
-      .repartition(col("win"))
-      .persist()
-    // the duplicated-window set with its canonical (first) occurrence;
-    // count and min are both map-side partials
-    val dups = wins.groupBy("win")
-      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("pos"))).as("canon"))
-      .where(col("c") >= 2)
-      .select("win", "canon")
-    // START positions of every NON-canonical occurrence of a dup
-    // window, gathered per document (r13): the tail's one exchange
-    // moves 12-byte (doc_id, pos) rows — k× fewer than the expanded
-    // covered-position set the previous shape shuffled — and span
-    // expansion, the covered-union, and text reassembly all happen
-    // inside [[graft.functions.RemoveSpans]]' O(tokens + starts)
-    // interval walk over the ALREADY-checkpointed token arrays. The
-    // corpus text crosses at most the ONE doc-keyed join exchange
-    // below (the previous tail posexploded every token, anti-joined
-    // the covered set, and re-aggregated the whole corpus through a
-    // groupBy(doc_id) just to rebuild strings `toks` already held).
-    val spanStarts = wins.join(dups, "win")
-      .where(struct(col("doc_id"), col("pos")) =!= col("canon"))
+    // NON-canonical occurrences of duplicated windows in ONE pass over
+    // the win-partitioned window set (r13): occurrence count and the
+    // canonical (first) occurrence are window functions over the same
+    // partitionBy(win) spec — one exchange, one in-partition sort, a
+    // streamed WindowExec — where the former shape aggregated the
+    // duplicated-window set and sort-merge-joined it back against the
+    // window set (a second full-set sort plus the merge, and a
+    // materialized k×-corpus-sized cache so the two consumers could
+    // share the exchange; with a single consumer the cache — and its
+    // eviction/recompute cliff at cluster scale — is gone). Skew
+    // honesty: WindowExec BUFFERS each win group (spilling via
+    // ExternalAppendOnlyUnsafeRowArray past 4096 rows), so a
+    // pathologically hot window — one k-gram repeated ~10⁹ times —
+    // re-spills rows the partition sort already spilled once; the
+    // join shape streamed that case after the same sort. Both
+    // degrade to disk, not OOM, and the window pass's single sort
+    // beats the join's two everywhere short of that pathology.
+    val wDup = Window.partitionBy("win")
+    // START positions of every non-canonical occurrence, gathered per
+    // document: the tail's exchange moves 12-byte (doc_id, pos) rows —
+    // k× fewer than the expanded covered-position set the pre-r13
+    // shape shuffled — and span expansion, the covered-union, and text
+    // reassembly all happen inside [[graft.functions.RemoveSpans]]'
+    // O(tokens + starts) interval walk over the ALREADY-checkpointed
+    // token arrays. The corpus text crosses at most the ONE doc-keyed
+    // join exchange below (the pre-r13 tail posexploded every token,
+    // anti-joined the covered set, and re-aggregated the whole corpus
+    // through a groupBy(doc_id) just to rebuild strings `toks`
+    // already held).
+    val spanStarts = wins
+      // one Project holding BOTH analytic expressions: sequential
+      // withColumns would extract into two stacked WindowExec passes
+      // (same sort, but the group buffer walked twice — PlanAuditSpec
+      // pins the single pass)
+      .select(col("doc_id"), col("pos"),
+        count(lit(1)).over(wDup).as("c"),
+        min(struct(col("doc_id"), col("pos"))).over(wDup).as("canon"))
+      .where(col("c") >= 2 && struct(col("doc_id"), col("pos")) =!= col("canon"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     // left join from the full doc frame: docs with no duplicated spans

@@ -242,20 +242,18 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally recorded.headOption.foreach(_.unpersist())
   }
 
-  test("span dedup: dup aggregate and mark join share the window cache's win partitioning") {
-    // r13 pin for dedupSpans' materialization choice: the window set is
-    // persist()ed REPARTITIONED ON win, so the dup aggregate and the
-    // mark join both read the cache with no further exchange — one
-    // win-keyed shuffle (the cache build) instead of the aggregate's
-    // partial shuffle PLUS a raw re-shuffle for the join (662 + 732 MB
-    // at sf10). If a Spark upgrade stopped preserving cached-plan
-    // output partitioning (or the operator regressed to a
-    // localCheckpoint, whose LogicalRDD reports Unknown partitioning
-    // under AQE), both consumers would re-exchange and the post-cache
-    // exchange count below would jump. Expected post-cache exchanges
-    // are exactly the TAIL's: the span-starts groupBy(doc_id) and at
-    // most the toks side of the final doc join (absent when AQE
-    // broadcasts the span-starts side — tiny test data usually does).
+  test("span dedup: one win exchange into a single window pass, no dup-set join") {
+    // r13 pin for dedupSpans' duplicate-marking shape: occurrence count
+    // and the canonical occurrence are BOTH analytic functions over one
+    // partitionBy(win) spec, so the window set crosses exactly one
+    // win-keyed exchange into a single WindowExec — no duplicated-window
+    // aggregate, no join of the window set against it (an earlier shape
+    // paid the aggregate's shuffle plus a sort-merge join's second
+    // full-set sort and merge; 2648 MB of shuffle at sf10 vs 946 under
+    // this pin). Expected exchanges: the win shuffle, the span-starts
+    // groupBy(doc_id), and at most the toks side of the final doc join
+    // (absent when AQE broadcasts the span-starts side). The only join
+    // in the plan is that final doc join.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -269,12 +267,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }).flatMap(gather)
     val nodes = gather(out.queryExecution.executedPlan)
     val p2 = plan(out)
-    val cacheScans = nodes.count(_.nodeName.contains("InMemoryTableScan"))
-    assert(cacheScans >= 2,
-      s"both the dup aggregate and the mark join must read the window cache:\n$p2")
+    assert(nodes.count(_.nodeName.contains("Window")) == 1,
+      s"duplicate marking must be one WindowExec pass:\n$p2")
+    val joins = nodes.count(n => n.nodeName.contains("Join"))
+    assert(joins == 1, s"only the final doc join may remain, got $joins:\n$p2")
     val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
-    assert(exchanges <= 2,
-      s"dup aggregate / mark join must ride the cache's win partitioning " +
-        s"(expected <= 2 tail exchanges, got $exchanges):\n$p2")
+    assert(exchanges <= 3,
+      s"expected win shuffle + starts groupBy + at most the doc-join toks side, " +
+        s"got $exchanges:\n$p2")
   }
 }
