@@ -99,14 +99,12 @@ object Bench {
     // leftovers too, and give its queue a moment to drain — each query
     // should measure its plan, not its predecessors' heap history.
     def settleBetweenQueries(): Unit = {
-      // clearCache drops the CacheManager ENTRIES too, not just blocks:
       // r13's ngram prefix phase persist()s its ranked/perDoc frames,
       // and a later query rebuilding the identical subplan (q_dedup_
       // groups contains q_dedup_ngram_jaccard verbatim) would otherwise
       // silently read its predecessor's cache instead of measuring its
       // own pipeline
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      Sessions.dropAllCaches(spark)
       System.gc()
       Thread.sleep(200)
     }
@@ -132,8 +130,7 @@ object Bench {
       // run's cache would turn the timed runs into cached-view reads
       // (r13's ngram measured 5.8 s vs its honest ~12 s at sf10 that
       // way). The clearing itself happens outside the timer.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      Sessions.dropAllCaches(spark)
       val t0 = System.nanoTime()
       try { materialize(fn); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }

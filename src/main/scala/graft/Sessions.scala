@@ -19,6 +19,27 @@ object Sessions {
   private def defaultCores: String =
     math.min(32, Runtime.getRuntime.availableProcessors()).toString
 
+  /** Drop every CacheManager entry AND every persisted RDD's blocks,
+    * blocking until the frees complete. The one cache-hygiene primitive
+    * the harnesses share (Bench between/before timed runs, Verify
+    * between queries, QueryProfile between profiled runs): operators
+    * may persist() internal frames they cannot safely unpersist
+    * themselves (e.g. the ngram prefix phase's ranked/perDoc frames,
+    * whose consumers run at the CALLER's action time — see the
+    * [[graft.operators.Dedup.prefixPairPhase]] ownership note), so a
+    * session that runs many such queries calls this between them; a
+    * missed site silently turns timed runs into cached-view reads
+    * (r13 measured ngram at 5.8 s vs its honest ~12 s at sf10 that
+    * way) or lets one query read its predecessor's cache.
+    * clearCache() drops the CacheManager ENTRIES (so identical later
+    * subplans re-execute), the RDD sweep frees checkpoint/persist
+    * blocks the CacheManager does not own.
+    */
+  def dropAllCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCores)): SparkSession = {
     // custom plan nodes (LocalSortHint) self-register their strategy on
     // whatever session their dataframe carries — no extension injection

@@ -31,8 +31,7 @@ object Verify {
         // operators may persist() internal frames (r13: the ngram
         // prefix phase); drop both the cache entries and the blocks so
         // no query reads a predecessor's cache or inherits its memory
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        Sessions.dropAllCaches(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

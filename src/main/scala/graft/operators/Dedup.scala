@@ -297,7 +297,16 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Int],
       // materialization hook for the two multi-consumer frames (ranked
-      // and perDoc). Production uses persist(), NOT localCheckpoint:
+      // and perDoc). CACHE OWNERSHIP: the operator cannot unpersist
+      // these itself — their consumers execute at the CALLER's action
+      // time, after this function returns (unlike CC, which drives its
+      // own per-round actions and releases its caches before
+      // returning) — so each call leaves two MEMORY_AND_DISK entries
+      // in the CacheManager until the session releases them. Spill +
+      // LRU bound the memory; a long-lived session running many dedup
+      // queries calls [[graft.Sessions.dropAllCaches]] between them,
+      // as Bench/Verify/QueryProfile do.
+      // Production uses persist(), NOT localCheckpoint:
       // under AQE a checkpoint's LogicalRDD reports Unknown
       // partitioning (AdaptiveSparkPlanExec hides the final plan's),
       // so the per-doc aggregate silently re-exchanged the whole index

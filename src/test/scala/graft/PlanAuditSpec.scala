@@ -18,6 +18,24 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Executed-plan tree walk for the cache-partitioning pins: expands
+    * AQE/query-stage wrappers but stops at InMemoryTableScan — the
+    * consumer-side execution boundary (descending into the cached
+    * plan's innerChildren would re-count its build-time exchange/sort
+    * as per-read work). One shared copy: a Spark upgrade that adds a
+    * child-hiding wrapper node must be fixed HERE, not in one of three
+    * drifting clones walking a silently truncated tree.
+    */
+  private def gatherExecuted(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }).flatMap(gatherExecuted)
+  }
+
   test("q1 pricing summary: filter and columns pushed to the scan") {
     val p = plan(Analytics.pricingSummary(Tables.lineitem(spark, sfDir)))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -145,18 +163,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // count by tree traversal, not plan-string grep: the string form
       // re-prints the cached plan's OWN exchange+sort under every
       // InMemoryRelation (innerChildren), which is build-time work done
-      // once, not per-round work. The walk expands AQE/query-stage
-      // wrappers but stops at InMemoryTableScan — exactly the per-round
-      // execution boundary.
-      import org.apache.spark.sql.execution.{SortExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // once, not per-round work (see [[gatherExecuted]]).
+      import org.apache.spark.sql.execution.SortExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      def gather(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }).flatMap(gather)
-      val nodes = gather(round.queryExecution.executedPlan)
+      val nodes = gatherExecuted(round.queryExecution.executedPlan)
       val p2 = plan(round)
       assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
         s"merge hint must force SMJ:\n$p2")
@@ -207,8 +217,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // executed plan by tree walk (the CC edge-cache pattern): the
     // aggregate must read an InMemoryTableScan and add NO shuffle.
     import org.apache.spark.sql.functions.{col, lit}
-    import org.apache.spark.sql.execution.{SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // another suite running the same sf0.001 prefix phase leaves its
     // persisted frames in the shared session's CacheManager, which
@@ -226,12 +234,7 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(recorded.size == 2, "expected ranked + perDoc materializations")
       val perDoc = recorded(1)
       perDoc.count() // drive AQE to the final plan
-      def gather(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }).flatMap(gather)
-      val nodes = gather(perDoc.queryExecution.executedPlan)
+      val nodes = gatherExecuted(perDoc.queryExecution.executedPlan)
       val p2 = plan(perDoc)
       assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
         s"perDoc must aggregate the sorted hash-set arrays:\n$p2")
@@ -254,18 +257,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // groupBy(doc_id), and at most the toks side of the final doc join
     // (absent when AQE broadcasts the span-starts side). The only join
     // in the plan is that final doc join.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache() // cross-suite cache entries would rewrite this plan
     val out = Dedup.dedupSpans(Tables.documents(spark, sfDir), k = 8)
     out.write.format("noop").mode("overwrite").save()
-    def gather(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }).flatMap(gather)
-    val nodes = gather(out.queryExecution.executedPlan)
+    val nodes = gatherExecuted(out.queryExecution.executedPlan)
     val p2 = plan(out)
     assert(nodes.count(_.nodeName.contains("Window")) == 1,
       s"duplicate marking must be one WindowExec pass:\n$p2")

@@ -33,8 +33,7 @@ object QueryProfile {
     for (i <- 1 to nRuns) {
       // drop operator-persisted caches so every run measures the full
       // pipeline (same hygiene as Bench.timedRun)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      Sessions.dropAllCaches(spark)
       stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       fn(spark, sf).write.format("noop").mode("overwrite").save()
