@@ -74,4 +74,43 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "corpus side must not sort-merge")
   }
+
+  test("random dense corpora: flagged pairs equal a scalar containment replica") {
+    // Seeded randomized gate for the r12 partial-count rewrite: tiny
+    // vocabularies force heavy shingle overlap AND in-document shingle
+    // repeats (the exact shape whose double-counting the map-side set
+    // semantics must absorb), random containment floors sweep the
+    // threshold comparison, and both value AND membership must match
+    // the independent scalar replica exactly — containment is the same
+    // c/n_eval double division on both sides.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 5) {
+      val vocab = 3 + rnd.nextInt(4)
+      val corpus = (1L to (10 + rnd.nextInt(15)).toLong).map { id =>
+        id -> (0 until rnd.nextInt(20)).map(_ => s"t${rnd.nextInt(vocab)}").mkString(" ")
+      }
+      val evalDocs = (100L to (100 + rnd.nextInt(5)).toLong).map { id =>
+        id -> (0 until rnd.nextInt(12)).map(_ => s"t${rnd.nextInt(vocab)}").mkString(" ")
+      }
+      val t = Seq(0.2, 0.5, 0.8, 1.0)(rnd.nextInt(4))
+      val got = Decontaminate.flagged(
+          corpus.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"), t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val expected = (for {
+        (cid, ctext) <- corpus
+        (eid, etext) <- evalDocs
+        cs = shingleSet(ctext); es = shingleSet(etext)
+        if es.nonEmpty
+        c = (cs & es).size
+        if c > 0
+        cont = c.toDouble / es.size.toDouble
+        if cont >= t
+      } yield ((cid, eid), cont)).toMap
+      assert(got == expected,
+        s"round=$round vocab=$vocab t=$t missed: ${(expected.keySet -- got.keySet).take(5)} " +
+          s"extra: ${(got.keySet -- expected.keySet).take(5)} " +
+          s"valueDiff: ${expected.filter { case (k, v) => got.get(k).exists(_ != v) }.take(3)}")
+    }
+  }
 }

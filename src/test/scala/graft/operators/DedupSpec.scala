@@ -59,6 +59,59 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
   }
 
+  test("minhash-LSH on random dense corpora: exact precision, deterministic copy recall") {
+    // Seeded randomized gate for the verify path (SortedLongSetAgg +
+    // SortedIntersectCount + the r12 hashed-index dedup-drop): on
+    // tiny-vocabulary corpora every bucket is crowded and in-document
+    // shingle repeats are everywhere. Two properties hold
+    // deterministically regardless of the LSH probability curve:
+    // (1) PRECISION — every emitted pair's jaccard must EQUAL the
+    // scalar replica's value and clear the threshold (the verify is
+    // exact, so got ⊆ replica); (2) planted exact copies (identical
+    // shingle SETS → identical signatures → the same bucket in every
+    // band) must ALWAYS be found at jaccard 1.0.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 4) {
+      val vocab = 4 + rnd.nextInt(4)
+      val base = (1L to (12 + rnd.nextInt(12)).toLong).map { id =>
+        id -> (0 until rnd.nextInt(16)).map(_ => s"m${rnd.nextInt(vocab)}").mkString(" ")
+      }
+      val longDocs = base.filter(_._2.split(" ").length >= 3)
+      val copies = (0 until 3).map { i =>
+        (500L + i) -> longDocs(rnd.nextInt(longDocs.size))._2
+      }
+      val docs = base ++ copies
+      val t = Seq(0.5, 0.8)(rnd.nextInt(2))
+      val sets = docs.map { case (id, txt) =>
+        val toks = txt.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+        id -> (if (toks.length < 3) Set.empty[String]
+               else toks.sliding(3).map(_.mkString(" ")).toSet)
+      }.toMap
+      val ids = sets.keys.toArray.sorted
+      val replica = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = sets(ids(i)); b = sets(ids(j))
+        c = (a & b).size
+        if c > 0
+        jac = c.toDouble / (a.size + b.size - c).toDouble
+        if jac >= t
+      } yield ((ids(i), ids(j)), jac)).toMap
+      val got = Dedup.minhashLshPairs(docs.toDF("doc_id", "text"), threshold = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val bad = got.filter { case (k, v) => !replica.get(k).contains(v) }
+      assert(bad.isEmpty,
+        s"round=$round t=$t pairs emitted that the replica rejects or values drift: ${bad.take(5)}")
+      val mustFind = (for {
+        (cid, ctext) <- copies
+        (oid, _) <- docs
+        if oid != cid && sets(oid) == sets(cid) && sets(cid).nonEmpty
+      } yield (math.min(cid, oid), math.max(cid, oid))).toSet
+      assert(mustFind.forall(got.contains),
+        s"round=$round identical-set pairs missed: ${mustFind.filterNot(got.contains).take(5)}")
+    }
+  }
+
   test("simhash chunk-join equals brute-force hamming<=3 pairs") {
     val docs = Tables.documents(spark, sfDir)
     val sh = Dedup.simhashes(Dedup.mixedShingleIndex(docs))
