@@ -111,9 +111,11 @@ object QuantizeVec {
   * dominates the double rounding of evaluating both the bound and the
   * dequantized double-dot itself (~1e-14 absolute at dim 64).
   *
-  * Zero/degenerate vectors: norm = 0 makes the scored value NaN, every
-  * comparison false, the pair dropped — exactly the exact path's
-  * behavior for zero vectors.
+  * Zero/degenerate vectors: norm = 0 makes the scored value NaN here,
+  * every comparison false, the pair dropped — belt-and-braces only,
+  * since the operator filters zero-norm vectors BEFORE bucketing (the
+  * exact path's ANSI division would error on them, not NaN — see
+  * [[graft.operators.Dedup.embeddingNearDupsExact]]).
   */
 // CodegenFallback: GenerateExec drives generators through eval(); the
 // win is the fused integer pair loop, not expression codegen

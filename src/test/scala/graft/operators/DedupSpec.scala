@@ -294,6 +294,49 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall below 0.85 — bucketing degraded")
   }
 
+  test("embedding LSH on random vectors: value-exact precision, identical vectors always found") {
+    // Seeded randomized gate for the r13 quantized bucket path, at
+    // shapes the real corpus lacks: tiny-magnitude vectors (int16
+    // scale underflow territory), negative coordinates, exact
+    // duplicates, and zero vectors. Deterministic properties only:
+    // (1) every LSH pair appears in the exact operator's output with a
+    // BIT-IDENTICAL cosine (both paths end in the one shared
+    // cosine-verify kernel over full-precision vectors — any drift
+    // means the quantized prefilter admitted a pair the verify scored
+    // differently, or dropped precision); (2) identical non-zero
+    // vectors hash to the same bucket in every table, so their 1.0
+    // pairs are always found; (3) zero vectors pair with nothing.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 3) {
+      val dim = 6 + rnd.nextInt(4)
+      val n = 40 + rnd.nextInt(40)
+      val base = (1L to n.toLong).map { id =>
+        val scale = Seq(1.0, 1e-6, 37.5)(rnd.nextInt(3))
+        id -> Seq.fill(dim)((rnd.nextDouble() * 2 - 1) * scale)
+      }
+      val dups = (0 until 4).map(i => (900L + i) -> base(rnd.nextInt(base.size))._2)
+      val zeros = Seq(980L -> Seq.fill(dim)(0.0))
+      val vecs = base ++ dups ++ zeros
+      val df = vecs.toDF("vec_id", "v0")
+        .select(col("vec_id"), col("v0").cast("array<double>").as("embedding"))
+      def valued(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val exact = valued(Dedup.embeddingNearDupsExact(df))
+      val lsh = valued(Dedup.embeddingNearDupsLsh(df))
+      val bad = lsh.filter { case (k, v) => !exact.get(k).contains(v) }
+      assert(bad.isEmpty, s"round=$round LSH pairs absent from exact or cosine drift: ${bad.take(5)}")
+      val mustFind = (for {
+        (did, dv) <- dups
+        (oid, ov) <- vecs
+        if oid != did && ov == dv && ov.exists(_ != 0.0)
+      } yield (math.min(did, oid), math.max(did, oid))).toSet
+      assert(mustFind.forall(lsh.contains),
+        s"round=$round identical-vector pairs missed: ${mustFind.filterNot(lsh.contains).take(5)}")
+      assert(!lsh.keySet.exists(k => k._1 == 980L || k._2 == 980L), "zero vector must pair with nothing")
+    }
+  }
+
   test("exact dedup groups are self-consistent") {
     val d = Dedup.exactDups(Tables.documents(spark, sfDir))
     assert(d.filter(col("group_size") < 1).count() == 0)
