@@ -563,13 +563,11 @@ object Dedup {
   def embeddingNearDupsExact(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     // norm projection + cosine come from Similarity — the ONE definition
     // of the oracle-parity-critical expression shape, shared with the
-    // ANN paths and the LSH sibling below. Zero-norm vectors are
-    // FILTERED here, not scored: cosine against them is undefined, and
-    // under ANSI mode (the Spark 4 default this engine runs) the raw
-    // division would error the whole job rather than produce the NaN
-    // the pre-r13 comment assumed — found by the randomized
-    // zero-vector gate in DedupSpec, which pins "pairs with nothing"
-    val e = Similarity.withNorm(embeddings).filter(col("norm") > 0.0)
+    // ANN paths and the LSH sibling below. withNorm also centrally
+    // filters zero-norm vectors (ANSI division would error the job on
+    // them, not NaN — found by the randomized zero-vector gate in
+    // DedupSpec, which pins "pairs with nothing")
+    val e = Similarity.withNorm(embeddings)
     val a = e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na"))
     cosineVerify(
       a.join(e.select(col("vec_id").as("vec_id_b")), col("vec_id_a") < col("vec_id_b"))
@@ -678,9 +676,9 @@ object Dedup {
     require(targetBucketSize > 0, s"targetBucketSize must be positive, got $targetBucketSize")
     require(recallFloor > 0.0 && recallFloor < 1.0,
       s"recallFloor must be in (0,1), got $recallFloor")
-    // zero-norm vectors filtered as in [[embeddingNearDupsExact]] (ANSI
-    // division would error, not NaN); they also leave the sizing count
-    val e = Similarity.withNorm(embeddings).filter(col("norm") > 0.0)
+    // withNorm centrally filters zero-norm vectors (ANSI division would
+    // error, not NaN); they also leave the sizing count
+    val e = Similarity.withNorm(embeddings)
       .localCheckpoint(false) // consumers: sizing count, bucketing, both verify sides
     // Size the bucket space AND the table count to the data, jointly
     // (r10 — the RecallProfile falsifier measured recall 0.951 at

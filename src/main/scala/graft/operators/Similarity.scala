@@ -25,11 +25,22 @@ object Similarity {
   private[graft] def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     call_function("dot_product", va, vb) / sqrt(na) / sqrt(nb)
 
+  /** The (vec_id, v, norm²) projection every scoring path starts from.
+    * Zero-norm vectors are FILTERED here, centrally: cosine against
+    * them is undefined, and under ANSI mode (the Spark 4 default this
+    * engine runs) the shared cosine expression's division ERRORS the
+    * job on a zero norm rather than producing a droppable NaN — so a
+    * single degenerate embedding row would crash every ANN/dedup
+    * query. Excluded rows can be neither queries (their top-k is
+    * undefined; they emit no output rows) nor neighbors/pair members —
+    * pinned by the randomized zero-vector gate in DedupSpec.
+    */
   private[graft] def withNorm(embeddings: DataFrame): DataFrame = {
     DotProduct.register(embeddings.sparkSession)
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", call_function("dot_product", col("v"), col("v")))
+      .filter(col("norm") > 0.0)
   }
 
   /** Embedding dimension, read from the first row — ANN paths must never
@@ -151,7 +162,8 @@ object Similarity {
     // first-max tie-break.
     val e = withNorm(embeddings)
     val sample: Array[Array[Double]] = e
-      .filter(col("norm") > 0.0) // zero vectors can neither seed nor steer a cell
+      // zero vectors can neither seed nor steer a cell — withNorm
+      // already excludes them centrally
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h")
       .limit(math.max(nCentroids, fitSample))

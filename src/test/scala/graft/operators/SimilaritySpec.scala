@@ -38,6 +38,52 @@ class SimilaritySpec extends AnyFunSuite {
         .take(10).map(_._1)
     }.toMap
 
+  test("random vectors with zeros and duplicates: brute force stays exact, zeros excluded") {
+    // Randomized gate for the centralized zero-norm filter in
+    // Similarity.withNorm: under ANSI mode the shared cosine
+    // expression errors on a zero norm, so an unfiltered degenerate
+    // row would crash the job (DedupSpec's sibling gate found exactly
+    // that in the embedding-dedup paths). Zero vectors must appear
+    // NEITHER as queries (ids < nQueries emit no rows) NOR as
+    // neighbors; duplicated vectors force exact score ties, so the
+    // comparison is per-query score MULTISETS plus value parity
+    // against the scalar replica, which is tie-robust where a
+    // neighbor-id sequence comparison is not.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 3) {
+      val dim = 5 + rnd.nextInt(4)
+      val base = (0L until (25 + rnd.nextInt(20)).toLong).map { id =>
+        id -> Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      }
+      val dups = (0 until 3).map(i => (800L + i) -> base(rnd.nextInt(base.size))._2)
+      val zeroQ = Seq(3L -> Array.fill(dim)(0.0)) // inside the query range
+      val zeroC = Seq(900L -> Array.fill(dim)(0.0)) // corpus side
+      val all = (base.filter(_._1 != 3L) ++ dups ++ zeroQ ++ zeroC).toMap
+      val df = all.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val k = 5
+      val got = collectTopK(Similarity.annBruteForceTopK(df, k = k, nQueries = 10))
+      assert(!got.contains(3L), "zero-vector query must emit no rows")
+      assert(got.values.flatten.forall(_._1 != 900L), "zero vector must never be a neighbor")
+      val live = all.filter(_._2.exists(_ != 0.0))
+      for (q <- 0L until 10L if live.contains(q)) {
+        val expected = live.toSeq.filter(_._1 != q)
+          .map { case (id, v) => cosine(all(q), v) }
+          .sorted(Ordering[Double].reverse).take(k)
+        val gotScores = got(q).map(_._2)
+        assert(gotScores.size == expected.size, s"round=$round q=$q row count")
+        gotScores.zip(expected).foreach { case (g, e) =>
+          assert(math.abs(g - e) < 1e-12, s"round=$round q=$q score drift: $g vs $e")
+        }
+        got(q).foreach { case (id, c) =>
+          assert(math.abs(c - cosine(all(q), all(id))) < 1e-12,
+            s"round=$round q=$q neighbor $id value parity")
+        }
+      }
+    }
+  }
+
   test("brute-force top-k equals driver-side exact recomputation") {
     val got = collectTopK(Similarity.annBruteForceTopK(Tables.embeddings(spark, sfDir)))
     assert(got.keySet == exactTopK.keySet)
