@@ -502,8 +502,21 @@ object MtmEngine {
 
   private[graft] def sharpeRatioFrom(tl: DataFrame): DataFrame = {
     val xs = col("mtm_ratio") - lit(0.000001)
-    val raw = col("sum_x") / (col("span_ms") / lit(1000.0) / lit(3600.0)) /
-      col("sigma") * lit(math.sqrt(8760.0))
+    // span_ms = 0 (every bar of a symbol inside ONE millisecond, with
+    // price movement so σ > 0) must yield the IEEE result DuckDB's
+    // double division produces — ±inf by the sign of sum_x, NaN at
+    // 0/0 — NOT evaluate the raw division: under ANSI mode (the
+    // Spark 4 default) x/0.0 ERRORS the job. count() masked this
+    // (column pruning skips the projection); materializing the column
+    // crashed — found by the degenerate-bar probe, pinned in
+    // MtmEngineSpec. σ > 0 here (the σ = 0 guard below fires first),
+    // so dividing by it never flips the sign.
+    val raw = when(col("span_ms") =!= 0.0,
+        col("sum_x") / (col("span_ms") / lit(1000.0) / lit(3600.0)) /
+          col("sigma") * lit(math.sqrt(8760.0)))
+      .when(col("sum_x") > 0.0, lit(Double.PositiveInfinity))
+      .when(col("sum_x") < 0.0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN))
     // FLOOR division to ms (not bare `div`, which truncates toward zero):
     // the DuckDB oracle's epoch_ms floors, so a pre-1970 bar not on a ms
     // boundary would land 1 ms apart — same hazard Tables.events corrects

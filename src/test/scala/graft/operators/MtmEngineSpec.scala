@@ -176,6 +176,35 @@ class MtmEngineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("degenerate bars: constant price, single bar, and sub-ms symbols don't crash sharpe") {
+    // Regression for the ANSI span_ms=0 division (r13): a symbol whose
+    // bars ALL land inside one millisecond, with price movement so
+    // σ > 0, used to error the job at sharpe materialization
+    // (DIVIDE_BY_ZERO — count() masked it via column pruning). The
+    // guarded expression must yield the IEEE value DuckDB's double
+    // division produces: +inf here (rising prices ⇒ sum_x > 0).
+    // Constant-price and single-bar symbols take the σ = 0 sentinel.
+    import spark.implicits._
+    val bars = Seq(
+      (10L, 1000L * 1000, 1L, 100.0, 1, 0), (10L, 2000L * 1000, 2L, 100.0, 0, 0),
+      (10L, 3000L * 1000, 3L, 100.0, 0, 0), // constant price: sigma = 0
+      (20L, 5000L * 1000, 4L, 50.0, 1, 0), // single bar
+      (30L, 6000L * 1000, 5L, 10.0, 1, 0), // three bars inside ms 6000,
+      (30L, 6000L * 1000 + 300, 6L, 20.0, 0, 0), // rising: sigma > 0,
+      (30L, 6000L * 1000 + 600, 7L, 40.0, 0, 0) // span_ms = 0
+    ).toDF("symbol", "ts_us", "event_id", "close", "buy", "sell")
+    val sharpe = MtmEngine.sharpeRatio(bars, PnlConfig.default)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sharpe(10L) == -1e50, "constant price must take the sigma=0 sentinel")
+    assert(sharpe(20L) == -1e50, "single bar must take the sigma=0 sentinel")
+    assert(sharpe(30L).isPosInfinity,
+      s"sub-ms rising symbol must be +inf (IEEE x/0), got ${sharpe(30L)}")
+    // the sibling queries flow the same degenerate bars without error
+    assert(MtmEngine.maxDrawdown(bars, PnlConfig.default).collect().length == 3)
+    assert(MtmEngine.pnlSummary(bars, PnlConfig.default).collect().length == 3)
+    assert(MtmEngine.timelineQuery(bars, PnlConfig.default).collect().length == 7)
+  }
+
   test("timeline row count equals bar count; one row per bar") {
     val bars = MtmEngine.barsFromEvents(Tables.events(spark, sfDir))
     val n = bars.count()
