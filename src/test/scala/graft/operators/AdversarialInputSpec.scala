@@ -25,6 +25,10 @@ class AdversarialInputSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  // collect(), never count(): column pruning under count() skips the
+  // output projections, which is exactly where a division/cast on a
+  // degenerate value detonates under ANSI mode — the r13 sharpe
+  // span_ms=0 crash hid behind a green count() this way
   test("row-preserving text operators keep one row per degenerate doc") {
     for ((name, fn) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
       ("token_count", TextOps.tokenCount _),
@@ -36,16 +40,19 @@ class AdversarialInputSpec extends AnyFunSuite {
       ("dedup_exact", Dedup.exactDups _),
       ("dedup_spans", df => Dedup.dedupSpans(df))
     )) {
-      assert(fn(docs).count() == 6, s"$name must keep one row per document")
+      assert(fn(docs).collect().length == 6, s"$name must keep one row per document")
     }
   }
 
   test("corpus-level text operators accept degenerate docs without throwing") {
-    assert(TextOps.qualityFilterGopher(docs).count() <= 6)
-    assert(TextOps.tfidfTopTerms(docs).count() >= 0)
-    assert(TextOps.ngramTopK(docs).count() >= 0)
-    assert(Dedup.simhashPairs(docs).count() >= 0)
-    assert(Dedup.minhashLshPairs(docs).count() >= 0)
-    assert(Dedup.ngramJaccardPairs(docs).count() >= 0)
+    assert(TextOps.qualityFilterGopher(docs).collect().length <= 6)
+    assert(TextOps.tfidfTopTerms(docs).collect().length >= 0)
+    assert(TextOps.ngramTopK(docs).collect().length >= 0)
+    assert(Dedup.simhashPairs(docs).collect().length >= 0)
+    assert(Dedup.minhashLshPairs(docs).collect().length >= 0)
+    // "" and " " normalize to the same empty fingerprint: the
+    // canonicalization path must not emit a 0/0 within-group pair for
+    // shingle-less duplicate groups
+    assert(Dedup.ngramJaccardPairs(docs).collect().length == 0)
   }
 }

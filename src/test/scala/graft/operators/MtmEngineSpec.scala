@@ -191,7 +191,8 @@ class MtmEngineSpec extends AnyFunSuite {
       (20L, 5000L * 1000, 4L, 50.0, 1, 0), // single bar
       (30L, 6000L * 1000, 5L, 10.0, 1, 0), // three bars inside ms 6000,
       (30L, 6000L * 1000 + 300, 6L, 20.0, 0, 0), // rising: sigma > 0,
-      (30L, 6000L * 1000 + 600, 7L, 40.0, 0, 0) // span_ms = 0
+      (30L, 6000L * 1000 + 600, 7L, 40.0, 0, 0), // span_ms = 0
+      (40L, 7000L * 1000, 8L, 5.0, 0, 0), (40L, 8000L * 1000, 9L, 6.0, 0, 0) // no signals
     ).toDF("symbol", "ts_us", "event_id", "close", "buy", "sell")
     val sharpe = MtmEngine.sharpeRatio(bars, PnlConfig.default)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -199,10 +200,12 @@ class MtmEngineSpec extends AnyFunSuite {
     assert(sharpe(20L) == -1e50, "single bar must take the sigma=0 sentinel")
     assert(sharpe(30L).isPosInfinity,
       s"sub-ms rising symbol must be +inf (IEEE x/0), got ${sharpe(30L)}")
-    // the sibling queries flow the same degenerate bars without error
-    assert(MtmEngine.maxDrawdown(bars, PnlConfig.default).collect().length == 3)
-    assert(MtmEngine.pnlSummary(bars, PnlConfig.default).collect().length == 3)
-    assert(MtmEngine.timelineQuery(bars, PnlConfig.default).collect().length == 7)
+    // the sibling queries flow the same degenerate bars without error —
+    // including the no-signal symbol (n_trades = 0 through pnlSummary's
+    // win-rate/holding divisions)
+    assert(MtmEngine.maxDrawdown(bars, PnlConfig.default).collect().length == 4)
+    assert(MtmEngine.pnlSummary(bars, PnlConfig.default).collect().length == 4)
+    assert(MtmEngine.timelineQuery(bars, PnlConfig.default).collect().length == 9)
   }
 
   test("timeline row count equals bar count; one row per bar") {
