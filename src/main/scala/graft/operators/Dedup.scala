@@ -858,6 +858,14 @@ object Dedup {
     // degrade to disk, not OOM, and the window pass's single sort
     // beats the join's two everywhere short of that pathology.
     val wDup = Window.partitionBy("win")
+    // EXPLICIT repartition rather than letting EnsureRequirements
+    // insert the window's exchange: the rows and partitioning are
+    // identical either way, but the measured shuffle WRITE differs —
+    // 662 MB (repartition) vs 845 MB (planner-inserted) at sf10 on the
+    // same data, reproducibly across sessions; wall time par. Keep the
+    // smaller-freight form; if a Spark upgrade equalizes the writers,
+    // this line becomes a harmless no-op hint.
+    val winsR = wins.repartition(col("win"))
     // START positions of every non-canonical occurrence, gathered per
     // document: the tail's exchange moves 12-byte (doc_id, pos) rows —
     // k× fewer than the expanded covered-position set the pre-r13
@@ -869,7 +877,7 @@ object Dedup {
     // anti-joined the covered set, and re-aggregated the whole corpus
     // through a groupBy(doc_id) just to rebuild strings `toks`
     // already held).
-    val spanStarts = wins
+    val spanStarts = winsR
       // one Project holding BOTH analytic expressions: sequential
       // withColumns would extract into two stacked WindowExec passes
       // (same sort, but the group buffer walked twice — PlanAuditSpec
