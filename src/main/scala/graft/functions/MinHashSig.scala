@@ -34,12 +34,8 @@ case class MinHashSig(
 
   require(perms > 0, "perms must be positive")
 
-  @transient private lazy val (as: Array[Long], bs: Array[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    val a = Array.fill(perms)(rnd.nextLong() | 1L) // odd ⇒ bijective
-    val b = Array.fill(perms)(rnd.nextLong())
-    (a, b)
-  }
+  @transient private lazy val (as: Array[Long], bs: Array[Long]) =
+    MinHashSig.coeffs(perms, seed)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -101,6 +97,19 @@ case class MinHashSig(
 }
 
 object MinHashSig {
+  /** The seeded multiply-shift permutation family — shared with the
+    * per-row [[MinHashDoc]] kernel so both formulations are the SAME
+    * hash family element-for-element (MinHashDocSpec's bit-equality
+    * gate depends on it). All `a` drawn before all `b`, exactly the
+    * original generation order.
+    */
+  private[functions] def coeffs(perms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(perms)(rnd.nextLong() | 1L) // odd ⇒ bijective
+    val b = Array.fill(perms)(rnd.nextLong())
+    (a, b)
+  }
+
   /** The aggregate as a Column — direct construction, no session
     * registry (same pattern as the other graft kernels).
     */

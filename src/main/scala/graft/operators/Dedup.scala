@@ -429,22 +429,29 @@ object Dedup {
       dropObs: Option[Observation] = None): DataFrame = {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
-    // ONE aggregate over the hashed shingle index builds everything the
-    // doc contributes downstream: the fused MinHash signature
-    // ([[graft.functions.MinHashSig]] — multiply-add-compare per
-    // permutation instead of 128 min columns), the doc's ASCENDING
-    // sorted hash-set array (the verify's operand), and its set size.
-    // The index itself has exactly this one consumer, so it needs no
-    // checkpoint; the per-doc table (corpus-sized — one row per doc)
-    // is checkpointed once for its three consumers (bucket explode +
-    // both verify join sides).
-    val perDoc = hashedShingleIndex(documents)
-      .groupBy("doc_id")
-      .agg(
-        graft.functions.MinHashSig.column(col("h"), perms).as("mh"),
-        graft.functions.SortedLongSetAgg.column(col("h")).as("hs"),
-        count(lit(1)).as("n"))
+    // ONE per-row kernel over the raw text builds everything the doc
+    // contributes downstream: the fused MinHash signature, the doc's
+    // ASCENDING sorted hash-set array (the verify's operand), and its
+    // set size ([[graft.functions.MinHashDoc]] — bit-identical to the
+    // hashedShingleIndex → repartition(doc_id) → MinHashSig +
+    // SortedLongSetAgg + count aggregate it replaces, spec-pinned).
+    // Every shingle of a doc is born in the doc's one input row, so
+    // the group is complete IN the scan task and that shape's exchange
+    // (313 MB of (doc_id, h) at sf10 — a third of the query's shuffle)
+    // plus its whole ObjectHashAggregate pass were pure overhead. The
+    // per-doc table (corpus-sized — one row per doc) is checkpointed
+    // once for its three consumers (bucket explode + both verify join
+    // sides); shingle-less docs (< 3 tokens) carry empty arrays and
+    // are filtered AFTER the checkpoint barrier, where the aggregate
+    // shape simply had no group — filtering pre-checkpoint would
+    // re-evaluate the kernel per consuming operator (PushDownPredicates
+    // inlines the alias into the filter).
+    val perDoc = documents
+      .select(col("doc_id"), graft.functions.MinHashDoc.column(col("text"), perms).as("sig"))
+      .select(col("doc_id"), col("sig.mh").as("mh"), col("sig.hs").as("hs"),
+        size(col("sig.hs")).cast("long").as("n"))
       .localCheckpoint(false)
+      .filter(col("n") > 0)
     val buckets = perDoc.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
@@ -460,21 +467,36 @@ object Dedup {
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .distinct()
+      // small (two longs per surviving pair) but consumed three times
+      // below (the join chain + both semi-filter id sets) — checkpoint
+      // so the bucket pipeline runs once, not per consumer
+      .localCheckpoint(false)
     // Jaccard verify IN-STAGE (r10): join each candidate pair against
     // the two per-doc sorted hash-set arrays and count the intersection
     // with a compiled merge walk ([[graft.functions
     // .SortedIntersectCount]]). The exchanges carry candidate pairs and
-    // one corpus-sized array row per doc — never pair×shingle rows: the
-    // previous expand-match-reaggregate shape shuffled |pair|·|shingles|
-    // rows twice (11.8 GB at the sf10 falsifier) and its allocation
-    // pressure made wall time bounce 45-195 s run-to-run (GC), the r9
-    // verdict's unsettled 10.48× flag. Same jaccard arithmetic as
-    // [[jaccardFinalize]], so the DuckDB oracle parity is unchanged.
+    // candidate-doc array rows only — never pair×shingle rows (the
+    // expand-match-reaggregate shape shuffled |pair|·|shingles| rows
+    // twice — 11.8 GB at the sf10 falsifier — with GC-bound 45-195 s
+    // spreads, the r9 verdict's unsettled 10.48× flag) and never the
+    // CORPUS's array rows: the verify only ever reads docs that appear
+    // in some candidate pair, so each side semi-filters the per-doc
+    // table MAP-SIDE against its broadcast candidate-id set (strictly
+    // smaller than the cands frame the sf1 planner already chose to
+    // broadcast) before the hs arrays enter any join. Without the
+    // filter the static planner sees the checkpoint's unknown stats
+    // and SMJs both joins — the whole corpus's hash sets exchanged
+    // twice, 282 of the query's 540 shuffle MB at sf10. Same jaccard
+    // arithmetic as [[jaccardFinalize]], so the DuckDB oracle parity
+    // is unchanged.
+    def candSide(idCol: String, hsCol: String, nCol: String): DataFrame =
+      perDoc
+        .join(broadcast(cands.select(col(idCol).as("doc_id")).distinct()),
+          Seq("doc_id"), "leftsemi")
+        .select(col("doc_id").as(idCol), col("hs").as(hsCol), col("n").as(nCol))
     cands
-      .join(perDoc.select(
-        col("doc_id").as("doc_id_a"), col("hs").as("hs_a"), col("n").as("na")), "doc_id_a")
-      .join(perDoc.select(
-        col("doc_id").as("doc_id_b"), col("hs").as("hs_b"), col("n").as("nb")), "doc_id_b")
+      .join(candSide("doc_id_a", "hs_a", "na"), "doc_id_a")
+      .join(candSide("doc_id_b", "hs_b", "nb"), "doc_id_b")
       .withColumn("n_common",
         graft.functions.SortedIntersectCount.column(col("hs_a"), col("hs_b")))
       .withColumn(
