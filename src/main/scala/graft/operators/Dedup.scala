@@ -52,11 +52,14 @@ object Dedup {
     * exchange (and every downstream join) moves (doc_id, long) instead
     * of (doc_id, string) — at corpus scale that is the difference
     * between shuffling the corpus's shingle text and shuffling 16-byte
-    * rows. Only the approximate operators use it (MinHash, SimHash):
-    * their signatures are functions of xxhash64(shingle) anyway, and
-    * their verify counts become Jaccard over the hashed shingle space
+    * rows. The approximate operators live in this hashed space: their
+    * signatures are functions of xxhash64(shingle) anyway, and their
+    * verify counts become Jaccard over the hashed shingle space
     * (collision probability ≈ n²/2⁶⁴ per doc pair — immaterial below
-    * ~10⁸ distinct shingles). The exact-string path for the oracle stays
+    * ~10⁸ distinct shingles). SimHash consumes the [[mixedShingleIndex]]
+    * twin; production MinHash computes the same values per ROW
+    * ([[graft.functions.MinHashDoc]], r13) and this index is its
+    * spec-side reference. The exact-string path for the oracle stays
     * [[shingleIndex]] / [[ngramJaccardPairs]].
     */
   private[graft] def hashedShingleIndex(documents: DataFrame): DataFrame = {
@@ -71,15 +74,17 @@ object Dedup {
       // (it was a full ObjectHashAggregate pass over the index).
       .selectExpr("doc_id", "shingles_distinct(text) AS shingle")
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      // partition by doc_id BEFORE the per-doc aggregates — the
-      // load-bearing part: every downstream per-doc aggregate (the
-      // 128-long MinHash signature, the sorted hash-set array) runs
-      // just past this exchange with ONE local buffer per doc. Letting
-      // the aggregates partial-combine across scan-order partitions
-      // instead shipped a WIDE partial buffer per doc per map task:
-      // 33× the index bytes at the sf10 falsifier (357 MB of
-      // (doc_id, h) rows became 11.8 GB of signature partials crossing
-      // the exchange).
+      // partition by doc_id BEFORE any per-doc aggregate a consumer
+      // adds: the aggregate then runs just past this exchange with ONE
+      // local buffer per doc, where letting it partial-combine across
+      // scan-order partitions shipped a WIDE partial buffer per doc
+      // per map task — 33× the index bytes at the sf10 falsifier
+      // (357 MB of (doc_id, h) rows became 11.8 GB of signature
+      // partials crossing the exchange). Since r13 production MinHash
+      // does not read this index at all — [[graft.functions
+      // .MinHashDoc]] computes the per-doc signature/set per ROW in
+      // the scan — this remains as the relational REFERENCE
+      // formulation that MinHashDocSpec's bit-equality gate replays.
       .repartition(col("doc_id"))
   }
 

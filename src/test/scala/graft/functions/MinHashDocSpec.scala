@@ -68,6 +68,43 @@ class MinHashDocSpec extends AnyFunSuite {
     assert(hs.length == 2 && hs == hs.sorted, s"expected 2 ascending hashes, got $hs")
   }
 
+  test("randomized adversarial docs: byte-space kernel equals the aggregate formulation") {
+    import spark.implicits._
+    // exercise the byte-space tokenizer/dedup against the regex
+    // tokenizer + string HashSet reference: multi-byte codepoints
+    // adjacent to every \s class member, control chars (NOT \s —
+    // U+0001 must stay inside tokens), repeated shingles, runs of
+    // separators, single-token docs
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val seps = Array(" ", "\t", "\n", "", "\f", "\r", "  ", " \t\r\n ")
+    val toks = Array("a", "B", "λx", "héllo", "日本語テスト", "xy", "ĲSSEL",
+      "emoji😀tail", "İstanbul", "groß", "end.", "-", "7", "ß")
+    val docs = (1L to 200L).map { id =>
+      val ntok = rnd.nextInt(8) // 0..7 tokens — includes < 3
+      val body = (0 until ntok).map(_ => toks(rnd.nextInt(toks.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+      val pad = if (rnd.nextBoolean()) seps(rnd.nextInt(seps.length)) else ""
+      (id, pad + body + (if (rnd.nextBoolean()) pad.reverse else ""))
+    }.toDF("doc_id", "text")
+    val exp = rows(Dedup.hashedShingleIndex(docs)
+      .groupBy("doc_id")
+      .agg(
+        MinHashSig.column(col("h"), perms).as("mh"),
+        SortedLongSetAgg.column(col("h")).as("hs"),
+        count(lit(1)).as("n")))
+    val got = rows(docs
+      .select(col("doc_id"), MinHashDoc.column(col("text"), perms).as("sig"))
+      .select(col("doc_id"), col("sig.mh").as("mh"), col("sig.hs").as("hs"),
+        size(col("sig.hs")).cast("long").as("n"))
+      .filter(col("n") > 0))
+    assert(exp.nonEmpty && got.keySet == exp.keySet,
+      s"doc sets differ: missing=${exp.keySet -- got.keySet} extra=${got.keySet -- exp.keySet}")
+    exp.foreach { case (id, (mh, hs, n)) =>
+      val (gmh, ghs, gn) = got(id)
+      assert(gn == n && gmh == mh && ghs == hs, s"doc $id diverged")
+    }
+  }
+
   test("within-doc repeated shingles dedupe by string (first occurrence wins)") {
     import spark.implicits._
     // "a b c a b c a b c" → shingle windows repeat: distinct set is
