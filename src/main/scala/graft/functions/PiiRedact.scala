@@ -93,7 +93,16 @@ object PiiRedact {
     j - i
   }
 
-  /** End index of an email match starting exactly at `start`, or -1.
+  /** End index of an email match starting exactly at `start`, or the
+    * NEGATED failure boundary: every start in `[start, -result)` fails
+    * too, so the caller skips re-attempts across the rest of the local
+    * run. Sound because a failure is decided entirely past the run —
+    * all starts inside one maximal local run scan to the same run end
+    * (`@` is not a local char, so the run contains none), and both the
+    * missing-`@` and the failed-domain checks read only from that
+    * shared end onward. A success, conversely, is only ever observed
+    * at the first attempted start of its run (it consumes the rest).
+    *
     * Structure of the greedy regex: maximal local run, literal `@`,
     * then the RIGHTMOST dot of the maximal domain run that has ≥2
     * letters after it (greedy `[A-Za-z0-9.-]+` backtracks from the
@@ -102,10 +111,9 @@ object PiiRedact {
     */
   private def matchEmail(s: String, start: Int): Int = {
     val n = s.length
-    if (!isLocalChar(s.charAt(start))) return -1
     var j = start + 1
     while (j < n && isLocalChar(s.charAt(j))) j += 1
-    if (j >= n || s.charAt(j) != '@') return -1
+    if (j >= n || s.charAt(j) != '@') return -j
     val at = j
     var k = at + 1
     while (k < n && isDomainChar(s.charAt(k))) k += 1
@@ -118,7 +126,7 @@ object PiiRedact {
       }
       d -= 1
     }
-    -1
+    -at
   }
 
   /** End index of an IPv4 match starting exactly at `start`, or -1.
@@ -188,11 +196,18 @@ object PiiRedact {
     var nIp = 0L
     var nPhone = 0L
     var i = 0
+    var emailFailUntil = 0 // starts below this index are known email non-matches
     while (i < n) {
       val c = raw.charAt(i)
       var e = -1
       if (isLocalChar(c)) { // every pattern starts with a local-class char
-        e = matchEmail(raw, i)
+        // without the memo this is the kernel's only super-linear spot:
+        // every char of a non-email word re-scanned the word's whole
+        // tail (O(Σ run²) — a long URL/token paid its length squared)
+        if (i >= emailFailUntil) {
+          e = matchEmail(raw, i)
+          if (e < 0) { emailFailUntil = -e; e = -1 }
+        }
         if (e > 0) { sb.append(EmailTok); nEmail += 1 }
         else if (isDigit(c)) {
           e = matchIp(raw, i)
