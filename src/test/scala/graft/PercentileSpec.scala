@@ -54,4 +54,40 @@ class PercentileSpec extends AnyFunSuite {
     assert(p.contains("partial_approx_percentile"),
       s"sketch must map-side combine:\n$p")
   }
+
+  test("randomized adversarial distributions stay in the rank band and the value set") {
+    // the corpus gate above only sees the events table's one benign
+    // distribution — sketches earn their keep on the ugly ones: point
+    // masses, heavy tails, mixed magnitudes, negatives, 1-row groups
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x9e13L)
+    val groups: Seq[(String, Array[Double])] = Seq(
+      "constant" -> Array.fill(5000)(42.0),
+      "two_point" -> Array.fill(5000)(if (rnd.nextDouble() < 0.99) 1.0 else 1e9),
+      "heavy_tail" -> Array.fill(5000)(math.pow(rnd.nextDouble(), -2.0)),
+      "mixed_magnitude" -> Array.fill(5000)(
+        if (rnd.nextBoolean()) rnd.nextDouble() * 1e-12 else rnd.nextDouble() * 1e15),
+      "negatives" -> Array.fill(5000)(rnd.nextGaussian() * 1e6 - 5e5),
+      "dup_heavy" -> Array.fill(5000)(rnd.nextInt(3).toDouble),
+      "single_row" -> Array(7.5),
+      "two_rows" -> Array(-1.0, 1.0))
+    val df = groups.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("event_type", "value").repartition(8)
+    val got = Analytics.percentilesApprox(df).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == groups.map(_._1).toSet)
+    groups.foreach { case (g, vs) =>
+      val sorted = vs.sorted
+      val n = sorted.length
+      val set = sorted.toSet
+      got(g).zip(Seq(0.5, 0.95, 0.99)).foreach { case (v, q) =>
+        // ±1% rank band (sketch contract at accuracy 10000 is tighter)
+        val lo = sorted(math.max(0, math.ceil((q - 0.01) * n).toInt - 1))
+        val hi = sorted(math.min(n - 1, math.ceil((q + 0.01) * n).toInt))
+        assert(v >= lo && v <= hi, s"$g q=$q got=$v outside rank band [$lo,$hi]")
+        // approx_percentile returns an OBSERVED value, never an interpolation
+        assert(set.contains(v), s"$g q=$q got=$v not an element of the group")
+      }
+    }
+  }
 }

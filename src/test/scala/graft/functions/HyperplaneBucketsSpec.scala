@@ -45,6 +45,38 @@ class HyperplaneBucketsSpec extends AnyFunSuite {
       "bucketing must stay inside whole-stage codegen")
   }
 
+  test("randomized adversarial vectors bucket identically to the reference loop") {
+    // real embeddings are unit-ish floats; the kernel must also hold on
+    // the ugly inputs the ANN surface can meet: mixed magnitudes
+    // (1e-30..1e30 — dot products that overflow a careless order),
+    // exact zeros on plane-aligned axes (the >= 0 tie), negatives-only,
+    // and the all-zero vector (bucket = all-ones by the tie rule)
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(0xB17)
+    val planes = Similarity.hyperplanes(dim, tables, bits)
+    HyperplaneBuckets.register(spark, planes, tables, bits)
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 300L).map { id =>
+      val v = Array.tabulate(dim) { _ =>
+        rnd.nextInt(5) match {
+          case 0 => 0.0
+          case 1 => -math.pow(10.0, rnd.nextInt(61) - 30) * rnd.nextDouble()
+          case 2 => math.pow(10.0, rnd.nextInt(61) - 30) * rnd.nextDouble()
+          case 3 => rnd.nextGaussian()
+          case _ => (rnd.nextInt(7) - 3).toDouble
+        }
+      }
+      if (id == 0L) java.util.Arrays.fill(v, 0.0) // the all-zero vector
+      (id, v.toSeq)
+    }
+    val got = vecs.toDF("vec_id", "v")
+      .selectExpr("vec_id", "hyperplane_buckets(v)")
+      .as[(Long, Seq[Long])].collect().toMap
+    val exp = vecs.map { case (id, v) => id -> refBuckets(v.toArray, planes) }.toMap
+    assert(got == exp)
+    assert(got(0L).forall(_ == (1L << bits) - 1), "zero vector must tie to all-ones")
+  }
+
   test("dimension mismatch fails loudly instead of degrading") {
     val planes = Similarity.hyperplanes(4, tables, bits)
     HyperplaneBuckets.register(spark, planes, tables, bits)
