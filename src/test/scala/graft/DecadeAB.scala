@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Same-JVM decade A/B (r13, third-decade extension): alternates each
+  * query between two scaled dirs (sf10 vs sf100) so the ratio is taken
+  * between runs executed seconds apart under the SAME host phase — the
+  * committed sf10 numbers are best-of-5 from quiet sessions, but this
+  * host's documented bimodality (r12/r13 notes: 1.25-5x day-scale
+  * swings) makes a cross-session sf100/sf10 wall ratio meaningless.
+  * Interleaving cancels the phase term in the ratio; the per-run total
+  * shuffle-write bytes (deterministic per plan+data) are captured as
+  * the noise-immune secondary signal.
+  *
+  * Protocol per query: one untimed warm-up per SIDE at its own scale
+  * first (AQE compiles different physical plans at different sizes —
+  * Bench's discipline), then nPairs alternating (A, B) timed runs with
+  * the shared cache hygiene before every run; reports per-side best
+  * wall, last-run shuffle MB, and the B/A ratios.
+  *
+  * Test/runMain graft.DecadeAB <dirA> <dirB> [nPairs] [q1,q2,...]
+  */
+object DecadeAB {
+  def main(args: Array[String]): Unit = {
+    val dirA = args.lift(0).getOrElse("/tmp/graft_sf10")
+    val dirB = args.lift(1).getOrElse("/tmp/graft_sf100")
+    val nPairs = args.lift(2).map(_.toInt).getOrElse(3)
+    val qs = args.lift(3).map(_.split(",").toSeq)
+      .getOrElse(Seq("q_dedup_ngram_jaccard", "q_dedup_spans", "q_dedup_minhash_lsh"))
+    val spark = Sessions.local()
+    val shufW = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shufW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def run(q: String, dir: String): (Double, Long) = {
+      Sessions.dropAllCaches(spark)
+      shufW.set(0L)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800) // let the listener bus drain before reading
+      (wall, shufW.get() >> 20)
+    }
+    for (q <- qs) {
+      System.err.println(s"[decade] warm $q A"); run(q, dirA)
+      System.err.println(s"[decade] warm $q B"); run(q, dirB)
+      var bestA = Double.MaxValue; var bestB = Double.MaxValue
+      var mbA = 0L; var mbB = 0L
+      for (p <- 1 to nPairs) {
+        val (wa, ma) = run(q, dirA); bestA = math.min(bestA, wa); mbA = ma
+        val (wb, mb) = run(q, dirB); bestB = math.min(bestB, wb); mbB = mb
+        println(f"[decade] $q pair=$p A=$wa%.2f s/${ma}MB B=$wb%.2f s/${mb}MB")
+      }
+      println(f"[decade] RESULT $q bestA=$bestA%.3f bestB=$bestB%.3f " +
+        f"wallRatio=${bestB / bestA}%.2f shufA=${mbA}MB shufB=${mbB}MB " +
+        f"shufRatio=${mbB.toDouble / math.max(1, mbA)}%.2f")
+    }
+    spark.stop()
+  }
+}
