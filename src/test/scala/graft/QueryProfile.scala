@@ -15,7 +15,7 @@ object QueryProfile {
     val sf = args.lift(1).getOrElse("/tmp/graft_sf1")
     val nRuns = args.lift(2).map(_.toInt).getOrElse(4)
     val spark = Sessions.local()
-    val stages = mutable.ArrayBuffer[(Int, Long, Int, Long, Long, Long, Long)]()
+    val stages = mutable.ArrayBuffer[(Int, Long, Int, Long, Long, Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -25,7 +25,8 @@ object QueryProfile {
           stages += ((si.stageId, ms, si.numTasks, tm.executorRunTime,
             tm.shuffleReadMetrics.totalBytesRead >> 20,
             tm.shuffleWriteMetrics.bytesWritten >> 20,
-            tm.jvmGCTime))
+            tm.jvmGCTime,
+            tm.diskBytesSpilled >> 20))
         }
       }
     })
@@ -42,11 +43,12 @@ object QueryProfile {
       val snap = stages.synchronized(stages.toVector)
       val gcSum = snap.map(_._7).sum / 1000.0
       val shufSum = snap.map(_._6).sum
+      val spillSum = snap.map(_._8).sum
       println(f"[qp] $q run $i total=$total%.2f s stages=${snap.size} " +
-        f"shufWriteSum=${shufSum}MB gcSum=$gcSum%.1f s")
-      snap.sortBy(-_._2).take(8).foreach { case (id, ms, nt, rt, sr, sw, gc) =>
+        f"shufWriteSum=${shufSum}MB gcSum=$gcSum%.1f s diskSpillSum=${spillSum}MB")
+      snap.sortBy(-_._2).take(8).foreach { case (id, ms, nt, rt, sr, sw, gc, sp) =>
         println(f"[qp]   stage=$id%-4d wall=${ms / 1000.0}%6.2f s cpu=${rt / 1000.0}%7.2f s " +
-          f"gc=${gc / 1000.0}%5.2f s tasks=$nt%-3d read=${sr}MB write=${sw}MB")
+          f"gc=${gc / 1000.0}%5.2f s tasks=$nt%-3d read=${sr}MB write=${sw}MB spill=${sp}MB")
       }
     }
     spark.stop()
