@@ -17,7 +17,14 @@ import java.util.concurrent.atomic.AtomicLong
   * first (AQE compiles different physical plans at different sizes —
   * Bench's discipline), then nPairs alternating (A, B) timed runs with
   * the shared cache hygiene before every run; reports per-side best
-  * wall, last-run shuffle MB, and the B/A ratios.
+  * wall, min-across-pairs shuffle MB (deterministic per plan+data, so
+  * divergence across pairs is itself a signal and is printed), and the
+  * B/A ratios. Failed/retried stage attempts are excluded from the
+  * byte counter (a task retry would double-count its shuffle write),
+  * and the async listener bus is drained by polling the counter until
+  * it is stable — both before resetting for a run and before reading
+  * its total — so a late-arriving stage event can neither leak into
+  * the next run nor be lost at the reset.
   *
   * Test/runMain graft.DecadeAB <dirA> <dirB> [nPairs] [q1,q2,...]
   */
@@ -31,31 +38,50 @@ object DecadeAB {
     val spark = Sessions.local()
     val shufW = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        shufW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        // A failed attempt's successor re-runs its tasks; counting both
+        // would double the stage's bytes and break determinism.
+        if (si.failureReason.isEmpty && si.attemptNumber == 0)
+          shufW.addAndGet(si.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
     })
+    // Poll the counter until two consecutive reads agree: the bus is
+    // drained. Bounded so a hung bus cannot wedge the harness.
+    def drained(): Long = {
+      var prev = -1L; var cur = shufW.get(); var waited = 0
+      while (cur != prev && waited < 10000) {
+        prev = cur; Thread.sleep(400); waited += 400; cur = shufW.get()
+      }
+      cur
+    }
     def run(q: String, dir: String): (Double, Long) = {
       Sessions.dropAllCaches(spark)
-      shufW.set(0L)
+      drained(); shufW.set(0L)
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(800) // let the listener bus drain before reading
-      (wall, shufW.get() >> 20)
+      (wall, drained() >> 20)
     }
     for (q <- qs) {
       System.err.println(s"[decade] warm $q A"); run(q, dirA)
       System.err.println(s"[decade] warm $q B"); run(q, dirB)
       var bestA = Double.MaxValue; var bestB = Double.MaxValue
-      var mbA = 0L; var mbB = 0L
+      val mbsA = Seq.newBuilder[Long]; val mbsB = Seq.newBuilder[Long]
       for (p <- 1 to nPairs) {
-        val (wa, ma) = run(q, dirA); bestA = math.min(bestA, wa); mbA = ma
-        val (wb, mb) = run(q, dirB); bestB = math.min(bestB, wb); mbB = mb
+        val (wa, ma) = run(q, dirA); bestA = math.min(bestA, wa); mbsA += ma
+        val (wb, mb) = run(q, dirB); bestB = math.min(bestB, wb); mbsB += mb
         println(f"[decade] $q pair=$p A=$wa%.2f s/${ma}MB B=$wb%.2f s/${mb}MB")
       }
+      val (allA, allB) = (mbsA.result(), mbsB.result())
+      val mbA = allA.min; val mbB = allB.min
+      if (allA.distinct.size > 1 || allB.distinct.size > 1)
+        println(s"[decade] WARN $q shuffle MB diverged across pairs " +
+          s"(A=${allA.mkString(",")} B=${allB.mkString(",")}) — listener race or plan change")
+      val shufRatio = if (mbA == 0) "N/A" else f"${mbB.toDouble / mbA}%.2f"
       println(f"[decade] RESULT $q bestA=$bestA%.3f bestB=$bestB%.3f " +
         f"wallRatio=${bestB / bestA}%.2f shufA=${mbA}MB shufB=${mbB}MB " +
-        f"shufRatio=${mbB.toDouble / math.max(1, mbA)}%.2f")
+        s"shufRatio=$shufRatio")
     }
     spark.stop()
   }

@@ -22,6 +22,7 @@ object MinhashProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
+        if (si.failureReason.isDefined) return // a retry re-reports the bytes
         val ms = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
         val tm = si.taskMetrics
         stages.synchronized {

@@ -21,6 +21,7 @@ object NgramProfile3 {
     val stages = mutable.ArrayBuffer[(Long, Long)]() // (shufWriteMB, gcMs)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        if (sc.stageInfo.failureReason.isDefined) return // a retry re-reports the bytes
         val tm = sc.stageInfo.taskMetrics
         stages.synchronized {
           stages += ((tm.shuffleWriteMetrics.bytesWritten >> 20, tm.jvmGCTime))

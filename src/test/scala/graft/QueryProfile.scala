@@ -19,6 +19,7 @@ object QueryProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
+        if (si.failureReason.isDefined) return // a retry re-reports the bytes
         val ms = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
         val tm = si.taskMetrics
         stages.synchronized {
