@@ -92,8 +92,9 @@ object MinHashDoc {
   // Java regex `\s` — the exact ASCII class the tokenizer splits on.
   // All six are < 0x80, and UTF-8 continuation/lead bytes are >= 0x80,
   // so scanning for them in BYTE space can never split inside a
-  // multi-byte codepoint.
-  private def isWs(b: Byte): Boolean =
+  // multi-byte codepoint. Shared with the other byte-space kernels
+  // ([[EvalContainment]]).
+  private[functions] def isWsByte(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
   /** The fused pass — static so generated code calls it directly.
@@ -120,13 +121,13 @@ object MinHashDoc {
     var w = 0
     var i = 0
     while (i < len) {
-      if (isWs(bytes(i))) i += 1
+      if (isWsByte(bytes(i))) i += 1
       else {
         if (nt == tokStarts.length) tokStarts = java.util.Arrays.copyOf(tokStarts, nt << 1)
         if (nt > 0) { norm(w) = ' '; w += 1 }
         tokStarts(nt) = w
         nt += 1
-        while (i < len && !isWs(bytes(i))) { norm(w) = bytes(i); w += 1; i += 1 }
+        while (i < len && !isWsByte(bytes(i))) { norm(w) = bytes(i); w += 1; i += 1 }
       }
     }
     val cnt = nt - n + 1

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.EvalContainment
+
 /** Eval-set decontamination (SURVEY §2 — LLM-pipeline block): find and
   * remove training documents that contain a benchmark/eval document,
   * the step every corpus build runs so the model isn't graded on its
@@ -14,12 +16,24 @@ import org.apache.spark.sql.functions._
   * standard decontamination measure (symmetric Jaccard under-fires
   * when a long training doc embeds a short eval doc verbatim).
   *
-  * Scale shape: the eval set is SMALL by construction (benchmarks are
-  * thousands of docs, the corpus is billions), so its shingle index is
-  * BROADCAST — the corpus side is scanned once, joined map-side with
-  * no shuffle, and the only exchange is the partial-aggregated overlap
-  * count keyed by (train doc, eval doc) — a join hit, not a corpus
-  * row. A 100 TB corpus passes through in one wave of map tasks.
+  * Scale shape (r14): the eval set is SMALL by construction
+  * (benchmarks are thousands of docs, the corpus is billions), so its
+  * shingle index is collected once and BROADCAST as a flat probe table
+  * — and the whole overlap computation runs inside the corpus scan via
+  * the [[EvalContainment]] generator: per document, dedup shingles,
+  * probe the table, count hits per eval doc, emit only the flagged
+  * rows. The query has NO join, NO aggregate, and NO exchange at all —
+  * the r13 broadcast-join shape still shuffled every surviving
+  * (train, eval) pair for its final groupBy (365 MB at sf10, a pair
+  * mass that grows ~quadratically under proportional corpus/eval
+  * scaling since common shingles connect most doc pairs); the pairs
+  * never needed to leave their scan partition because every shingle of
+  * a document originates in that document's one input row. A 100 TB
+  * corpus passes through in one wave of map tasks whose only output is
+  * the flagged audit rows. Driver memory note: the collected grouped
+  * index is the same data the old shape's broadcast-hash relation
+  * collected to the driver anyway (stored leaner here — each distinct
+  * shingle string once, with int posting lists).
   */
 object Decontaminate {
 
@@ -27,14 +41,43 @@ object Decontaminate {
     * containment floor — the audit artifact reviewed before dropping.
     *
     * Input contract (ADVICE r12): doc_ids must be UNIQUE within EACH
-    * input — both sides' set semantics come from the per-row
-    * `shingles_distinct` generator, so a duplicated id would emit
-    * duplicate (id, shingle) rows, inflate n_eval and n_common, and
-    * push containment past 1.0 (the corpus-wide distincts this shape
-    * replaced used to absorb that). Both wired producers pass the
-    * documents-table key, which is unique by construction.
+    * input — corpus-side set semantics come from the kernel's per-doc
+    * dedup and eval-side from the `shingles_distinct` generator, so a
+    * duplicated id would emit duplicate flagged rows (corpus) or
+    * inflate n_eval via duplicate posting entries (eval). Both wired
+    * producers pass the documents-table key, which is unique by
+    * construction.
     */
   def flagged(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      minContainment: Double = 0.5): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1], got $minContainment")
+    val spark = corpus.sparkSession
+    // grouped eval inverted index: one row per DISTINCT eval shingle
+    // with its posting list — the leanest driver-side representation
+    // (n_eval per doc falls out of the posting lists, no second job)
+    val grouped = Dedup.shingleIndex(evalDocs)
+      .groupBy("shingle").agg(collect_list(col("doc_id").cast("long")).as("ids"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+    val bc = spark.sparkContext.broadcast(EvalContainment.build(grouped))
+    corpus.select(
+        col("doc_id"),
+        EvalContainment.column(col("text"), bc, minContainment))
+      .select("doc_id", "eval_id", "containment")
+  }
+
+  /** The relational formulation the kernel replaced — broadcast join on
+    * the shingle + partial-aggregated pair count — kept in-tree as the
+    * spec-side REFERENCE that DecontaminateKernelSpec's equality gate
+    * replays (the [[graft.functions.MinHashDoc]] precedent). Exact same
+    * math: both inputs carry per-doc set semantics, so a plain count
+    * IS the distinct-intersection size, feeding the identical double
+    * division and floor comparison.
+    */
+  private[graft] def flaggedExchange(
       corpus: DataFrame,
       evalDocs: DataFrame,
       minContainment: Double = 0.5): DataFrame = {
@@ -44,20 +87,6 @@ object Decontaminate {
     val evalSizes = evalInv.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
     val evalSide = evalInv.join(evalSizes, "doc_id")
       .select(col("doc_id").as("eval_id"), col("shingle"), col("n_eval"))
-    // The corpus side dedupes shingles WITHIN each document map-side
-    // (shingles_distinct: per-row set semantics streamed inside the
-    // scan stage — never a corpus-wide distinct, which would shuffle
-    // the whole corpus index before the join). Both join inputs then
-    // carry set semantics — shingleIndex distincts the eval side — so
-    // each common shingle of a (train, eval) pair matches EXACTLY once
-    // and a plain count IS the distinct-intersection size: the same
-    // integer the previous countDistinct computed, feeding the
-    // IDENTICAL division, so the flagged set is bit-identical. The win
-    // is the aggregate's exchange: partial counts combine map-side to
-    // one (train, eval) row per partition — the countDistinct rewrite
-    // instead shuffled every distinct (train, eval, shingle-STRING)
-    // triple to dedupe globally before counting, a hit-set-sized
-    // string shuffle that grows with corpus×eval overlap.
     graft.functions.ShingleGenerator.register(corpus.sparkSession)
     corpus.selectExpr("doc_id", "shingles_distinct(text) AS shingle")
       .join(broadcast(evalSide), "shingle")

@@ -183,20 +183,21 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally edges.unpersist(blocking = true)
   }
 
-  test("decontaminate: pair aggregate is a partial count, no distinct-triple shuffle") {
-    // shingles_distinct gives both join inputs set semantics, so the
-    // overlap count is a plain count(1) whose partials combine map-side
-    // — the aggregate's exchange moves (train, eval) count rows, never
-    // (train, eval, shingle-STRING) triples (the countDistinct rewrite
-    // it replaces shuffled the whole deduped hit set)
+  test("decontaminate: corpus pass is exchange-free — probe generator, no join/aggregate") {
+    // r14 kernel pin: the overlap computation rides the broadcast eval
+    // index inside the scan (EvalContainment), so the corpus-side plan
+    // has NO exchange, NO join, and NO aggregate at all — the only
+    // rows the query moves are its flagged output. The r13 shape's
+    // (train, eval) pair exchange (365 MB at sf10) grew ~quadratically
+    // under proportional corpus/eval scaling.
     val docs = Tables.documents(spark, sfDir)
     val p = plan(Decontaminate.flagged(
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0),
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0), 0.5))
-    assert(p.contains("shingles_distinct"), s"corpus side must dedupe map-side:\n$p")
-    assert(!p.toLowerCase.contains("count(distinct"),
-      s"the distinct-triple countDistinct shape is back:\n$p")
-    assert(p.contains("partial_count"), s"overlap count must partial-aggregate map-side:\n$p")
+    assert(p.contains("eval_containment"), s"expected the probe generator:\n$p")
+    assert(!p.contains("Exchange"), s"corpus pass must be exchange-free:\n$p")
+    assert(!p.contains("Join"), s"corpus pass must not join:\n$p")
+    assert(!p.toLowerCase.contains("aggregate"), s"corpus pass must not aggregate:\n$p")
   }
 
   test("exact dedup: single hash-partition shuffle on the fingerprint") {

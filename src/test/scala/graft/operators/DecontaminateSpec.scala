@@ -66,13 +66,20 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got.nonEmpty, "eval set should intersect planted near-dups")
   }
 
-  test("scale shape: eval side broadcast, never a sort-merge join") {
+  test("scale shape: one scan wave — no join, no exchange, probe in the generator") {
+    // r14 kernel shape: the broadcast eval index is probed per document
+    // INSIDE the scan, so the corpus-side plan is a single map stage
+    // whose only rows are the flagged output — the r13 broadcast-join
+    // shape still shuffled every (train, eval) pair for its groupBy
+    // (365 MB at sf10, ~quadratic under proportional scaling)
     val docs = Tables.documents(spark, sfDir)
     val plan = Decontaminate.flagged(
       docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0), 0.5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), "corpus side must not sort-merge")
+    assert(plan.contains("eval_containment"), s"expected the probe generator:\n$plan")
+    assert(!plan.contains("Join"), s"corpus side must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"corpus side must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("aggregate"), s"no aggregate remains:\n$plan")
   }
 
   test("random dense corpora: flagged pairs equal a scalar containment replica") {
