@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: min-label propagation — every vertex starts labeled with
   * itself; each round takes the min of its own and its neighbors'
-  * labels; fixpoint when no label changes. Each round is one
-  * join + partial-aggregated groupBy (only the LABELS shuffle per
-  * round — the symmetric edge set is cached pre-partitioned and
-  * pre-sorted on the join key, and never payloads move); rounds =
-  * component diameter, and near-dup components are
-  * shallow in practice (stars around a canonical doc). Convergence is
+  * labels; fixpoint when no label changes. Each round is ONE join and
+  * ONE partial-aggregated min (r14): the neighbor labels from the join
+  * and every vertex's own label (a union branch) feed the same
+  * groupBy(dst) aggregate, so min(self ∪ neighbors) needs no second
+  * join back to the labels — the previous left-join + least/coalesce
+  * shape paid an extra sort-merge pass over the labels per round for
+  * the same value. Only the LABELS shuffle per round — the symmetric
+  * edge set is cached pre-partitioned and pre-sorted on the join key,
+  * and never payloads move; rounds = component diameter, and near-dup
+  * components are shallow in practice (stars around a canonical doc).
+  * Convergence is
   * detected by the label-sum invariant: labels only ever decrease, so
   * the sum (exact, DECIMAL — a 1e9-vertex sum overflows int64) is
   * strictly monotone until fixpoint — no per-row diff join needed.
@@ -152,11 +157,24 @@ object ConnectedComponents {
         require(iter <= maxIter,
           s"connected components did not converge in $maxIter rounds — " +
             "adversarially deep graph; raise maxIter or switch to star contraction")
-        val nbrMin = edges.join(labels, edges("src") === labels("v"))
-          .groupBy(edges("dst"))
-          .agg(min(col("label")).as("nbr_label"))
-        val updated = labels.join(nbrMin, labels("v") === nbrMin("dst"), "left")
-          .select(labels("v"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        // min over (own label ∪ neighbors' labels) in ONE aggregate:
+        // the self branch keeps every vertex present (a vertex whose
+        // neighbors all carry larger labels must keep its own), and
+        // both branches partial-combine map-side before the single
+        // groupBy(dst) exchange. The merge hint is load-bearing twice
+        // over: labels is |V|-sized, so AQE's tiny-side broadcast pick
+        // would be wrong at corpus scale (the edge cache is pre-sorted
+        // on src precisely to serve this SMJ) — and a BroadcastExchange
+        // on the labels side materializes the lazily-checkpointed
+        // labels frame from a SEPARATE async job, racing the main
+        // stage's materialization of the same RDD (observed as
+        // LocalRDDCheckpointData's storage-level assertion).
+        val updated = edges.join(labels.hint("merge"), edges("src") === labels("v"))
+          .select(col("dst"), col("label"))
+          .union(labels.select(col("v").as("dst"), col("label")))
+          .groupBy(col("dst"))
+          .agg(min(col("label")).as("label"))
+          .select(col("dst").as("v"), col("label"))
           // lazy: the labelSum action below materializes it — one job per
           // round instead of two (eager checkpoint + sum)
           .localCheckpoint(eager = false)

@@ -157,8 +157,13 @@ class PlanAuditSpec extends AnyFunSuite {
     try {
       edges.count() // materialize the cache, as dupGroups' first action does
       val labels = edges.select(col("src").as("v")).distinct().withColumn("label", col("v"))
+      // the FULL r14 fused round: neighbor labels from the join UNION
+      // every vertex's own label, one partial-aggregated min — no
+      // second join back to the labels
       val round = edges.hint("merge").join(labels, edges("src") === labels("v"))
-        .groupBy(edges("dst")).agg(fmin(col("label")).as("nbr_label"))
+        .select(col("dst"), col("label"))
+        .union(labels.select(col("v").as("dst"), col("label")))
+        .groupBy(col("dst")).agg(fmin(col("label")).as("label"))
       round.collect()
       // count by tree traversal, not plan-string grep: the string form
       // re-prints the cached plan's OWN exchange+sort under every
