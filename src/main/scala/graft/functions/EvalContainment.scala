@@ -171,8 +171,7 @@ object EvalContainment {
     var p = 0
     while (p < totalPost) { nEval(listEval(p)) += 1; p += 1 }
     // open-addressed table over the key ordinals
-    var cap = 8
-    while (cap * 7 < k * 10) cap <<= 1
+    val cap = MinHashDoc.pow2Cap(k, "eval_containment index build")
     val slots = new Array[Int](cap)
     java.util.Arrays.fill(slots, -1)
     val mask = cap - 1
@@ -199,7 +198,8 @@ object EvalContainment {
       minContainment: Double,
       counts: Array[Int],
       touched: Array[Int]): IterableOnce[InternalRow] = {
-    val bytes = s.toString.toLowerCase.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val len = bytes.length
     val norm = new Array[Byte](len)
     var tokStarts = new Array[Int](16)
@@ -226,71 +226,81 @@ object EvalContainment {
       e += 1
     }
     // per-doc dedup table (exact bytes; 64-bit collisions stay distinct)
-    var cap = 8
-    while (cap * 7 < cnt * 10) cap <<= 1
+    val cap = MinHashDoc.pow2Cap(cnt, "eval_containment shingle dedup")
     val mask = cap - 1
     val slotIdx = new Array[Int](cap)
     java.util.Arrays.fill(slotIdx, -1)
     val slotHash = new Array[Long](cap)
     val emask = idx.slots.length - 1
+    // `counts` is per-TASK scratch: every entry this document touches
+    // MUST be zeroed before the method exits on ANY path (the finally
+    // below), else an exception mid-probe (e.g. OOM on the output
+    // buffer) would leave dirty counts that over-count containment for
+    // every later row the same task evaluates.
     var nTouched = 0
-    var si = 0
-    while (si < cnt) {
-      val st = ts(si)
-      val en = ends(si)
-      val h = XXH64.hashUnsafeBytes(norm, Platform.BYTE_ARRAY_OFFSET + st, en - st, 42L)
-      var p = ((h ^ (h >>> 32)).toInt) & mask
-      var dup = false
-      var open = false
-      while (!dup && !open) {
-        val prev = slotIdx(p)
-        if (prev == -1) open = true
-        else if (slotHash(p) == h &&
-          java.util.Arrays.equals(norm, ts(prev), ends(prev), norm, st, en)) dup = true
-        else p = (p + 1) & mask
-      }
-      if (!dup) {
-        slotIdx(p) = si
-        slotHash(p) = h
-        // probe the eval table: hash hit is only a hint, bytes decide
-        var ep = ((h ^ (h >>> 32)).toInt) & emask
-        var key = -1
-        var miss = false
-        while (key == -1 && !miss) {
-          val cand = idx.slots(ep)
-          if (cand == -1) miss = true
-          else if (idx.keyHash(cand) == h && {
-            val ko = idx.keyOffs(cand)
-            val kl = idx.keyOffs(cand + 1) - ko
-            kl == en - st && java.util.Arrays.equals(
-              idx.keyBytes, ko, ko + kl, norm, st, en)
-          }) key = cand
-          else ep = (ep + 1) & emask
+    try {
+      var si = 0
+      while (si < cnt) {
+        val st = ts(si)
+        val en = ends(si)
+        val h = XXH64.hashUnsafeBytes(norm, Platform.BYTE_ARRAY_OFFSET + st, en - st, 42L)
+        var p = ((h ^ (h >>> 32)).toInt) & mask
+        var dup = false
+        var open = false
+        while (!dup && !open) {
+          val prev = slotIdx(p)
+          if (prev == -1) open = true
+          else if (slotHash(p) == h &&
+            java.util.Arrays.equals(norm, ts(prev), ends(prev), norm, st, en)) dup = true
+          else p = (p + 1) & mask
         }
-        if (key != -1) {
-          var q = idx.listOffs(key)
-          val qEnd = idx.listOffs(key + 1)
-          while (q < qEnd) {
-            val ord = idx.listEval(q)
-            if (counts(ord) == 0) { touched(nTouched) = ord; nTouched += 1 }
-            counts(ord) += 1
-            q += 1
+        if (!dup) {
+          slotIdx(p) = si
+          slotHash(p) = h
+          // probe the eval table: hash hit is only a hint, bytes decide
+          var ep = ((h ^ (h >>> 32)).toInt) & emask
+          var key = -1
+          var miss = false
+          while (key == -1 && !miss) {
+            val cand = idx.slots(ep)
+            if (cand == -1) miss = true
+            else if (idx.keyHash(cand) == h && {
+              val ko = idx.keyOffs(cand)
+              val kl = idx.keyOffs(cand + 1) - ko
+              kl == en - st && java.util.Arrays.equals(
+                idx.keyBytes, ko, ko + kl, norm, st, en)
+            }) key = cand
+            else ep = (ep + 1) & emask
+          }
+          if (key != -1) {
+            var q = idx.listOffs(key)
+            val qEnd = idx.listOffs(key + 1)
+            while (q < qEnd) {
+              val ord = idx.listEval(q)
+              if (counts(ord) == 0) { touched(nTouched) = ord; nTouched += 1 }
+              counts(ord) += 1
+              q += 1
+            }
           }
         }
+        si += 1
       }
-      si += 1
+      if (nTouched == 0) Nil
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[InternalRow](nTouched)
+        var t = 0
+        while (t < nTouched) {
+          val ord = touched(t)
+          val c = counts(ord).toDouble / idx.nEval(ord).toDouble
+          if (c >= minContainment) out += InternalRow(idx.evalIds(ord), c)
+          t += 1
+        }
+        out
+      }
+    } finally {
+      var t = 0
+      while (t < nTouched) { counts(touched(t)) = 0; t += 1 }
     }
-    if (nTouched == 0) return Nil
-    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](nTouched)
-    var t = 0
-    while (t < nTouched) {
-      val ord = touched(t)
-      val c = counts(ord).toDouble / idx.nEval(ord).toDouble
-      if (c >= minContainment) out += InternalRow(idx.evalIds(ord), c)
-      counts(ord) = 0
-      t += 1
-    }
-    out
   }
 
   /** The kernel as a Column (direct construction, no session registry —

@@ -97,10 +97,30 @@ object MinHashDoc {
   private[functions] def isWsByte(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
+  /** Smallest pow2 capacity keeping the open-addressed load factor
+    * < 0.7 for n entries. LONG arithmetic: the naive `cap * 7 < n * 10`
+    * in Int wraps negative once n >= ~215M (a single ~0.5 GB document's
+    * shingle count), leaving cap at 8 — and the insert loop then spins
+    * forever the moment 8 distinct keys fill the table. Capped at 2^30
+    * (the largest pow2 JVM array): n above that table's 0.7 load
+    * ceiling is a hard error, never a hang. Shared by every byte-space
+    * kernel ([[MinHashDoc]], [[EvalContainment]] probe + build).
+    */
+  private[functions] def pow2Cap(n: Int, what: String): Int = {
+    val ceil = ((1 << 30) * 7L) / 10
+    require(n >= 0 && n <= ceil,
+      s"$what: $n distinct keys exceeds the open-addressed table ceiling ($ceil)")
+    var cap = 8
+    while (cap * 7L < n * 10L) cap <<= 1
+    cap
+  }
+
   /** The fused pass — static so generated code calls it directly.
     *
     * Works in BYTE space after the one unavoidable String round-trip
-    * (`toString.toLowerCase` — the tokenizer contract): the token
+    * (`toString.toLowerCase(Locale.ROOT)` — the tokenizer contract,
+    * locale-pinned so a tr_TR JVM cannot diverge on the dotted-I
+    * mappings): the token
     * stream is re-joined once into a normalized byte buffer, so every
     * shingle is a CONTIGUOUS slice of it — hashed in place, deduped by
     * exact byte comparison in an open-addressed table. Zero per-shingle
@@ -112,7 +132,8 @@ object MinHashDoc {
     */
   def compute(s: UTF8String, n: Int, as: Array[Long], bs: Array[Long]): InternalRow = {
     val perms = as.length
-    val bytes = s.toString.toLowerCase.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val len = bytes.length
     // normalize: tokens joined by single ' ' into `norm`, starts noted
     val norm = new Array[Byte](len)
@@ -144,8 +165,7 @@ object MinHashDoc {
     }
     // open-addressed dedup: slot -> (hash, first shingle index with
     // that string); pow2 capacity > cnt/0.7 so probes stay short
-    var cap = 8
-    while (cap * 7 < cnt * 10) cap <<= 1
+    val cap = pow2Cap(cnt, "minhash_doc shingle dedup")
     val mask = cap - 1
     val slotIdx = new Array[Int](cap)
     java.util.Arrays.fill(slotIdx, -1)

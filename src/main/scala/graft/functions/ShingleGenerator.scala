@@ -100,7 +100,7 @@ object ShingleGenerator {
     * replica of the SQL steps).
     */
   private[graft] def tokenize(text: String): Array[String] =
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   /** Register `shingles(str)` (3-gram), `tokens(str)` (the n=1
     * degenerate case — the normalized unigram stream) and

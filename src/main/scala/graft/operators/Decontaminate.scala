@@ -40,6 +40,18 @@ object Decontaminate {
   /** Flagged (doc_id, eval_id, containment) pairs at or above the
     * containment floor — the audit artifact reviewed before dropping.
     *
+    * EAGER-EXECUTION CONTRACT (unlike most DataFrame builders): calling
+    * this runs two Spark jobs UP FRONT — the eval shingle groupBy and
+    * the driver-side collect of the grouped index — and allocates one
+    * SparkContext broadcast whose lifetime is the returned plan's (the
+    * ContextCleaner reclaims it when the DataFrame is GC'd). The eval
+    * SNAPSHOT is therefore taken at call time, not action time, and a
+    * tight loop re-calling this (bench/spec harnesses) accumulates a
+    * broadcast per call until GC. Acceptable by design: eval sets are
+    * small by construction and this is the same data the pre-r14
+    * broadcast-hash relation shipped — but callers should build once
+    * and reuse the returned DataFrame, not rebuild per action.
+    *
     * Input contract (ADVICE r12): doc_ids must be UNIQUE within EACH
     * input — corpus-side set semantics come from the kernel's per-doc
     * dedup and eval-side from the `shingles_distinct` generator, so a

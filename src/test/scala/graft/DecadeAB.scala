@@ -19,8 +19,10 @@ import java.util.concurrent.atomic.AtomicLong
   * the shared cache hygiene before every run; reports per-side best
   * wall, min-across-pairs shuffle MB (deterministic per plan+data, so
   * divergence across pairs is itself a signal and is printed), and the
-  * B/A ratios. Failed/retried stage attempts are excluded from the
-  * byte counter (a task retry would double-count its shuffle write),
+  * B/A ratios. The byte counter takes each stage's first SUCCESSFUL
+  * attempt, deduped by stageId (counting every attempt would
+  * double-count a retried stage; counting only attempt 0 dropped a
+  * stage whose retry succeeded),
   * and the async listener bus is drained by polling the counter until
   * it is stable — both before resetting for a run and before reading
   * its total — so a late-arriving stage event can neither leak into
@@ -37,12 +39,17 @@ object DecadeAB {
       .getOrElse(Seq("q_dedup_ngram_jaccard", "q_dedup_spans", "q_dedup_minhash_lsh"))
     val spark = Sessions.local()
     val shufW = new AtomicLong(0L)
+    // Count each stage's FIRST SUCCESSFUL attempt, whatever its attempt
+    // number, deduped by stageId: `attemptNumber == 0` alone (the r14
+    // shape) made a stage whose attempt 0 failed and whose retry
+    // succeeded contribute ZERO bytes — under-counting instead of the
+    // double-count the filter was built against. Stage ids never recycle
+    // within a SparkContext, so the set is also the cross-run dedup.
+    val counted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        // A failed attempt's successor re-runs its tasks; counting both
-        // would double the stage's bytes and break determinism.
-        if (si.failureReason.isEmpty && si.attemptNumber == 0)
+        if (si.failureReason.isEmpty && counted.add(si.stageId))
           shufW.addAndGet(si.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
     })
