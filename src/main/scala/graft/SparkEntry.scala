@@ -186,6 +186,11 @@ object SparkEntry {
     // (recall ~0.95 vs the exact operator, spec'd; drops observable)
     "q_dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingNearDupsLsh(
       Tables.embeddings(s, dir), dropObs = Some(newDropObs("q_dedup_embedding_lsh")))),
+    // second scale path (r15): IVF coarse-quantizer sharding — linear
+    // n·probes exchange (vs the LSH sibling's n·T(n)); recall measured
+    // per decade (0.99 at this sf with the default probes), spec-gated
+    "q_dedup_embedding_ivf" -> ((s, dir) => Dedup.embeddingNearDupsIvf(
+      Tables.embeddings(s, dir), dropObs = Some(newDropObs("q_dedup_embedding_ivf")))),
     // -- similarity search (LLM pipeline) --
     "q_ann_bruteforce_topk" -> ((s, dir) => Similarity.annBruteForceTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(Tables.embeddings(s, dir))),

@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   * Only vertices that appear in a pair are labeled — singleton docs
   * need no group and would dominate the output at corpus scale.
   *
+  * Measured trade (r15, CcShapeAB — interleaved same-JVM full runs of
+  * this shape vs the replicated pre-fusion r13 shape over identical
+  * materialized pairs): the fused round runs 4 fewer stages per
+  * propagation (17 → 13 at 2 rounds) but is ~8-20 % SLOWER in local
+  * wall at sf0.1-sf10, because the merge hint suppresses the
+  * broadcast-hash join AQE would pick for a test-scale labels side.
+  * That is the intended trade: at corpus scale labels is |V|-sized and
+  * un-broadcastable, the edge cache is pre-sorted precisely to serve
+  * the SMJ, and the broadcast path raced the lazily-checkpointed
+  * labels' materialization. BENCH_r14's +22 % q_dedup_groups move was
+  * host noise on top of this ~1-2 % full-query effect (the ngram pair
+  * derivation dominates the wired query; the same binary re-benched at
+  * r13 levels the next session).
+  *
   * For adversarially deep graphs (rounds = diameter makes a long chain
   * pathological), [[dupGroups]]' `starContraction = true` switches to
   * large-star/small-star contraction (Kiveris et al., "Connected

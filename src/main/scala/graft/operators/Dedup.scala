@@ -779,6 +779,119 @@ object Dedup {
       e, threshold)
   }
 
+  /** SURVEY #25 (second scale path, r15): the same embedding near-dup
+    * pairs through IVF coarse-quantizer sharding instead of LSH tables
+    * — the escape the LSH docstring declares for past the table budget,
+    * promoted to a real operator after the r15 interleaved decade
+    * measurement flagged the LSH exchange as the engine's one
+    * superlinear shuffle (sf1→sf10: 117→2958 MB, 25.3× for 10× rows —
+    * exactly the T ~ n^ρ table growth the method mandates; wall 10.5×).
+    *
+    * Shape: fit `nCells ≈ cellFactor·√n` coarse centroids on a BOUNDED
+    * sample ([[Similarity.ivfCentroids]] — one TakeOrdered scan +
+    * driver-local Lloyd, corpus-size-independent); each vector assigns
+    * map-side to its `probes` nearest cells (full-precision
+    * [[graft.functions.CentroidScores]], the annIvfTopK assignment);
+    * the ONE corpus-sized exchange carries each vector `probes` times,
+    * int16-QUANTIZED (the r13 payload) and keyed by cell — n·probes
+    * rows with probes a small CONSTANT, so the exchange grows LINEARLY
+    * in n where the LSH sibling's n·T(n) cannot. In-cell pairs pass the
+    * same [[graft.functions.QuantCosinePairs]] lossless prefilter under
+    * the same hot-cell cap, distinct candidate ID pairs (a pair can
+    * meet in up to `probes` shared cells) rejoin full precision for the
+    * exact cosine ≥ threshold. Emitted pairs are therefore EXACT
+    * (precision 1 vs [[embeddingNearDupsExact]], same cosineVerify).
+    *
+    * Cell sizing: √n is the classical IVF operating point, but
+    * multi-probe population (n·probes/nCells) must also stay under the
+    * hot-cell cap — see the sizing expression below. Once the
+    * population bound binds, assignment CPU per vector is
+    * O(nCells·dim) — growing with n; past that a two-level quantizer
+    * (probe √nCells superclusters first) caps it, declared-not-built
+    * like every next-tier escape here.
+    *
+    * Recall is DATA-DEPENDENT, not a theorem: a pair qualifies iff its
+    * two top-`probes` cell sets intersect, which no closed form bounds
+    * for arbitrary geometry (contrast the LSH sibling's
+    * 1−(1−q₁^bits)^T floor). MEASURED ADJUDICATION (r15,
+    * IvfDedupProfile, threshold 0.4 on the near-uniform synthetic —
+    * the hardest regime for any bucketing method; sampled-exact ground
+    * truth at sf10): at sf10, probes=32 beats the LSH sibling on BOTH
+    * recall (0.953 vs 0.886) and shuffle (845 vs 1468 MB), and
+    * probes=64 reaches 0.997 at 1163 MB. Holding the 0.88-0.95 recall
+    * band across decades needs probes ×2-3 per decade (p=8: 0.99 /
+    * 0.88 / 0.65 at sf0.1/1/10) — i.e. n^0.3-0.5 probe growth against
+    * the theory-mandated n^0.665 LSH table growth: a real exponent
+    * win, measured 18.4× sf1→sf10 shuffle at held-or-better recall vs
+    * the LSH sibling's 25.3×, though not an escape from growth
+    * altogether at this threshold. Its
+    * structural regime advantage — tight duplicate clusters at
+    * threshold ≥0.9, where top-1 co-assignment is near-certain and
+    * probes stays O(1) — is exactly the production near-dup case this
+    * corpus cannot exhibit. LSH therefore stays the wired default (its
+    * floor is a theorem at ANY threshold); this operator is the
+    * measured escape for the clustered/high-threshold regime and for
+    * shuffle-bound clusters. Recall floor spec-gated in DedupSpec;
+    * per-decade profile in SCALING_r15.
+    */
+  def embeddingNearDupsIvf(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      probes: Int = 8,
+      cellFactor: Double = 1.0,
+      minCells: Int = 8,
+      maxCells: Int = 1 << 20,
+      lloydIters: Int = 2,
+      maxBucketSize: Int = 4096,
+      dropObs: Option[Observation] = None): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(cellFactor > 0.0, s"cellFactor must be positive, got $cellFactor")
+    val e = Similarity.withNorm(embeddings)
+      .localCheckpoint(false) // consumers: sizing count, assignment, both verify sides
+    val n = e.count()
+    // √n is the classical IVF operating point, but multi-probe puts
+    // each vector in `probes` cells, so the EXPECTED population is
+    // n·probes/nCells — sized here to stay at half the hot-cell cap,
+    // or capBuckets (a SKEW guard, not a sizing mechanism) would drop
+    // every average cell once n·probes outgrows √n·cap/2 (the r15
+    // sf10 falsifier: 448 √n-cells at probes=16 put ~7.1k vectors in
+    // every cell and the cap silently emptied the candidate stream).
+    val nCells = math.max(math.max(minCells, probes).toLong,
+      math.min(maxCells.toLong,
+        math.max(math.ceil(cellFactor * math.sqrt(n.toDouble)).toLong,
+          math.ceil(n.toDouble * probes / (maxBucketSize / 2)).toLong))).toInt
+    val centroids = Similarity.ivfCentroids(embeddings, nCells, lloydIters)
+    val pEff = math.min(probes, centroids.length)
+    graft.functions.QuantCosinePairs.register(embeddings.sparkSession)
+    // top-p cells per vector: sort (−score, idx) structs, slice, strip —
+    // the annIvfTopK probe expression, applied to the CORPUS side (both
+    // members of a pair probe, so they meet iff the sets intersect)
+    val probeCells = {
+      val scored = transform(
+        graft.functions.CentroidScores.scores(col("v"), centroids),
+        (s, i) => struct((-s).as("ns"), i.as("idx")))
+      transform(slice(sort_array(scored), 1, pEff), x => x.getField("idx"))
+    }
+    val buckets = e.select(
+        col("vec_id"),
+        graft.functions.QuantizeVec.column(col("v")).as("qs"),
+        col("norm"),
+        explode(probeCells).as("cell"))
+    val cands = capBuckets(buckets, Seq("cell"), maxBucketSize, dropObs)
+      .groupBy("cell")
+      .agg(collect_list(struct(
+        col("vec_id"), col("qs.q"), col("qs.s"), col("qs.qn"), col("qs.en"),
+        col("norm"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .selectExpr(s"quant_cosine_pairs(ms, CAST($threshold AS DOUBLE))")
+      .distinct() // a pair can surface from up to `probes` shared cells
+    cosineVerify(
+      cands.join(
+        e.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("norm").as("na")),
+        "vec_id_a"),
+      e, threshold)
+  }
+
   /** Corpus-wide duplicated-SPAN removal (SURVEY §2 #46) — the
     * distributed re-expression of exact substring deduplication
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language

@@ -4,10 +4,11 @@ import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Embedding-LSH recall floor at scale (r10, VERDICT item 5; extended
-  * r11 per VERDICT item 3): recall of [[Dedup.embeddingNearDupsLsh]] vs
-  * the exact operator at the given dirs, plus the precision invariant
-  * (no pair the exact path lacks).
+/** Embedding near-dup recall floor at scale (r10, VERDICT item 5;
+  * extended r11 per VERDICT item 3; r15 adds the IVF sibling):
+  * recall of [[Dedup.embeddingNearDupsLsh]] AND
+  * [[Dedup.embeddingNearDupsIvf]] vs the exact operator at the given
+  * dirs, plus the precision invariant (no pair the exact path lacks).
   *
   * Two protocols, switched on corpus size:
   *  - ≤ 50k vectors: the full O(n²) exact pass (sf1's 20k is the
@@ -42,12 +43,17 @@ object RecallProfile {
         val t0 = System.nanoTime()
         val exact = pairSet(Dedup.embeddingNearDupsExact(emb, threshold))
         val t1 = System.nanoTime()
-        val lsh = pairSet(Dedup.embeddingNearDupsLsh(emb, threshold))
-        val t2 = System.nanoTime()
-        val extra = (lsh -- exact).size
-        val recall = if (exact.isEmpty) 1.0 else exact.count(lsh).toDouble / exact.size
-        println(f"[recall] $dir n=$n exact=${exact.size} lsh=${lsh.size} extra=$extra " +
-          f"recall=$recall%.4f exact_s=${(t1 - t0) / 1e9}%.1f lsh_s=${(t2 - t1) / 1e9}%.1f")
+        for ((tag, df) <- Seq(
+            "lsh" -> Dedup.embeddingNearDupsLsh(emb, threshold),
+            "ivf" -> Dedup.embeddingNearDupsIvf(emb, threshold))) {
+          val ta = System.nanoTime()
+          val got = pairSet(df)
+          val tb = System.nanoTime()
+          val extra = (got -- exact).size
+          val recall = if (exact.isEmpty) 1.0 else exact.count(got).toDouble / exact.size
+          println(f"[recall] $dir n=$n $tag exact=${exact.size} got=${got.size} extra=$extra " +
+            f"recall=$recall%.4f exact_s=${(t1 - t0) / 1e9}%.1f approx_s=${(tb - ta) / 1e9}%.1f")
+        }
       } else {
         val stride = math.max(1L, n / 2000L)
         val e = Similarity.withNorm(emb).localCheckpoint(false)
@@ -69,16 +75,21 @@ object RecallProfile {
         // the full set is ~17M driver Rows and the next decade makes it
         // GBs — the restricted estimator is identical either way
         val qidSeq = qids.toSeq
-        val lsh = pairSet(Dedup.embeddingNearDupsLsh(emb, threshold)
-          .filter(col("vec_id_a").isin(qidSeq: _*) || col("vec_id_b").isin(qidSeq: _*)))
-        val t2 = System.nanoTime()
-        // precision leg stays FULL-set: any LSH pair outside the exact
-        // RESTRICTED set but touching a query is a true extra
-        val extra = (lsh -- exact).size
-        val recall = if (exact.isEmpty) 1.0 else exact.count(lsh).toDouble / exact.size
-        println(f"[recall] $dir n=$n SAMPLED queries=${qids.size} exact_touching=${exact.size} " +
-          f"lsh_touching=${lsh.size} extra=$extra recall=$recall%.4f " +
-          f"exact_s=${(t1 - t0) / 1e9}%.1f lsh_s=${(t2 - t1) / 1e9}%.1f")
+        for ((tag, df) <- Seq(
+            "lsh" -> Dedup.embeddingNearDupsLsh(emb, threshold),
+            "ivf" -> Dedup.embeddingNearDupsIvf(emb, threshold))) {
+          val ta = System.nanoTime()
+          val got = pairSet(df
+            .filter(col("vec_id_a").isin(qidSeq: _*) || col("vec_id_b").isin(qidSeq: _*)))
+          val tb = System.nanoTime()
+          // precision leg stays FULL-set: any approx pair outside the
+          // exact RESTRICTED set but touching a query is a true extra
+          val extra = (got -- exact).size
+          val recall = if (exact.isEmpty) 1.0 else exact.count(got).toDouble / exact.size
+          println(f"[recall] $dir n=$n $tag SAMPLED queries=${qids.size} exact_touching=${exact.size} " +
+            f"got_touching=${got.size} extra=$extra recall=$recall%.4f " +
+            f"exact_s=${(t1 - t0) / 1e9}%.1f approx_s=${(tb - ta) / 1e9}%.1f")
+        }
       }
     }
     spark.stop()

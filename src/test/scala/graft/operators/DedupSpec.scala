@@ -294,6 +294,58 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall below 0.85 — bucketing degraded")
   }
 
+  test("embedding IVF near-dups: exact precision, recall floor vs the exact operator") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id_a", "vec_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingNearDupsExact(emb))
+    val ivf = pairs(Dedup.embeddingNearDupsIvf(emb))
+    assert(exact.nonEmpty)
+    // post-verify precision is exact: same threshold + same cosine kernel
+    assert((ivf -- exact).isEmpty, s"impossible extra pairs: ${(ivf -- exact).take(3)}")
+    val recall = exact.count(ivf).toDouble / exact.size
+    info(s"embedding IVF recall = $recall")
+    // measured 0.99+ at sf0.01/sf0.1 with the default probes; the
+    // per-decade decay (probes is the knob) is profiled in SCALING_r15
+    assert(recall >= 0.9, s"recall $recall below 0.9 — cell assignment degraded")
+  }
+
+  test("embedding IVF on random vectors: value-exact precision, identical vectors always found") {
+    // The IVF twin of the LSH randomized gate below: same adversarial
+    // shapes (tiny magnitudes, duplicates, zero vectors). Identical
+    // non-zero vectors have identical centroid scores, hence identical
+    // probe sets — their 1.0 pairs are always co-binned and found.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      val dim = 6 + rnd.nextInt(4)
+      val n = 40 + rnd.nextInt(40)
+      val base = (1L to n.toLong).map { id =>
+        val scale = Seq(1.0, 1e-6, 37.5)(rnd.nextInt(3))
+        id -> Seq.fill(dim)((rnd.nextDouble() * 2 - 1) * scale)
+      }
+      val dups = (0 until 4).map(i => (900L + i) -> base(rnd.nextInt(base.size))._2)
+      val zeros = Seq(980L -> Seq.fill(dim)(0.0))
+      val vecs = base ++ dups ++ zeros
+      val df = vecs.toDF("vec_id", "v0")
+        .select(col("vec_id"), col("v0").cast("array<double>").as("embedding"))
+      def valued(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val exact = valued(Dedup.embeddingNearDupsExact(df))
+      val ivf = valued(Dedup.embeddingNearDupsIvf(df))
+      val bad = ivf.filter { case (k, v) => !exact.get(k).contains(v) }
+      assert(bad.isEmpty, s"round=$round IVF pairs absent from exact or cosine drift: ${bad.take(5)}")
+      val mustFind = (for {
+        (did, dv) <- dups
+        (oid, ov) <- vecs
+        if oid != did && ov == dv && ov.exists(_ != 0.0)
+      } yield (math.min(did, oid), math.max(did, oid))).toSet
+      assert(mustFind.forall(ivf.contains),
+        s"round=$round identical-vector pairs missed: ${mustFind.filterNot(ivf.contains).take(5)}")
+      assert(!ivf.keySet.exists(k => k._1 == 980L || k._2 == 980L), "zero vector must pair with nothing")
+    }
+  }
+
   test("embedding LSH on random vectors: value-exact precision, identical vectors always found") {
     // Seeded randomized gate for the r13 quantized bucket path, at
     // shapes the real corpus lacks: tiny-magnitude vectors (int16
