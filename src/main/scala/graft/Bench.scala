@@ -63,6 +63,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * SPARK_GRAFT_BENCH_ONLY (comma-separated substrings) filters the query
   * set for local iteration; the driver never sets it.
+  *
+  * Budget note (r15): the "protocol" annotation costs 30 chars, putting
+  * the full line at ~1797/1800 from r14's 1767 — within budget, and the
+  * existing drop order (errors-when-empty, then runs, then timed_runs)
+  * absorbs any future per-query digit growth before times are at risk.
   */
 object Bench {
   private def ms3(v: Double): String = {
@@ -197,7 +202,12 @@ object Bench {
       val err = if (errors == "[]" && !withRuns) "" else s""","errors":$errors"""
       val runs = if (withRuns) s""","runs":$nRuns""" else ""
       val tr = if (withTimedRuns) s""","timed_runs":{"default":$modalRuns,"n_except":$nExcept}""" else ""
-      s"""$head$err$runs$tr,"queries":$qs}"""
+      // protocol annotation (r14 verdict item 6): Bench is cache-honest
+      // since r13 (CacheManager cleared before every timed run), so the
+      // r11->r13 headline climb is a protocol change, not a regression;
+      // only same-protocol rounds are wall-comparable. Emitted LAST so
+      // it survives the driver's tail capture like the twin queries.
+      s"""$head$err$runs$tr,"queries":$qs,"protocol":"cache-honest-r13"}"""
     }
     val budget = 1800
     val candidates = Seq(line(true, true), line(false, true), line(false, false))
