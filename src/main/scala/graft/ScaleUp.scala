@@ -40,24 +40,36 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset — the decade
+    // probes only read documents/embeddings, and generating a 1000x
+    // lineitem nobody scans costs more wall than the probe itself
+    val tableFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = Sessions.local()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val reps = broadcast(spark.range(factor.toLong).select(col("id").as("r")))
-    def rep(name: String): DataFrame = Tables.table(spark, src, name).crossJoin(reps)
+    // repartition the SOURCE before the crossJoin: the driver's parquet
+    // is a single row group, so without this the whole factor-x
+    // expansion (including the per-row decorrelation transforms) runs
+    // in ONE task — 300x lineitem measured ~25 min single-threaded vs
+    // ~1 min spread across the session's cores
+    def rep(name: String): DataFrame = Tables.table(spark, src, name)
+      .repartition(spark.sparkContext.defaultParallelism).crossJoin(reps)
     def key(c: String): Column = (col(c) * factor + col("r")).as(c)
     def write(name: String)(df: DataFrame): Unit = {
-      // a real corpus at this scale is MANY files; the crossJoin
-      // inherits the source's (often single-row-group, unsplittable)
-      // layout, and writing that back as one file caps every scaled
-      // scan at one task — making CPU-bound per-row stages look
-      // super-linear (rows-per-partition, not rows). Round-robin to
-      // the session's parallelism so the scaled dir has honest file
-      // parallelism.
-      df.drop("r").repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      System.err.println(s"[scaleup] $name ×$factor -> $out")
+      if (tableFilter.forall(_.contains(name))) {
+        // a real corpus at this scale is MANY files; the crossJoin
+        // inherits the source's (often single-row-group, unsplittable)
+        // layout, and writing that back as one file caps every scaled
+        // scan at one task — making CPU-bound per-row stages look
+        // super-linear (rows-per-partition, not rows). Round-robin to
+        // the session's parallelism so the scaled dir has honest file
+        // parallelism.
+        df.drop("r").repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        System.err.println(s"[scaleup] $name ×$factor -> $out")
+      } else System.err.println(s"[scaleup] $name skipped (not in table filter)")
     }
 
     write("documents")(rep("documents").select(
