@@ -128,13 +128,25 @@ object ConnectedComponents {
       maxIter: Int = 50,
       starContraction: Boolean = false): DataFrame = {
     if (starContraction) return dupGroupsStar(pairs, aCol, bCol, maxIter)
-    // checkpoint the PAIRS before building edges: the union below reads
-    // its input twice (forward + reversed branch), which without this
-    // evaluated the whole upstream pair lineage — for the wired dedup
-    // query, the shingle inverted index + self-join — twice inside the
-    // edges job
+    // checkpoint the PAIRS before building edges, EAGERLY: the union
+    // below reads its input twice (forward + reversed branch) — two
+    // INDEPENDENT shuffle-map stages of the same job. A lazy checkpoint
+    // only stores partitions as whichever stage computes them first;
+    // the scheduler submits both stages together, so their tasks RACE
+    // the block store and each can evaluate the whole upstream pair
+    // lineage — for the wired dedup query, the shingle inverted index +
+    // PPJoin self-join, the dominant cost — a second time. Measured
+    // (r15, sf10, fresh JVM): the race made the wired q_dedup_groups
+    // 51-58 s against ~16 s of single-evaluation work, and its
+    // random resolution is the long-suspected "bimodality" in this
+    // query's spreads (r13 recorded an 89.5 s best-of-5 spread). The
+    // eager checkpoint materializes pairs in ONE dedicated job; both
+    // union branches then read stored (long, long) blocks. The
+    // construction-time job this adds is the same work the first
+    // action paid anyway — callers keep their lazy semantics minus
+    // the race.
     val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // lazy: the first labels action materializes the cache; stored
     // partitions serve every later round without recomputing the pair
     // lineage
@@ -240,12 +252,15 @@ object ConnectedComponents {
     */
   private def dupGroupsStar(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
-    // checkpoint the pair projection ONCE: verts and edges both derive
-    // from it, and for the wired query the upstream lineage (shingle
-    // inverted index + self-join) is the costliest stage — without this
-    // each branch would re-run it (the same fix propagation mode got)
+    // checkpoint the pair projection ONCE, EAGERLY: verts and edges
+    // both derive from it, verts itself reads it twice (its union's
+    // two branches), and all of those are independent stages of the
+    // first job — a lazy checkpoint lets them race the block store and
+    // re-run the upstream lineage (shingle inverted index + PPJoin
+    // self-join, the costliest stage of the wired query) per racing
+    // branch; see dupGroups' pair checkpoint for the measured effect
     val p = pairs.select(col(aCol).cast("long").as("pa"), col(bCol).cast("long").as("pb"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // the vertex set BEFORE dropping self-loops: a vertex appearing only
     // as a (v, v) pair is its own component and must still be labeled —
     // propagation mode and the recursive-closure oracle both emit it

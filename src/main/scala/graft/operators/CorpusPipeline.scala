@@ -17,10 +17,22 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
 
   /** The staged pipeline, built once: each stage output is materialized
-    * lazily (localCheckpoint) because every stage has ≥2 consumers — the
-    * next stage plus the final/report reads — and would otherwise re-run
-    * its regex/dedup lineage per consumer (the multi-branch trap measured
-    * in Dedup).
+    * EAGERLY (localCheckpoint) because every stage has ≥2 consumers —
+    * the next stage plus the final/report reads — and those consumers
+    * are independent stages of the SAME downstream job: a lazy
+    * checkpoint only stores partitions as whichever consumer's tasks
+    * compute them first, so concurrent consumers race the block store
+    * and re-run the stage's regex/window lineage per racing branch.
+    * Measured (r15): with lazy checkpoints the race held q_corpus_clean
+    * at 23.8× wall for 10× data at sf10→sf100 (shuffle exactly linear,
+    * 11.0×) and q_corpus_clean_full at ~81 s against ~10 s of
+    * single-evaluation work at sf10 — the per-row regex stages are
+    * precisely the most expensive thing to evaluate twice. Eager
+    * materialization runs the stage pipeline once, at build time; the
+    * jobs it fronts are the same work the first action paid anyway.
+    * Callers therefore get an EAGER-construction surface (two Spark
+    * jobs run inside cleanCorpus/stageReport before any action) —
+    * build once and reuse, as with Decontaminate.flagged.
     */
   private final case class Stages(scored: DataFrame, canonical: DataFrame, cleaned: DataFrame)
 
@@ -52,7 +64,7 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text"),
         TextOps.qualityExpr(col("text")).as("quality_score"))
       .filter(col("quality_score") >= minQuality)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // 2. exact dedup — keep the canonical (min doc_id) of each group.
     // The min-id window rides the single fingerprint shuffle; joining
     // exactDups back by doc_id would move the text a second time.
@@ -61,7 +73,7 @@ object CorpusPipeline {
       .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy("fp_md5")))
       .filter(col("doc_id") === col("canonical_id"))
       .drop("fp_md5", "canonical_id")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // 3. near-dup dedup — drop the higher doc_id of each verified pair
     val dropIds = Dedup.minhashLshPairs(canonical, jaccardThreshold)
       .select(col("doc_id_b").as("doc_id")).distinct()
