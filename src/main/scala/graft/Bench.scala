@@ -207,7 +207,13 @@ object Bench {
       // r11->r13 headline climb is a protocol change, not a regression;
       // only same-protocol rounds are wall-comparable. Emitted LAST so
       // it survives the driver's tail capture like the twin queries.
-      s"""$head$err$runs$tr,"queries":$qs,"protocol":"cache-honest-r13"}"""
+      // "proto" not "protocol" (ADVICE r15): the long form left the
+      // fullest line 3 chars under the budget — one more query or a
+      // digit of growth silently dropped runs/timed_runs via the
+      // candidate fallback.
+      // short value: the full "cache-honest-r13" tag rides stderr; the
+      // stdout field only needs to version the protocol
+      s"""$head$err$runs$tr,"queries":$qs,"proto":"r13"}"""
     }
     val budget = 1800
     val candidates = Seq(line(true, true), line(false, true), line(false, false))
@@ -215,6 +221,9 @@ object Bench {
       System.err.println(s"[bench] OVERFLOW: minimal stdout line is ${candidates.last.length} chars (> $budget); driver tail may truncate it")
       candidates.last
     }
+    // the protocol tag ALSO goes to stderr (ADVICE r15) so it survives
+    // even a future minimal-candidate fallback or a truncated tail
+    System.err.println("[bench] protocol=cache-honest-r13")
     System.err.println(s"[bench] stdout line ${out.length} chars (budget $budget)")
     println(out)
     spark.stop()

@@ -147,13 +147,16 @@ object ConnectedComponents {
     // the race.
     val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(eager = true)
-    // lazy: the first labels action materializes the cache; stored
-    // partitions serve every later round without recomputing the pair
-    // lineage
+    // EAGER (r16 audit): round 1's labelSum job reads labels through
+    // TWO unordered branches (the neighbor join and the self union) —
+    // lazy, they race the block store and each loser re-runs the
+    // vertex distinct (bounded — p's blocks are already stored — but
+    // a full vertex exchange per loser). One small job at
+    // construction, after the eager p job above, buys it out.
     val edges = buildEdges(p)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -201,8 +204,10 @@ object ConnectedComponents {
           .groupBy(col("dst"))
           .agg(min(col("label")).as("label"))
           .select(col("dst").as("v"), col("label"))
-          // lazy: the labelSum action below materializes it — one job per
-          // round instead of two (eager checkpoint + sum)
+          // SAFE LAZY (r16 audit): the labelSum action below is the
+          // first action and reads it through ONE aggregate lineage —
+          // no concurrent consumers before its blocks are stored; one
+          // job per round instead of two (eager checkpoint + sum)
           .localCheckpoint(eager = false)
         inFlight = updated
         val s = labelSum(updated)
@@ -264,14 +269,23 @@ object ConnectedComponents {
     // the vertex set BEFORE dropping self-loops: a vertex appearing only
     // as a (v, v) pair is its own component and must still be labeled —
     // propagation mode and the recursive-closure oracle both emit it
+    // verts SAFE LAZY (r16 audit): the synchronous verts.count() below
+    // is its first action and sole consumer — blocks are stored before
+    // the success-path return plan (its only other reader) exists.
     val verts = p.select(col("pa").as("x")).union(p.select(col("pb").as("x")))
       .distinct()
       .localCheckpoint(eager = false)
+    // edges EAGER (r16 audit): round 1's fingerprint job reads the
+    // initial edge set through largeStar's TWO unordered branches (the
+    // min aggregate and the join probe) — lazy, they race the block
+    // store and each loser re-runs the distinct over p's stored
+    // blocks. Later rounds read the PREVIOUS round's checkpoint, which
+    // the round's own fingerprint action has already materialized.
     var edges = p.select(greatest(col("pa"), col("pb")).as("u"),
         least(col("pa"), col("pb")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
     // The textbook large-star works on the SYMMETRIC edge set (2|e|
     // rows through its groupBy and its join). Canonical (hi, lo)
@@ -360,6 +374,9 @@ object ConnectedComponents {
         require(iter <= maxIter,
           s"star contraction did not converge in $maxIter rounds (O(log n) expected) — " +
             "malformed edge set or maxIter set below log2(vertex count)")
+        // SAFE LAZY (r16 audit): fingerprint(next) below is next's
+        // first action and reads it through ONE aggregate lineage — no
+        // concurrent consumers exist before its blocks are stored.
         val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
         inFlight = next
         val fp = fingerprint(next)

@@ -30,6 +30,8 @@ object CorpusPipeline {
     * precisely the most expensive thing to evaluate twice. Eager
     * materialization runs the stage pipeline once, at build time; the
     * jobs it fronts are the same work the first action paid anyway.
+    * This operator is in the README's "Eager construction" class —
+    * build once and reuse, never construct in a loop.
     * Callers therefore get an EAGER-construction surface (two Spark
     * jobs run inside cleanCorpus/stageReport before any action) —
     * build once and reuse, as with Decontaminate.flagged.

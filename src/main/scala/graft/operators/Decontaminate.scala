@@ -50,7 +50,8 @@ object Decontaminate {
     * broadcast per call until GC. Acceptable by design: eval sets are
     * small by construction and this is the same data the pre-r14
     * broadcast-hash relation shipped — but callers should build once
-    * and reuse the returned DataFrame, not rebuild per action.
+    * and reuse the returned DataFrame, not rebuild per action (the
+    * README's "Eager construction" operator class).
     *
     * Input contract (ADVICE r12): doc_ids must be UNIQUE within EACH
     * input — corpus-side set semantics come from the kernel's per-doc

@@ -194,10 +194,21 @@ object Dedup {
       pairs.select(
         col("rid_a").as("doc_id_a"), col("rid_b").as("doc_id_b"), col("jaccard"))
     } else {
-      val members = documents.select(col("doc_id"), fpCol.as("fp")).localCheckpoint(false)
+      // EAGER (r16 lazy-checkpoint audit): members feeds four
+      // independent branches of the final job (the groups aggregate
+      // plus both expansion joins ×2 sides) and groups feeds three
+      // (repDocs' join — whose small side AQE may BROADCAST, putting
+      // an async broadcast-build job in the race — and repMap's two
+      // uses). Lazy, those concurrent consumers race the block store
+      // and each re-run the corpus scan + fingerprint kernel (the
+      // ConnectedComponents r15 diagnosis). The operator already runs
+      // a job at construction (the est head() above), so eager adds
+      // no new API-contract split — see README "Eager construction".
+      val members = documents.select(col("doc_id"), fpCol.as("fp"))
+        .localCheckpoint(eager = true)
       val groups = members.groupBy("fp")
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("g"))
-        .localCheckpoint(false)
+        .localCheckpoint(eager = true)
       // rep text rides a doc_id join (broadcasts while the rep set
       // fits; degrades to one text shuffle at corpus scale), never a
       // min_by(text) aggregate — whose per-map-partition partials
@@ -455,7 +466,13 @@ object Dedup {
       .select(col("doc_id"), graft.functions.MinHashDoc.column(col("text"), perms).as("sig"))
       .select(col("doc_id"), col("sig.mh").as("mh"), col("sig.hs").as("hs"),
         size(col("sig.hs")).cast("long").as("n"))
-      .localCheckpoint(false)
+      // EAGER (r16 audit): lazy, the two verify sides' BROADCAST
+      // id-set builds are async jobs racing the main job's bucket
+      // branch for these blocks — each loser re-runs the corpus scan
+      // + minhash kernel (the most expensive lineage in the query).
+      // Construction now runs this one job up front (README "Eager
+      // construction").
+      .localCheckpoint(eager = true)
       .filter(col("n") > 0)
     val buckets = perDoc.select(
       col("doc_id"),
@@ -474,8 +491,11 @@ object Dedup {
       .distinct()
       // small (two longs per surviving pair) but consumed three times
       // below (the join chain + both semi-filter id sets) — checkpoint
-      // so the bucket pipeline runs once, not per consumer
-      .localCheckpoint(false)
+      // so the bucket pipeline runs once, not per consumer. EAGER
+      // (r16 audit): both semi-filter consumers sit inside
+      // broadcast() — async build jobs that, lazy, race each other
+      // (and the join chain) through the whole bucket pipeline.
+      .localCheckpoint(eager = true)
     // Jaccard verify IN-STAGE (r10): join each candidate pair against
     // the two per-doc sorted hash-set arrays and count the intersection
     // with a compiled merge walk ([[graft.functions
@@ -705,6 +725,10 @@ object Dedup {
       s"recallFloor must be in (0,1), got $recallFloor")
     // withNorm centrally filters zero-norm vectors (ANSI division would
     // error, not NaN); they also leave the sizing count
+    // SAFE LAZY (r16 audit): the synchronous sizing count() below is
+    // the first action and has this frame as its ONLY consumer — it
+    // materializes every block before the bucketing/verify branches
+    // (and their async broadcast builds) can race the store.
     val e = Similarity.withNorm(embeddings)
       .localCheckpoint(false) // consumers: sizing count, bucketing, both verify sides
     // Size the bucket space AND the table count to the data, jointly
@@ -846,6 +870,9 @@ object Dedup {
       dropObs: Option[Observation] = None): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     require(cellFactor > 0.0, s"cellFactor must be positive, got $cellFactor")
+    // SAFE LAZY (r16 audit): the synchronous count() on the next line
+    // is the first action and sole consumer at that point — blocks are
+    // stored before any concurrent branch exists.
     val e = Similarity.withNorm(embeddings)
       .localCheckpoint(false) // consumers: sizing count, assignment, both verify sides
     val n = e.count()
@@ -945,9 +972,15 @@ object Dedup {
   def dedupSpans(documents: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     graft.functions.TokenWindows.register(documents.sparkSession)
+    // EAGER (r16 audit): the windows chain and the final span-removal
+    // join's probe side are independent branches of one job — when the
+    // join goes sort-merge (the at-scale shape: spanStarts outgrows the
+    // broadcast threshold), both map stages are submitted concurrently
+    // and, lazy, race the block store, each re-running the corpus text
+    // scan + split. CkptRaceAB measures the before/after at sf10.
     val toks = documents
       .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
-      .localCheckpoint(false) // consumers: windows, the final span-removal join
+      .localCheckpoint(eager = true) // consumers: windows, the final span-removal join
     // one row per k-token window with its start position, via the
     // native positional generator (a streamed in-scan flatMap; the SQL
     // transform/slice lambda formulation runs interpreted and re-slices

@@ -219,7 +219,13 @@ object MtmEngine {
       }
       // by-name ++ suffix: built only after perBar drains the partition
       perBar ++ r.endOfPartition().iterator.map { case (s, t) => toOut(s, t) }
-    }.toDF().localCheckpoint(eager = false)
+      // EAGER (r16 lazy-checkpoint audit): pnlSummary consumes BOTH
+      // returned frames in one job — the tl and bl aggregates' map
+      // stages are independent and, lazy, race the block store, each
+      // loser re-running the whole engine mapPartitions pass (the
+      // priciest kernel in the MTM family). Single-frame callers pay
+      // the same one materialization job, just at construction.
+    }.toDF().localCheckpoint(eager = true)
     val tl = out.filter(col("kind") === "tl")
       .select("symbol", "ts_us", "event_id", "close", "buy", "sell", "mtm_ratio")
     val bl = out.filter(col("kind") === "bl")
@@ -387,7 +393,16 @@ object MtmEngine {
       // the whole slice chain as one job (5× fewer job launches), each
       // slice's partitions are stored as they are first computed, and
       // slice i+1 (and the final union) read the stored partitions
-      // instead of recomputing 0..i
+      // instead of recomputing 0..i.
+      // SAFE LAZY (r16 audit): unlike the multi-branch shapes flipped
+      // eager this round, no two stages can read slice i's blocks
+      // concurrently — slice i's only same-job consumers are slice
+      // i+1's map stage and the final-union result stage, and the
+      // latter transitively depends on the LAST slice's shuffle, which
+      // orders it after every chain stage. Caveat recorded: a caller
+      // consuming BOTH returned frames in one job would put two
+      // unordered branches on the last slice — today's only sliced
+      // caller (q_trades_sliced) reads the blotter frame alone.
       val out = sliceBars.union(state)
         .repartition(col("symbol"))
         .sortWithinPartitions("symbol", "ts_us", "event_id")

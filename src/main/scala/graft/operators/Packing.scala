@@ -55,7 +55,11 @@ object Packing {
     // text scan otherwise.
     val t = TextOps.tokenCount(documents)
       .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens"))
-      .localCheckpoint(false)
+      // EAGER (r16 audit): the percentile-cut aggregate feeds a
+      // broadcast() — an async build job that, lazy, races the main
+      // job for these blocks and re-runs the corpus scan + token
+      // kernel per loser (the Sampling.shuffleShard shape).
+      .localCheckpoint(eager = true)
     // bucket = how many percentile cut points lie strictly below this
     // doc_id — monotone in doc_id (cuts are sorted), bounded in
     // [0, buckets), O(buckets) comparisons per row inside codegen, and
@@ -79,7 +83,9 @@ object Packing {
     // projection and the per-bucket totals — would otherwise each run
     // their own bucket shuffle + window over the stats table
     val local = bucketed.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
-      .localCheckpoint(false)
+      // EAGER (r16 audit): the per-bucket totals feed a broadcast() —
+      // same async-build race as `t` above.
+      .localCheckpoint(eager = true)
     // phase 3: exclusive prefix sum over the per-bucket totals — a
     // deliberately unpartitioned window over exactly `buckets` rows.
     val wOffset = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)

@@ -224,7 +224,12 @@ object Sampling {
     graft.functions.FibFinish.register(documents.sparkSession)
     val keyed = documents
       .select(col("doc_id"), sampleKey(col("doc_id")).as("skey"))
-      .localCheckpoint(false) // consumers: cut sketch + bucketed rank
+      // EAGER (r16 audit, ADVICE r15): the cut sketch feeds a
+      // broadcast() — an ASYNC build job that, lazy, races the main
+      // job's rank branch for these blocks; this is the exact shape
+      // the CC r15 diagnosis tied to a LocalRDDCheckpointData
+      // storage-level assertion, not just wasted rescans.
+      .localCheckpoint(eager = true) // consumers: cut sketch + bucketed rank
     val bucketed =
       if (buckets == 1) keyed.withColumn("bucket", lit(0))
       else keyed.crossJoin(broadcast(keyedCuts(keyed, buckets)))
@@ -232,7 +237,9 @@ object Sampling {
         .drop("cuts")
     val wLocal = Window.partitionBy("bucket").orderBy("skey", "doc_id")
     val local = bucketed.withColumn("lrank", row_number().over(wLocal))
-      .localCheckpoint(false) // consumers: final projection + bucket totals
+      // EAGER (r16 audit): the bucket-totals aggregate feeds a
+      // broadcast() — same async-build race as `keyed` above.
+      .localCheckpoint(eager = true) // consumers: final projection + bucket totals
     val wOffset = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy("bucket").agg(count(lit(1)).as("btot"))
       .withColumn("bucket_offset", coalesce(sum("btot").over(wOffset), lit(0L)))

@@ -242,8 +242,11 @@ object Similarity {
     TopKByScore.register(embeddings.sparkSession)
     val centroids = ivfCentroids(embeddings, nCentroids, lloydIters)
     // materialized once — the corpus assignment and the query projection
-    // would otherwise each rescan the source and recompute norms
-    val e = withNorm(embeddings).localCheckpoint(false)
+    // would otherwise each rescan the source and recompute norms.
+    // EAGER (r16 audit): the query projection sits inside broadcast()
+    // — an async build job that, lazy, races the corpus branch for
+    // these blocks and rescans the source per loser.
+    val e = withNorm(embeddings).localCheckpoint(eager = true)
     val corpus = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
     // nProbe nearest cells per query: sort (−score, idx) structs, slice
     val probes = {
@@ -287,8 +290,12 @@ object Similarity {
     // materialized once: FOUR consumers (corpus buckets, query buckets,
     // the vector rejoin, the query vectors) would otherwise each rescan
     // the source and recompute the norms — the "write the feature table
-    // once" step, same as the dedup LSH paths
-    val e = lshFeatures(embeddings, tables, bits).localCheckpoint(false)
+    // once" step, same as the dedup LSH paths. EAGER (r16 audit): TWO
+    // of the four consumers (query buckets, query vectors) sit inside
+    // broadcast() — async build jobs that, lazy, race each other and
+    // the corpus branches, each loser re-running the scan + feature
+    // kernel.
+    val e = lshFeatures(embeddings, tables, bits).localCheckpoint(eager = true)
     // Candidate (query_id, vec_id) pairs are deduped BEFORE any cosine is
     // computed: a pair colliding in several of the `tables` buckets would
     // otherwise be scored up to `tables`× (and deduping scored rows would

@@ -272,7 +272,12 @@ object TextOps {
       .selectExpr("doc_id", "tokens(text) AS term")
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // consumers: df aggregate + the score join
+      // EAGER (r16 audit): the df aggregate's map stage and the score
+      // join's probe side are independent stages of one job; lazy they
+      // race the block store and re-run the reduce side of the tf
+      // aggregate (the scan itself is behind tf's shuffle, so the race
+      // re-reads shuffle files, not the corpus — bounded but real).
+      .localCheckpoint(eager = true) // consumers: df aggregate + the score join
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -28,6 +28,16 @@ import java.util.concurrent.atomic.AtomicLong
   * index is identical on both sides by construction, so any wall delta
   * is the corpus pass alone.
   *
+  * BOTH dirs must be ScaleUp outputs of the SAME source (ADVICE r15):
+  * if dirBig were scaled FROM dirSmall, its tokens would be
+  * double-suffixed and the fixed eval set would lose its
+  * byte-identical twins in the big corpus, hollowing out the probe.
+  * The harness cross-checks the premise two ways — the ScaleUp
+  * manifests' `src=` lines when present, and requiring the big
+  * corpus to flag MORE rows than the small one (a same-source decade
+  * multiplies the eval set's replica twins; a re-scaled dirB leaves
+  * rowsB at ~the spurious-containment floor).
+  *
   * Test/runMain graft.DecontScaleAB [dirSmall] [dirBig] [nPairs]
   */
 object DecontScaleAB {
@@ -35,6 +45,29 @@ object DecontScaleAB {
     val dirA = args.lift(0).getOrElse("/tmp/graft_sf10")
     val dirB = args.lift(1).getOrElse("/tmp/graft_sf100")
     val nPairs = args.lift(2).map(_.toInt).getOrElse(3)
+
+    // same-source premise, manifest half (see scaladoc): compare the
+    // ScaleUp manifests' src lines when both exist
+    def manifestSrc(dir: String): Option[String] = {
+      val p = java.nio.file.Paths.get(dir, "_scaleup_manifest.txt")
+      if (!java.nio.file.Files.exists(p)) None
+      else java.nio.file.Files.readAllLines(p).toArray(Array.empty[String])
+        .collectFirst { case l if l.startsWith("src=") => l.stripPrefix("src=") }
+    }
+    (manifestSrc(dirA), manifestSrc(dirB)) match {
+      case (Some(a), Some(b)) =>
+        require(a == b, s"dirA was scaled from $a but dirB from $b — the " +
+          "fixed-eval overlap premise needs both dirs scaled from the SAME " +
+          "source (a dir scaled from the other loses the eval set's " +
+          "byte-identical twins)")
+        require(b != dirA, s"dirB was scaled FROM dirA ($dirA) — its tokens " +
+          "are double-suffixed and the probe is hollow")
+      case _ => System.err.println(
+        "[decont] WARNING: ScaleUp manifest missing on one side — cannot " +
+          "verify the same-source premise up front; the rowsB > rowsA gate " +
+          "below still applies")
+    }
+
     val spark = Sessions.local()
 
     val shufW = new AtomicLong(0L)
@@ -78,6 +111,12 @@ object DecontScaleAB {
     }
     println(f"[decont] RESULT fixed-eval bestA=$bestA%.3f bestB=$bestB%.3f " +
       f"wallRatio=${bestB / bestA}%.2f shufA=${mbA}MB shufB=${mbB}MB rowsA=$nA rowsB=$nB")
+    // same-source premise, data half (see scaladoc): a genuine decade
+    // over one source multiplies the eval twins in the big corpus
+    require(nB > nA, s"rowsB=$nB <= rowsA=$nA — the big corpus flags no more " +
+      "than the small one, the fixed-eval-overlap premise does not hold " +
+      "(dirB likely scaled from dirA, not from their common source); the " +
+      "wall/shuffle numbers above do NOT measure the claimed probe")
     spark.stop()
   }
 }
