@@ -11,13 +11,31 @@ import java.util.concurrent.atomic.AtomicLong
   * against the LSH sibling's wall/shuffle at the same scale. The probe
   * grid (probes × cellFactor) maps the recall/shuffle trade so the
   * wired defaults are chosen from data, not vibes.
-  * Test/runMain graft.IvfDedupProfile [sfDir] [probesCsv] [cellFactorsCsv]
+  *
+  * r16 (verdict item 5): optional [threshold] and [plantCopies]/[eps]
+  * args probe the clustered HIGH-threshold regime — the production
+  * near-dup case IVF's structural advantage is claimed for (tight
+  * duplicate clusters at ≥0.9 co-assign to the same top cell, so O(1)
+  * probes should suffice) but which the r15 adjudication (threshold
+  * 0.4, near-uniform) never tested. plantCopies=K replaces the corpus
+  * with K deterministic perturbed copies of each vector: copy c of
+  * vec v scales each element by (1 + eps·s_i) with s_i = ±1 hashed on
+  * (vec_id, c, i), so copies of one base are pairwise at
+  * cos ≈ 1/(1+eps²) (eps=0.3 → ≈0.92 — a tight cluster above a 0.9
+  * threshold) while cross-base cosines SHRINK by the same factor
+  * (clusters stay separated). Ids remap to vec_id·K + c.
+  * Test/runMain graft.IvfDedupProfile [sfDir] [probesCsv]
+  *   [cellFactorsCsv] [threshold] [plantCopies] [eps]
   */
 object IvfDedupProfile {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val probesGrid = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(4, 8, 16))
     val cfGrid = args.lift(2).map(_.split(",").map(_.toDouble).toSeq).getOrElse(Seq(1.0))
+    val threshold = args.lift(3).map(_.toDouble).getOrElse(0.4)
+    val plantCopies = args.lift(4).map(_.toInt).getOrElse(1)
+    val eps = args.lift(5).map(_.toDouble).getOrElse(0.3)
+    require(plantCopies >= 1, s"plantCopies must be >= 1, got $plantCopies")
     val spark = Sessions.local()
     val shufW = new AtomicLong(0L)
     val counted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
@@ -35,7 +53,21 @@ object IvfDedupProfile {
       }
       cur
     }
-    val emb = Tables.embeddings(spark, sf)
+    val base = Tables.embeddings(spark, sf)
+    val emb =
+      if (plantCopies == 1) base
+      else base
+        .crossJoin(broadcast(spark.range(plantCopies.toLong).select(col("id").as("c"))))
+        .select(
+          (col("vec_id") * plantCopies + col("c")).as("vec_id"),
+          expr(
+            s"""transform(embedding, (e, i) ->
+               |  e * (1.0D + $eps * IF(pmod(xxhash64(vec_id, c, CAST(i AS BIGINT)), 2) = 0,
+               |                        1.0D, -1.0D)))""".stripMargin).as("embedding"),
+          col("label"))
+        // materialize once: every measured run below must read the SAME
+        // planted bytes, not re-derive them inside its timed region
+        .localCheckpoint(true)
     val n = emb.count()
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("vec_id_a", "vec_id_b").collect()
@@ -55,9 +87,8 @@ object IvfDedupProfile {
         case None => df
       }
     val exact = sampledQids match {
-      case None => pairsOf(Dedup.embeddingNearDupsExact(emb))
+      case None => pairsOf(Dedup.embeddingNearDupsExact(emb, threshold))
       case Some(q) =>
-        val threshold = 0.4
         val e = graft.operators.Similarity.withNorm(emb).localCheckpoint(false)
         val qs = q.toSeq
         val sample = e.filter(col("vec_id").isin(qs: _*))
@@ -71,7 +102,8 @@ object IvfDedupProfile {
             greatest(col("qid"), col("vec_id")).as("vec_id_b"))
           .distinct())
     }
-    println(s"[ivfprof] $sf n=$n sampled=${sampledQids.isDefined} exact_pairs=${exact.size}")
+    println(s"[ivfprof] $sf n=$n threshold=$threshold plantCopies=$plantCopies " +
+      s"eps=$eps sampled=${sampledQids.isDefined} exact_pairs=${exact.size}")
 
     def run(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       Sessions.dropAllCaches(spark)
@@ -85,9 +117,10 @@ object IvfDedupProfile {
       println(f"[ivfprof] $tag recall=$recall%.4f precision=$precision%.4f " +
         f"wall=$wall%.2f s shuffle=${mb}MB pairs=${got.size}")
     }
-    run("lsh", Dedup.embeddingNearDupsLsh(emb))
+    run("lsh", Dedup.embeddingNearDupsLsh(emb, threshold))
     for (cf <- cfGrid; p <- probesGrid)
-      run(s"ivf p=$p cf=$cf", Dedup.embeddingNearDupsIvf(emb, probes = p, cellFactor = cf))
+      run(s"ivf p=$p cf=$cf",
+        Dedup.embeddingNearDupsIvf(emb, threshold, probes = p, cellFactor = cf))
     spark.stop()
   }
 }

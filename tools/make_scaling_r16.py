@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Assemble SCALING_r16.json from the round-16 heavy-set bench logs
+(sf1 vs sf10, best-of-5 — the r10 protocol; see SCALING_r10 notes for
+the convergence measurements that justify it). Usage:
+  python3 tools/make_scaling_r16.py <sf1Json> <sf10Json> [extraJson]
+extraJson (optional) is merged verbatim under "measurements" — this
+round: the FOURTH decade (sf10 -> sf100) re-measured at post-audit
+HEAD (every lazy localCheckpoint either flipped eager or proven safe,
+so the r15 double-evaluation race cannot enter these numbers); the CC
+round-fusion adjudication (CcShapeAB, r13 shape vs shipped r14 shape
+over the same materialized pair set, sf0.1 and sf10); the embedding
+near-dup LSH-vs-IVF adjudication at sf10 and sf30 (sf100 stays out of
+scope for the embedding family because its OUTPUT grows quadratically
+at this corpus's 0.4 threshold — r13 measured 8.95x pairs for 3x
+vectors); the NEW clustered high-threshold probe (threshold 0.9,
+planted 4-copy clusters, probes 1/2/4 — the regime IVF's structural
+advantage is claimed for, untested until now); the fixed-eval
+decontamination decade; and the lazy-vs-eager checkpoint race A/B
+(CkptRaceAB) that prices this round's audit on its heaviest flipped
+site.
+
+Bench emits per-query times in integer MILLISECONDS since r11
+("qunit":"ms"); this tool converts back to seconds so SCALING_r16
+stays unit-compatible with r8-r15.
+"""
+import sys, json
+
+NOTES = {
+    "method": "14-query heavy set (dedup/corpus/groups/decontaminate/"
+        "tfidf/spans family + embedding_lsh + embedding_ivf + "
+        "corpus_clean_full), sf10 = ScaleUp 100x of /root/testdata/"
+        "sf0.1, local[32], 64g heap, machine otherwise idle. Queries "
+        "absent from the set (e.g. q_dedup_embedding) are the "
+        "documented O(n^2) oracle twins, out of scope by design. "
+        "Measured at post-audit HEAD (r16): every lazy localCheckpoint "
+        "is either eager or carries a proof it cannot race, so these "
+        "ratios are free of the r15 double-evaluation artifact.",
+    "protocol": "best-of-FIVE timed runs per query (r10 protocol), "
+        "cache-honest since r13 (CacheManager cleared + blocking "
+        "unpersist before every timed run; the BENCH JSON line carries "
+        "a 'proto' field — full tag on stderr — so series readers see "
+        "the r13 break). Compare sf1:sf10 RATIOS, never absolute "
+        "seconds across rounds. The fourth-decade and adjudication "
+        "numbers use a DIFFERENT protocol by design: DecadeAB/CcShapeAB/"
+        "CkptRaceAB/DecontScaleAB alternate each measurement between "
+        "the two sides inside one JVM (warm per side first), so the "
+        "ratio is taken between runs executed seconds apart under the "
+        "same host phase — the documented day-scale bimodality "
+        "(r12/r13) cannot enter an interleaved ratio; per-run "
+        "shuffle-write MB (min across pairs, first-successful-attempt "
+        "stage filter, deduped by stageId) is the noise-immune "
+        "secondary signal.",
+}
+
+
+def qsecs(bench):
+    """Per-query seconds from a bench JSON of either unit generation."""
+    ms = bench.get("qunit") == "ms"
+    return {q: (v / 1000.0 if ms else v) for q, v in bench["queries"].items()}
+
+
+def main():
+    sf1 = qsecs(json.load(open(sys.argv[1])))
+    sf10 = qsecs(json.load(open(sys.argv[2])))
+    extra = json.load(open(sys.argv[3])) if len(sys.argv) > 3 else {}
+    qs = {}
+    flagged = []
+    for q, t1 in sorted(sf1.items()):
+        t10 = sf10.get(q)
+        if t10 is None or t1 <= 0 or t10 <= 0:
+            continue
+        ratio = round(t10 / t1, 2)
+        qs[q] = {"sf1_s": round(t1, 3), "sf10_s": round(t10, 3), "ratio": ratio}
+        if ratio > 10.0:
+            flagged.append(q)
+    total1 = round(sum(v["sf1_s"] for v in qs.values()), 3)
+    total10 = round(sum(v["sf10_s"] for v in qs.values()), 3)
+    out = {
+        "factor": 10.0,
+        "decade": "sf1 -> sf10 (second decade, re-measured at r16 "
+                  "post-audit HEAD; r8 covered sf0.1 -> sf1, r13 probed "
+                  "sf10 -> sf30, and the measurements block carries the "
+                  "re-measured FOURTH decade sf10 -> sf100 plus the "
+                  "CC-fusion, LSH-vs-IVF (uniform AND clustered "
+                  "regimes), decontamination, and checkpoint-race "
+                  "adjudications)",
+        "queries": qs,
+        "total_sf1_s": total1,
+        "total_sf10_s": total10,
+        "total_ratio": round(total10 / total1, 2),
+        "superlinear_flagged": flagged,
+        "measurements": extra,
+        "notes": NOTES,
+    }
+    json.dump(out, open("SCALING_r16.json", "w"), indent=2)
+    print(json.dumps({"total_ratio": out["total_ratio"],
+                      "flagged": flagged}, indent=None))
+
+
+if __name__ == "__main__":
+    main()
