@@ -27,7 +27,11 @@ object CorpusPipeline {
     * at 23.8× wall for 10× data at sf10→sf100 (shuffle exactly linear,
     * 11.0×) and q_corpus_clean_full at ~81 s against ~10 s of
     * single-evaluation work at sf10 — the per-row regex stages are
-    * precisely the most expensive thing to evaluate twice. Eager
+    * precisely the most expensive thing to evaluate twice. r16
+    * re-measured the decade at post-audit HEAD (SCALING_r16
+    * `fourth_decade_sf10_to_sf100`): q_corpus_clean wall ratio is
+    * 8.85× for 10× data with shuffle 11.02× — the race term is gone
+    * from the committed artifact, not just from a comment. Eager
     * materialization runs the stage pipeline once, at build time; the
     * jobs it fronts are the same work the first action paid anyway.
     * This operator is in the README's "Eager construction" class —

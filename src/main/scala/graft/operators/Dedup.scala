@@ -848,15 +848,28 @@ object Dedup {
     * the theory-mandated n^0.665 LSH table growth: a real exponent
     * win, measured 18.4× sf1→sf10 shuffle at held-or-better recall vs
     * the LSH sibling's 25.3×, though not an escape from growth
-    * altogether at this threshold. Its
-    * structural regime advantage — tight duplicate clusters at
-    * threshold ≥0.9, where top-1 co-assignment is near-certain and
-    * probes stays O(1) — is exactly the production near-dup case this
-    * corpus cannot exhibit. LSH therefore stays the wired default (its
-    * floor is a theorem at ANY threshold); this operator is the
-    * measured escape for the clustered/high-threshold regime and for
-    * shuffle-bound clusters. Recall floor spec-gated in DedupSpec;
-    * per-decade profile in SCALING_r15.
+    * altogether at this threshold. r16 re-ran the adjudication at one
+    * HEAD and ADDED the clustered ≥0.9 regime (IvfDedupProfile
+    * plantCopies: 4 sign-perturbed copies/vector, within-cluster
+    * cos≈0.92): the structural claim holds for RECALL — probes=4
+    * matches LSH recall at sf1 (0.991 vs 0.992) and sf10/800k (0.959
+    * vs 0.953) with 2.5× less shuffle (809 vs 2027 MB) — but WALL
+    * flips against IVF past ~10⁵ vectors (59 vs 14 s at 800k
+    * clustered; 680 vs 213 s at sf30 uniform held-recall), and the
+    * r16 cellFactor sweep (cells ×2/4/8 at fixed probes: 62/102/236 s)
+    * proves the bottleneck is coarse ASSIGNMENT — O(nCells·dim) per
+    * vector — not the in-cell pair loop, so more cells cannot buy the
+    * wall back. (r15's "63 vs 349 s at sf30" wall note did not
+    * reproduce and is withdrawn; shuffle and recall claims did.)
+    * LSH therefore stays the wired default (its floor is a theorem at
+    * ANY threshold, and it wins wall at every probed scale); this
+    * operator is the measured escape when the job is EXCHANGE-bound —
+    * its n·probes shuffle is the only linear-in-n candidate exchange —
+    * and the two-level quantizer (assign via √nCells superclusters,
+    * capping assignment at O(√nCells·dim)) is the declared-not-built
+    * piece that would make its wall competitive. Recall floor
+    * spec-gated in DedupSpec; both regimes profiled in SCALING_r16
+    * `lsh_vs_ivf_*`.
     */
   def embeddingNearDupsIvf(
       embeddings: DataFrame,

@@ -54,7 +54,7 @@ object IvfDedupProfile {
       cur
     }
     val base = Tables.embeddings(spark, sf)
-    val emb =
+    val embPlanted =
       if (plantCopies == 1) base
       else base
         .crossJoin(broadcast(spark.range(plantCopies.toLong).select(col("id").as("c"))))
@@ -65,9 +65,20 @@ object IvfDedupProfile {
                |  e * (1.0D + $eps * IF(pmod(xxhash64(vec_id, c, CAST(i AS BIGINT)), 2) = 0,
                |                        1.0D, -1.0D)))""".stripMargin).as("embedding"),
           col("label"))
-        // materialize once: every measured run below must read the SAME
-        // planted bytes, not re-derive them inside its timed region
-        .localCheckpoint(true)
+    // materialize the planted corpus ONCE, to parquet (CcShapeAB's
+    // pattern): every measured run must read the SAME bytes with no
+    // upstream lineage in its timed region. A localCheckpoint cannot
+    // serve here — run() calls Sessions.dropAllCaches, which
+    // unpersists every persistent RDD, and a locally-checkpointed
+    // RDD's lineage is truncated, so the first timed run would die
+    // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND trying to rebuild it.
+    val emb =
+      if (plantCopies == 1) embPlanted
+      else {
+        val path = s"/tmp/ivfprof_planted_k${plantCopies}_eps$eps"
+        embPlanted.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
     val n = emb.count()
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("vec_id_a", "vec_id_b").collect()

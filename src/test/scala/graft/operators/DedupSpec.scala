@@ -306,7 +306,7 @@ class DedupSpec extends AnyFunSuite {
     val recall = exact.count(ivf).toDouble / exact.size
     info(s"embedding IVF recall = $recall")
     // measured 0.99+ at sf0.01/sf0.1 with the default probes; the
-    // per-decade decay (probes is the knob) is profiled in SCALING_r15
+    // per-decade decay (probes is the knob) is profiled in SCALING_r16
     assert(recall >= 0.9, s"recall $recall below 0.9 — cell assignment degraded")
   }
 

@@ -22,6 +22,14 @@ site.
 Bench emits per-query times in integer MILLISECONDS since r11
 ("qunit":"ms"); this tool converts back to seconds so SCALING_r16
 stays unit-compatible with r8-r15.
+
+Merge mode:
+  python3 tools/make_scaling_r16.py --merge <extraJson>
+keeps the already-landed heavy-set queries block untouched and
+replaces ONLY the "measurements" block with extraJson (the
+parse_r16_logs.py output) — used when the adjudication campaign
+completes after the sf1/sf10 bench logs have been consumed, so the
+blessed ratios are not re-measured just to attach the campaign.
 """
 import sys, json
 
@@ -60,6 +68,12 @@ def qsecs(bench):
 
 
 def main():
+    if sys.argv[1] == "--merge":
+        out = json.load(open("SCALING_r16.json"))
+        out["measurements"] = json.load(open(sys.argv[2]))
+        json.dump(out, open("SCALING_r16.json", "w"), indent=2)
+        print(json.dumps({"merged_keys": sorted(out["measurements"].keys())}))
+        return
     sf1 = qsecs(json.load(open(sys.argv[1])))
     sf10 = qsecs(json.load(open(sys.argv[2])))
     extra = json.load(open(sys.argv[3])) if len(sys.argv) > 3 else {}

@@ -73,9 +73,14 @@ def ivf(txt):
             r"\[ivfprof\] (.+?) recall=([\d.]+) precision=([\d.]+) "
             r"wall=\s*([\d.]+) s shuffle=(\d+)MB pairs=(\d+)", txt):
         tag, rec, prec, wall, mb, pairs = m.groups()
-        runs[tag.strip()] = {"recall": float(rec), "precision": float(prec),
-                             "wall_s": float(wall), "shuffle_mb": int(mb),
-                             "pairs": int(pairs)}
+        r = {"recall": float(rec), "precision": float(prec),
+             "wall_s": float(wall), "shuffle_mb": int(mb), "pairs": int(pairs)}
+        # a concatenated log (base grid + follow-up sweep over the same
+        # corpus/truth) repeats the `lsh` baseline: keep the best wall,
+        # the same best-of protocol every harness uses
+        t = tag.strip()
+        if t not in runs or r["wall_s"] < runs[t]["wall_s"]:
+            runs[t] = r
     if runs:
         out["runs"] = runs
     return out or None
@@ -134,15 +139,20 @@ def main():
                 extra[key] = r
     for name, key, what in [
             ("r16_ivf_sf10.log", "lsh_vs_ivf_sf10",
-             "uniform corpus, threshold 0.4 (hardest regime), sampled-exact truth"),
+             "uniform corpus, threshold 0.4 (hardest regime), sampled-exact "
+             "truth; probes 4-64 at cellFactor 1"),
             ("r16_ivf_sf30.log", "lsh_vs_ivf_sf30",
-             "third embedding decade, threshold 0.4, sampled-exact truth"),
+             "third embedding decade, threshold 0.4, sampled-exact truth; "
+             "probes 8/32/64 at cellFactor 1"),
             ("r16_ivf_clustered_sf1.log", "lsh_vs_ivf_clustered_sf1",
              "CLUSTERED high-threshold regime (verdict r15 item 5): 4 planted "
              "copies per vector at eps=0.3 (within-cluster cos ~0.92), "
              "threshold 0.9, probes 1/2/4 — the production near-dup case"),
             ("r16_ivf_clustered_sf10.log", "lsh_vs_ivf_clustered_sf10",
-             "same clustered probe one decade up (800k vectors)")]:
+             "same clustered probe one decade up (800k vectors), plus the "
+             "cellFactor sweep (cf 2/4/8 at probes 4) — more cells cut the "
+             "in-cell O(pop^2) prefilter CPU that dominates IVF wall at "
+             "cf=1 while tight >=0.9 clusters keep co-assigning")]:
         t = read(logdir, name)
         if t:
             r = ivf(t)
@@ -171,13 +181,23 @@ def main():
     if t:
         s = spreads(t)
         if s:
-            extra["sf10_bench_spread_ms"] = {
-                "what": "per-query max-min spread across the 5 timed sf10 runs "
+            extra["sf10_bench_spread_s"] = {
+                "what": "per-query max-min spread in SECONDS across the 5 timed "
+                        "sf10 runs "
                         "(quiet host) — the post-race-fix answer to the "
                         "r12/r13 'day-scale bimodality' story on the "
                         "dedup/corpus family (r13 recorded an 89.5 s best-of-5 "
                         "spread on q_dedup_groups at sf10 and an 18.4-vs-4.3 s "
-                        "suite-vs-isolated split on tfidf)",
+                        "suite-vs-isolated split on tfidf). READING: "
+                        "q_dedup_groups' spread collapsed 89.5 -> 2.6 s, the "
+                        "race term the r15 fix removed; the corpus family "
+                        "still spreads 7-44 s, and ckpt_race_ab shows the "
+                        "SAME spike hitting lazy and eager sides of one "
+                        "interleaved pair (A3=27.3 s, B3=30.9 s at identical "
+                        "956 MB shuffle) — the residual is host phase, not "
+                        "plan nondeterminism, so cross-session absolute walls "
+                        "stay incomparable and interleaved ratios stay the "
+                        "protocol",
                 "spread": s}
     json.dump(extra, sys.stdout, indent=2)
     print()
