@@ -861,15 +861,30 @@ object Dedup {
     * vector — not the in-cell pair loop, so more cells cannot buy the
     * wall back. (r15's "63 vs 349 s at sf30" wall note did not
     * reproduce and is withdrawn; shuffle and recall claims did.)
-    * LSH therefore stays the wired default (its floor is a theorem at
-    * ANY threshold, and it wins wall at every probed scale); this
-    * operator is the measured escape when the job is EXCHANGE-bound —
-    * its n·probes shuffle is the only linear-in-n candidate exchange —
-    * and the two-level quantizer (assign via √nCells superclusters,
-    * capping assignment at O(√nCells·dim)) is the declared-not-built
-    * piece that would make its wall competitive. Recall floor
-    * spec-gated in DedupSpec; both regimes profiled in SCALING_r16
-    * `lsh_vs_ivf_*`.
+    *
+    * r16 then BUILT the declared escape: assignment runs through
+    * [[graft.functions.ProbeCells]] — one fused kernel doing bounded
+    * top-p SELECTION (the r15 shape full-sorted all nCells scores as
+    * structs per vector) and, past 1024 cells, TWO-LEVEL pruning
+    * through ~√nCells supercluster centroids
+    * ([[Similarity.superQuantizer]]), with `superProbes` auto-scaled
+    * to max(4, 2·probes) — see the wiring comment below for why it
+    * must scale. Measured (SCALING_r16 `lsh_vs_ivf_*_twolevel_*`):
+    * clustered ≥0.9 at 800k vectors, the kernel + auto rule holds
+    * recall at 0.94-0.95 (LSH 0.953) while wall drops 59→13-21 s —
+    * now BEATING the same-JVM LSH run (33.5 s) on wall AND shuffle
+    * (810 vs 2027 MB); uniform thr-0.4 recall is bit-identical to
+    * flat (p=32: 0.9532) because auto degrades to flat-equivalent
+    * probing at p ≳ √nCells — the asymptotic two-level win exists
+    * only when probes ≪ √nCells, which is the clustered regime.
+    * WIRING: LSH stays the wired default for the MIXED/unknown case —
+    * its 1−(1−q₁^b)^T floor is a theorem at any threshold where IVF's
+    * recall is data-dependent, and at low thresholds it still wins
+    * recall-per-wall; but for the known tight-cluster ≥0.9 near-dup
+    * workload this operator is now the measured better choice on
+    * every axis except the analytic guarantee. Flat/two-level
+    * equality and selection order are spec-gated in ProbeCellsSpec;
+    * recall floor in DedupSpec; both regimes profiled in SCALING_r16.
     */
   def embeddingNearDupsIvf(
       embeddings: DataFrame,
@@ -880,9 +895,11 @@ object Dedup {
       maxCells: Int = 1 << 20,
       lloydIters: Int = 2,
       maxBucketSize: Int = 4096,
+      superProbes: Int = 0,
       dropObs: Option[Observation] = None): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     require(cellFactor > 0.0, s"cellFactor must be positive, got $cellFactor")
+    require(superProbes >= 0, s"superProbes must be >= 0 (0 = auto), got $superProbes")
     // SAFE LAZY (r16 audit): the synchronous count() on the next line
     // is the first action and sole consumer at that point — blocks are
     // stored before any concurrent branch exists.
@@ -903,14 +920,38 @@ object Dedup {
     val centroids = Similarity.ivfCentroids(embeddings, nCells, lloydIters)
     val pEff = math.min(probes, centroids.length)
     graft.functions.QuantCosinePairs.register(embeddings.sparkSession)
-    // top-p cells per vector: sort (−score, idx) structs, slice, strip —
-    // the annIvfTopK probe expression, applied to the CORPUS side (both
-    // members of a pair probe, so they meet iff the sets intersect)
+    // top-p cells per vector via the fused ProbeCells kernel (r16):
+    // bounded selection instead of the r15 sort_array-over-structs
+    // composition, applied to the CORPUS side (both members of a pair
+    // probe, so they meet iff the sets intersect). Past 1024 cells the
+    // kernel goes TWO-LEVEL — ~√nCells supercluster pruning caps the
+    // per-vector assignment CPU the r16 cellFactor sweep measured as
+    // IVF's wall bottleneck (SCALING_r16 lsh_vs_ivf_clustered_sf10);
+    // below that, flat selection reproduces the r15 set (and order)
+    // exactly, so the oracle-gated small-SF results are unchanged.
+    // superProbes trades recall for assignment CPU: with all supers
+    // probed the result equals flat EXACTLY (ProbeCellsSpec gate).
+    // Default 0 = AUTO: max(4, 2·probes). The r16 sweep showed why it
+    // must scale with probes — in the clustered ≥0.9 regime a pair's
+    // cells co-locate in few superclusters (sp=4 at p=1/2 was
+    // bit-identical to flat at 2.2× less wall), but in near-uniform
+    // low-threshold geometry the top-p cells spread over ~p distinct
+    // superclusters, and a fixed sp=4 gutted p=32 recall 0.953→0.649
+    // (SCALING_r16 lsh_vs_ivf_sf10_twolevel). At p ≳ √nCells the auto
+    // rule degrades to probing every supercluster — flat-equivalent
+    // output, still cheaper than the sort_array it replaced. That is
+    // structural, not a tuning gap: two-level assignment only has an
+    // asymptotic win when probes ≪ √nCells, which is exactly the
+    // clustered regime IVF is the right tool for.
     val probeCells = {
-      val scored = transform(
-        graft.functions.CentroidScores.scores(col("v"), centroids),
-        (s, i) => struct((-s).as("ns"), i.as("idx")))
-      transform(slice(sort_array(scored), 1, pEff), x => x.getField("idx"))
+      if (nCells < 1024 || pEff >= nCells)
+        graft.functions.ProbeCells.flat(col("v"), centroids, pEff)
+      else {
+        val spEff = if (superProbes > 0) superProbes else math.max(4, 2 * pEff)
+        val (supers, offs, mems) = Similarity.superQuantizer(centroids)
+        graft.functions.ProbeCells.twoLevel(
+          col("v"), centroids, pEff, supers, spEff, offs, mems)
+      }
     }
     val buckets = e.select(
         col("vec_id"),

@@ -206,6 +206,95 @@ object Similarity {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** Second quantizer level over an already-fit cell matrix (SURVEY §2
+    * #25, r16): groups the `nCells` cell centroids under ~√nCells
+    * SUPERCLUSTER centroids so [[graft.functions.ProbeCells]] can score
+    * O(√nCells + members·superProbes) centroids per vector instead of
+    * all nCells — the assignment-CPU cap the r16 cellFactor sweep
+    * showed is what IVF wall needs (SCALING_r16
+    * `lsh_vs_ivf_clustered_sf10`: more cells made wall WORSE, 62/102/
+    * 236 s at ×2/4/8, because every vector scored every cell).
+    *
+    * Entirely driver-local like the Lloyd refinement above — the cell
+    * matrix is already on the driver (≤ maxCells × dim doubles), the
+    * fit runs on a ≤ `fitSample` stride-sample of it with the same
+    * scoring rule (norm-scaled dot, −∞ zero-norm guard, first-max
+    * tie-break), and the final cell→super assignment parallelizes over
+    * driver cores (it is O(nCells·√nCells·dim) — ~0.2 s at 20k cells,
+    * and nCells is capped at 2²⁰ upstream). Returns the supercluster
+    * matrix plus a CSR (offsets, members) partition of ALL cell ids:
+    * every cell lands in exactly one supercluster, so probing all
+    * superclusters reproduces flat assignment EXACTLY (the spec gate).
+    */
+  private[graft] def superQuantizer(
+      cells: Seq[Seq[Double]],
+      lloydIters: Int = 2,
+      fitSample: Int = 4096): (Seq[Seq[Double]], Array[Int], Array[Int]) = {
+    val nC = cells.length
+    require(nC > 0, "superQuantizer needs at least one cell")
+    val dim = cells.head.length
+    val sRows = math.max(1, math.ceil(math.sqrt(nC.toDouble)).toInt)
+    val cellArr: Array[Array[Double]] = cells.map(_.toArray).toArray
+    // deterministic stride sample: the cell matrix itself came from a
+    // hashed corpus draw, so stride order carries no structure
+    val stride = math.max(1, nC / fitSample)
+    val sample: Array[Array[Double]] =
+      Iterator.range(0, nC, stride).map(cellArr(_)).toArray
+
+    def bestOf(v: Array[Double], mat: Array[Array[Double]], norms: Array[Double]): Int = {
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < mat.length) {
+        if (norms(c) != 0.0) {
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc += v(i) * mat(c)(i); i += 1 }
+          val s = acc / norms(c)
+          if (s > bestS) { bestS = s; best = c }
+        }
+        c += 1
+      }
+      best
+    }
+
+    var supers: Array[Array[Double]] = sample.take(sRows).map(_.clone())
+    val sEff = supers.length
+    for (_ <- 1 to lloydIters) {
+      val norms = supers.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.fill(sEff)(new Array[Double](dim))
+      val counts = new Array[Long](sEff)
+      for (v <- sample) {
+        val b = bestOf(v, supers, norms)
+        var i = 0
+        while (i < dim) { sums(b)(i) += v(i); i += 1 }
+        counts(b) += 1
+      }
+      supers = Array.tabulate(sEff) { c =>
+        if (counts(c) == 0L) supers(c) else sums(c).map(_ / counts(c))
+      }
+    }
+
+    val norms = supers.map(c => math.sqrt(c.map(x => x * x).sum))
+    val assign = new Array[Int](nC)
+    java.util.stream.IntStream.range(0, nC).parallel()
+      .forEach(i => assign(i) = bestOf(cellArr(i), supers, norms))
+    // CSR over ascending cell ids within each supercluster — the probe
+    // kernel's tie order is (score desc, cell asc), and member order
+    // does not affect its selection, but determinism keeps plans
+    // byte-identical across builds
+    val counts = new Array[Int](sEff)
+    assign.foreach(a => counts(a) += 1)
+    val offsets = new Array[Int](sEff + 1)
+    var s = 0
+    while (s < sEff) { offsets(s + 1) = offsets(s) + counts(s); s += 1 }
+    val cursor = offsets.clone()
+    val membersArr = new Array[Int](nC)
+    var c = 0
+    while (c < nC) { membersArr(cursor(assign(c))) = c; cursor(assign(c)) += 1; c += 1 }
+    (supers.map(_.toSeq).toSeq, offsets, membersArr)
+  }
+
   /** Per-row centroid scores — one fused native kernel
     * ([[graft.functions.CentroidScores]]) constructed directly on these
     * centroids (no session registry): norm-scaled dots, −∞ for a

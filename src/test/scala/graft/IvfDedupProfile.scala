@@ -25,7 +25,9 @@ import java.util.concurrent.atomic.AtomicLong
   * threshold) while cross-base cosines SHRINK by the same factor
   * (clusters stay separated). Ids remap to vec_id·K + c.
   * Test/runMain graft.IvfDedupProfile [sfDir] [probesCsv]
-  *   [cellFactorsCsv] [threshold] [plantCopies] [eps]
+  *   [cellFactorsCsv] [threshold] [plantCopies] [eps] [superProbesCsv]
+  * (superProbesCsv sweeps the r16 two-level pruning width; default 0 =
+  * the operator's auto rule, max(4, 2·probes))
   */
 object IvfDedupProfile {
   def main(args: Array[String]): Unit = {
@@ -35,6 +37,7 @@ object IvfDedupProfile {
     val threshold = args.lift(3).map(_.toDouble).getOrElse(0.4)
     val plantCopies = args.lift(4).map(_.toInt).getOrElse(1)
     val eps = args.lift(5).map(_.toDouble).getOrElse(0.3)
+    val spGrid = args.lift(6).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(0))
     require(plantCopies >= 1, s"plantCopies must be >= 1, got $plantCopies")
     val spark = Sessions.local()
     val shufW = new AtomicLong(0L)
@@ -129,9 +132,10 @@ object IvfDedupProfile {
         f"wall=$wall%.2f s shuffle=${mb}MB pairs=${got.size}")
     }
     run("lsh", Dedup.embeddingNearDupsLsh(emb, threshold))
-    for (cf <- cfGrid; p <- probesGrid)
-      run(s"ivf p=$p cf=$cf",
-        Dedup.embeddingNearDupsIvf(emb, threshold, probes = p, cellFactor = cf))
+    for (cf <- cfGrid; p <- probesGrid; sp <- spGrid)
+      run(if (spGrid.size == 1) s"ivf p=$p cf=$cf" else s"ivf p=$p cf=$cf sp=$sp",
+        Dedup.embeddingNearDupsIvf(emb, threshold, probes = p, cellFactor = cf,
+          superProbes = sp))
     spark.stop()
   }
 }

@@ -152,7 +152,28 @@ def main():
              "same clustered probe one decade up (800k vectors), plus the "
              "cellFactor sweep (cf 2/4/8 at probes 4) — more cells cut the "
              "in-cell O(pop^2) prefilter CPU that dominates IVF wall at "
-             "cf=1 while tight >=0.9 clusters keep co-assigning")]:
+             "cf=1 while tight >=0.9 clusters keep co-assigning"),
+            ("r16_ivf2_clustered_sf10.log", "lsh_vs_ivf_clustered_sf10_twolevel_sp4",
+             "clustered regime re-measured AFTER the r16 ProbeCells kernel "
+             "landed (bounded top-p selection + two-level supercluster "
+             "pruning), fixed superProbes=4: p=1/2 recall bit-identical to "
+             "flat at ~2.2x less wall; p=4 recall dips 0.959->0.884 (3rd/"
+             "4th probe cells outside the top-4 superclusters)"),
+            ("r16_ivf2_sf10.log", "lsh_vs_ivf_sf10_twolevel_sp4",
+             "uniform thr-0.4 regime at fixed superProbes=4 — the run that "
+             "killed the fixed default: low-threshold neighbors spread "
+             "their top-p cells over ~p superclusters, so sp=4 gutted "
+             "p=32 recall 0.953->0.649 and made p=64 WORSE than p=32; "
+             "motivated the shipped auto rule sp=max(4, 2*probes)"),
+            ("r16_ivf3_clustered_sf10.log", "lsh_vs_ivf_clustered_sf10_twolevel_auto",
+             "clustered regime at the SHIPPED auto rule (sp=0 -> "
+             "max(4,2p)) with an explicit sp 8/16 sweep at each p"),
+            ("r16_ivf3_sf10.log", "lsh_vs_ivf_sf10_twolevel_auto",
+             "uniform thr-0.4 regime at the shipped auto rule — at "
+             "p >= sqrt(nCells) auto degrades to probing every "
+             "supercluster (flat-equivalent output), so recall must match "
+             "the pre-kernel sweep while wall prices the sort_array "
+             "removal alone")]:
         t = read(logdir, name)
         if t:
             r = ivf(t)
