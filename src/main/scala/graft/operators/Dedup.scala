@@ -876,7 +876,12 @@ object Dedup {
     * (810 vs 2027 MB); uniform thr-0.4 recall is bit-identical to
     * flat (p=32: 0.9532) because auto degrades to flat-equivalent
     * probing at p ≳ √nCells — the asymptotic two-level win exists
-    * only when probes ≪ √nCells, which is the clustered regime.
+    * only when probes ≪ √nCells, which is the clustered regime. Even
+    * there the SELECTION half of the kernel pays: sf30's 18.7k cells
+    * full-struct-sorted per vector under the r15 shape, and the
+    * kernel cut p=32 404→95 s and p=64 680→306 s at held recall
+    * (same-JVM LSH 234.6 s — p=32 now beats it on wall AND shuffle
+    * one threshold-recall notch below).
     * WIRING: LSH stays the wired default for the MIXED/unknown case —
     * its 1−(1−q₁^b)^T floor is a theorem at any threshold where IVF's
     * recall is data-dependent, and at low thresholds it still wins

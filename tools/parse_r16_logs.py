@@ -168,6 +168,12 @@ def main():
             ("r16_ivf3_clustered_sf10.log", "lsh_vs_ivf_clustered_sf10_twolevel_auto",
              "clustered regime at the SHIPPED auto rule (sp=0 -> "
              "max(4,2p)) with an explicit sp 8/16 sweep at each p"),
+            ("r16_ivf3_sf30.log", "lsh_vs_ivf_sf30_twolevel_auto",
+             "third embedding decade re-measured at the shipped kernel: at "
+             "18.7k cells (population-bound sizing) the r15 shape "
+             "full-sorted 18.7k struct scores per vector — bounded "
+             "selection prices that removal; pruning itself cannot help "
+             "at p >= sqrt(nCells) (structural, see the operator scaladoc)"),
             ("r16_ivf3_sf10.log", "lsh_vs_ivf_sf10_twolevel_auto",
              "uniform thr-0.4 regime at the shipped auto rule — at "
              "p >= sqrt(nCells) auto degrades to probing every "
