@@ -94,6 +94,29 @@ case class ProbeCells(
   @inline private def better(s: Double, i: Int, s2: Double, i2: Int): Boolean =
     s > s2 || (s == s2 && i < i2)
 
+  /** Insert (s, idx) into the (score desc, idx asc)-sorted prefix of
+    * (bs, bi) holding m entries with capacity cap; returns the new m.
+    * A method, not a closure over a captured var — scalac boxes a
+    * captured mutable local into a runtime IntRef, one allocation per
+    * row in the hot assignment path.
+    */
+  @inline private def offerInto(
+      bs: Array[Double], bi: Array[Int], m: Int, cap: Int, s: Double, idx: Int): Int = {
+    if (m < cap) {
+      var j = m
+      while (j > 0 && better(s, idx, bs(j - 1), bi(j - 1))) {
+        bs(j) = bs(j - 1); bi(j) = bi(j - 1); j -= 1
+      }
+      bs(j) = s; bi(j) = idx; m + 1
+    } else if (better(s, idx, bs(cap - 1), bi(cap - 1))) {
+      var j = cap - 1
+      while (j > 0 && better(s, idx, bs(j - 1), bi(j - 1))) {
+        bs(j) = bs(j - 1); bi(j) = bi(j - 1); j -= 1
+      }
+      bs(j) = s; bi(j) = idx; m
+    } else m
+  }
+
   // Selection buffers are method-local (one small allocation per row,
   // probes ≤ 64 in practice): the expression object is shared across
   // a task's rows AND across tasks in local mode, so instance-held
@@ -111,22 +134,6 @@ case class ProbeCells(
     val bi = new Array[Int](p)
     var m = 0
 
-    @inline def offer(s: Double, idx: Int): Unit = {
-      if (m < p) {
-        var j = m
-        while (j > 0 && better(s, idx, bs(j - 1), bi(j - 1))) {
-          bs(j) = bs(j - 1); bi(j) = bi(j - 1); j -= 1
-        }
-        bs(j) = s; bi(j) = idx; m += 1
-      } else if (better(s, idx, bs(p - 1), bi(p - 1))) {
-        var j = p - 1
-        while (j > 0 && better(s, idx, bs(j - 1), bi(j - 1))) {
-          bs(j) = bs(j - 1); bi(j) = bi(j - 1); j -= 1
-        }
-        bs(j) = s; bi(j) = idx
-      }
-    }
-
     @inline def cellScore(c: Int): Double = {
       if (norms(c) == 0.0) Double.NegativeInfinity
       else {
@@ -140,7 +147,7 @@ case class ProbeCells(
 
     if (sRows == 0) {
       var c = 0
-      while (c < rows) { offer(cellScore(c), c); c += 1 }
+      while (c < rows) { m = offerInto(bs, bi, m, p, cellScore(c), c); c += 1 }
     } else {
       // level 1: top-superProbes superclusters by the same score rule
       val sp = math.min(superProbes, sRows)
@@ -158,19 +165,7 @@ case class ProbeCells(
             while (k < dim) { acc += vd(k) * superCentroids(off + k); k += 1 }
             acc / superNorms(s)
           }
-        if (sm < sp) {
-          var j = sm
-          while (j > 0 && better(sc, s, ss(j - 1), si(j - 1))) {
-            ss(j) = ss(j - 1); si(j) = si(j - 1); j -= 1
-          }
-          ss(j) = sc; si(j) = s; sm += 1
-        } else if (better(sc, s, ss(sp - 1), si(sp - 1))) {
-          var j = sp - 1
-          while (j > 0 && better(sc, s, ss(j - 1), si(j - 1))) {
-            ss(j) = ss(j - 1); si(j) = si(j - 1); j -= 1
-          }
-          ss(j) = sc; si(j) = s
-        }
+        sm = offerInto(ss, si, sm, sp, sc, s)
         s += 1
       }
       // level 2: score only the selected superclusters' member cells
@@ -179,7 +174,11 @@ case class ProbeCells(
         val sup = si(q)
         var o = memberOffsets(sup)
         val end = memberOffsets(sup + 1)
-        while (o < end) { val c = members(o); offer(cellScore(c), c); o += 1 }
+        while (o < end) {
+          val c = members(o)
+          m = offerInto(bs, bi, m, p, cellScore(c), c)
+          o += 1
+        }
         q += 1
       }
     }

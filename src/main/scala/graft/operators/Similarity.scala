@@ -279,20 +279,40 @@ object Similarity {
     val assign = new Array[Int](nC)
     java.util.stream.IntStream.range(0, nC).parallel()
       .forEach(i => assign(i) = bestOf(cellArr(i), supers, norms))
+    val counts = new Array[Int](sEff)
+    assign.foreach(a => counts(a) += 1)
+    // drop EMPTY superclusters before shipping the matrix: Lloyd can
+    // strand a seed with no assigned cells, and a vector that spends
+    // one of its superProbes slots on an empty super gets nothing back
+    // for it — silently thinning the candidate pool the pruning recall
+    // depends on
+    val remap = new Array[Int](sEff)
+    val keptBuf = Array.newBuilder[Array[Double]]
+    var kept = 0
+    var s = 0
+    while (s < sEff) {
+      if (counts(s) > 0) { remap(s) = kept; keptBuf += supers(s); kept += 1 }
+      else remap(s) = -1 // never dereferenced: no cell assigns here
+      s += 1
+    }
+    val keptSupers = keptBuf.result()
     // CSR over ascending cell ids within each supercluster — the probe
     // kernel's tie order is (score desc, cell asc), and member order
     // does not affect its selection, but determinism keeps plans
     // byte-identical across builds
-    val counts = new Array[Int](sEff)
-    assign.foreach(a => counts(a) += 1)
-    val offsets = new Array[Int](sEff + 1)
-    var s = 0
-    while (s < sEff) { offsets(s + 1) = offsets(s) + counts(s); s += 1 }
+    val keptCounts = new Array[Int](kept)
+    assign.foreach(a => keptCounts(remap(a)) += 1)
+    val offsets = new Array[Int](kept + 1)
+    s = 0
+    while (s < kept) { offsets(s + 1) = offsets(s) + keptCounts(s); s += 1 }
     val cursor = offsets.clone()
     val membersArr = new Array[Int](nC)
     var c = 0
-    while (c < nC) { membersArr(cursor(assign(c))) = c; cursor(assign(c)) += 1; c += 1 }
-    (supers.map(_.toSeq).toSeq, offsets, membersArr)
+    while (c < nC) {
+      val d = remap(assign(c))
+      membersArr(cursor(d)) = c; cursor(d) += 1; c += 1
+    }
+    (keptSupers.map(_.toSeq).toSeq, offsets, membersArr)
   }
 
   /** Per-row centroid scores — one fused native kernel
