@@ -10,10 +10,13 @@
 #   runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf30  300  embeddings
 #   runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf100 1000 documents
 #
-# RUN is how to launch a main with the Test classpath and a 64g heap,
-# e.g. RUN='java <jdk17 add-opens flags> -Xmx64g -cp <Test/fullClasspath>'
-# or RUN='sbt -batch "Test/runMain' with matching quoting. Total wall
-# ~2.5 h, dominated by DecadeAB's sf100 side.
+# RUN is how to launch a main with the Test classpath and a 64g heap —
+# a plain word-split command prefix, so use the direct-java form:
+#   RUN='java <the jdk17 --add-opens flags from build.sbt> -Xmx64g
+#        -cp <sbt "export Test/fullClasspath" output>'
+# (an sbt -batch "Test/runMain ..." wrapper does NOT word-split into
+# this shape — and pays ~20 s of sbt startup per harness anyway).
+# Total wall ~2.5 h, dominated by DecadeAB's sf100 side.
 set -u
 RUN=${RUN:?set RUN to a command that executes 'RUN <mainClass> [args]'}
 L=${LOGDIR:-/tmp/r16logs}
