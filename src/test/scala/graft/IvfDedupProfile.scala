@@ -30,6 +30,13 @@ import java.util.concurrent.atomic.AtomicLong
   * the operator's auto rule, max(4, 2·probes))
   */
 object IvfDedupProfile {
+  /** Bumped by hand whenever the operator-under-test's kernel changes
+    * meaningfully: parse_r16_logs.py refuses to min-merge concatenated
+    * logs whose generations differ, so per-tag "bests" can never mix
+    * two different operators (the r16 flat-vs-twolevel hazard).
+    */
+  private val harnessGen = "twolevel-r16"
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val probesGrid = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(4, 8, 16))
@@ -78,11 +85,22 @@ object IvfDedupProfile {
     val emb =
       if (plantCopies == 1) embPlanted
       else {
-        val path = s"/tmp/ivfprof_planted_k${plantCopies}_eps$eps"
+        // keyed by corpus too: reusing one path across different sfDirs
+        // is correct only because each JVM overwrites before reading,
+        // and a run that died mid-write would leave a mixed dir the
+        // next run could consume without error
+        val sfTag = new java.io.File(sf).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+        val path = s"/tmp/ivfprof_planted_${sfTag}_k${plantCopies}_eps$eps"
         embPlanted.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
       }
     val n = emb.count()
+    if (plantCopies > 1) {
+      val nBase = base.count()
+      require(n == nBase * plantCopies,
+        s"planted corpus read-back has $n rows, expected ${nBase * plantCopies} " +
+          s"($nBase x $plantCopies) — stale or partial planted parquet")
+    }
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("vec_id_a", "vec_id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -117,7 +135,8 @@ object IvfDedupProfile {
           .distinct())
     }
     println(s"[ivfprof] $sf n=$n threshold=$threshold plantCopies=$plantCopies " +
-      s"eps=$eps sampled=${sampledQids.isDefined} exact_pairs=${exact.size}")
+      s"eps=$eps sampled=${sampledQids.isDefined} exact_pairs=${exact.size} " +
+      s"gen=$harnessGen")
 
     def run(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       Sessions.dropAllCaches(spark)

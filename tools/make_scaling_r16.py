@@ -40,9 +40,12 @@ NOTES = {
         "sf0.1, local[32], 64g heap, machine otherwise idle. Queries "
         "absent from the set (e.g. q_dedup_embedding) are the "
         "documented O(n^2) oracle twins, out of scope by design. "
-        "Measured at post-audit HEAD (r16): every lazy localCheckpoint "
-        "is either eager or carries a proof it cannot race, so these "
-        "ratios are free of the r15 double-evaluation artifact.",
+        "Measured at post-audit, post-ProbeCells HEAD (r16): every lazy "
+        "localCheckpoint is either eager or carries a proof it cannot "
+        "race (so these ratios are free of the r15 double-evaluation "
+        "artifact), and the embedding_ivf entries price the shipped "
+        "two-level probe kernel, same code as the measurements block's "
+        "*_twolevel_* keys.",
     "protocol": "best-of-FIVE timed runs per query (r10 protocol), "
         "cache-honest since r13 (CacheManager cleared + blocking "
         "unpersist before every timed run; the BENCH JSON line carries "

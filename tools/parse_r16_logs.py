@@ -55,6 +55,15 @@ def ccshape(txt):
 
 def ivf(txt):
     out = {}
+    # refuse to min-merge a concatenated log whose runs came from
+    # different kernel generations (the [ivfprof] gen= marker): per-tag
+    # "bests" must never mix two different operators
+    gens = set(re.findall(r"\[ivfprof\].*\bgen=(\S+)", txt))
+    if len(gens) > 1:
+        raise SystemExit(f"[parse] ivfprof log mixes kernel generations {sorted(gens)} "
+                         "— split the log per generation before parsing")
+    if gens:
+        out["kernel_gen"] = gens.pop()
     h = re.search(r"\[ivfprof\] (\S+) n=(\d+) threshold=([\d.]+) plantCopies=(\d+) "
                   r"eps=([\d.]+) sampled=(\w+) exact_pairs=(\d+)", txt)
     if h:
