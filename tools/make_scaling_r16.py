@@ -64,6 +64,27 @@ NOTES = {
 }
 
 
+def annotate_noise(out):
+    """Flag queries whose best-of-5 sf10 SPREAD exceeds their best wall:
+    such a ratio was taken inside a host phase swing and must be read
+    against the interleaved fourth-decade block, not as a plan property
+    (the corpus family measured a 40.7 s spread on a 15.3 s best in the
+    r16 re-land). Runs in --merge mode, where the spread map is present.
+    """
+    spread = (out.get("measurements", {})
+              .get("sf10_bench_spread_s", {}).get("spread", {}))
+    flagged = sorted(
+        q for q, v in out.get("queries", {}).items()
+        if spread.get(q, 0.0) > v["sf10_s"])
+    if flagged:
+        out["noise_flagged"] = flagged
+        out["noise_flagged_note"] = (
+            "sf10 best-of-5 spread EXCEEDS the best wall for these "
+            "queries: their committed ratios carry a host-phase term; "
+            "the interleaved measurements (fourth_decade_sf10_to_sf100) "
+            "are the steady-state reference for them")
+
+
 def qsecs(bench):
     """Per-query seconds from a bench JSON of either unit generation."""
     ms = bench.get("qunit") == "ms"
@@ -74,8 +95,10 @@ def main():
     if sys.argv[1] == "--merge":
         out = json.load(open("SCALING_r16.json"))
         out["measurements"] = json.load(open(sys.argv[2]))
+        annotate_noise(out)
         json.dump(out, open("SCALING_r16.json", "w"), indent=2)
-        print(json.dumps({"merged_keys": sorted(out["measurements"].keys())}))
+        print(json.dumps({"merged_keys": sorted(out["measurements"].keys()),
+                          "noise_flagged": out.get("noise_flagged", [])}))
         return
     sf1 = qsecs(json.load(open(sys.argv[1])))
     sf10 = qsecs(json.load(open(sys.argv[2])))
@@ -109,6 +132,7 @@ def main():
         "measurements": extra,
         "notes": NOTES,
     }
+    annotate_noise(out)
     json.dump(out, open("SCALING_r16.json", "w"), indent=2)
     print(json.dumps({"total_ratio": out["total_ratio"],
                       "flagged": flagged}, indent=None))
