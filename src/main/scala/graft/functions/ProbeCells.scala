@@ -141,7 +141,16 @@ case class ProbeCells(
         val off = c * dim
         var k = 0
         while (k < dim) { acc += vd(k) * centroids(off + k); k += 1 }
-        acc / norms(c)
+        val s = acc / norms(c)
+        // NaN (a vector carrying NaN/Inf elements — Inf survives the
+        // upstream zero-norm filter, and Inf·0 dots are NaN) is mapped
+        // to −∞ like the zero-norm guard (ADVICE r16): better() is not
+        // a total order for NaN, so one NaN inserted while the buffer
+        // is unfilled would block every later finite score once it
+        // fills — and the documented bit-for-bit equivalence with the
+        // sort_array composition (NaN-greatest total order) would not
+        // hold for non-finite inputs either way.
+        if (s != s) Double.NegativeInfinity else s
       }
     }
 
@@ -163,7 +172,10 @@ case class ProbeCells(
             val off = s * dim
             var k = 0
             while (k < dim) { acc += vd(k) * superCentroids(off + k); k += 1 }
-            acc / superNorms(s)
+            val raw = acc / superNorms(s)
+            // same NaN→−∞ mapping as cellScore — the super selection
+            // buffer has the identical non-total-order failure mode
+            if (raw != raw) Double.NegativeInfinity else raw
           }
         sm = offerInto(ss, si, sm, sp, sc, s)
         s += 1

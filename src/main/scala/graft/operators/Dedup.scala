@@ -901,6 +901,7 @@ object Dedup {
       lloydIters: Int = 2,
       maxBucketSize: Int = 4096,
       superProbes: Int = 0,
+      maxCentroidBytes: Long = 256L << 20,
       dropObs: Option[Observation] = None): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     require(cellFactor > 0.0, s"cellFactor must be positive, got $cellFactor")
@@ -918,8 +919,21 @@ object Dedup {
     // every average cell once n·probes outgrows √n·cap/2 (the r15
     // sf10 falsifier: 448 √n-cells at probes=16 put ~7.1k vectors in
     // every cell and the cap silently emptied the candidate stream).
+    // centroid-matrix BYTE gate (r17, verdict item 2): the cell matrix
+    // rides the plan via addReferenceObj in ProbeCells — nCells·dim·8
+    // bytes inside the task binary every executor deserializes. The
+    // maxCells=2²⁰ cap bounds the COUNT but not the BYTES: dim-768
+    // production embeddings at 2²⁰ cells are a 6 GB matrix, dead long
+    // before the cap. DEGRADE rather than refuse: capping nCells only
+    // raises expected per-cell population, which capBuckets already
+    // guards OBSERVABLY (dropped rows land in dropObs) — a refusal
+    // would turn a tunable into an outage at exactly the scale this
+    // operator exists for. Default 256 MB ⇒ 512k cells at the testdata's
+    // dim 64, ~43k at dim 768.
+    val dim = Similarity.dimOf(embeddings)
+    val cellsByBytes = math.max(minCells.toLong, maxCentroidBytes / (8L * dim))
     val nCells = math.max(math.max(minCells, probes).toLong,
-      math.min(maxCells.toLong,
+      math.min(math.min(maxCells.toLong, cellsByBytes),
         math.max(math.ceil(cellFactor * math.sqrt(n.toDouble)).toLong,
           math.ceil(n.toDouble * probes / (maxBucketSize / 2)).toLong))).toInt
     val centroids = Similarity.ivfCentroids(embeddings, nCells, lloydIters)
@@ -948,8 +962,15 @@ object Dedup {
     // structural, not a tuning gap: two-level assignment only has an
     // asymptotic win when probes ≪ √nCells, which is exactly the
     // clustered regime IVF is the right tool for.
+    // Dispatch on the FITTED cell count, not the requested one (ADVICE
+    // r16): ivfCentroids returns fewer centroids than requested when
+    // the corpus has fewer non-zero vectors than nCells, and deciding
+    // on the request could run two-level pruning (with an auto
+    // superProbes sized off pEff, not the real matrix) in exactly the
+    // small-matrix regime the flat branch promises is exact.
+    val nEff = centroids.length
     val probeCells = {
-      if (nCells < 1024 || pEff >= nCells)
+      if (nEff < 1024 || pEff >= nEff)
         graft.functions.ProbeCells.flat(col("v"), centroids, pEff)
       else {
         val spEff = if (superProbes > 0) superProbes else math.max(4, 2 * pEff)

@@ -147,19 +147,28 @@ object Similarity {
     */
   private[graft] def ivfCentroids(
       embeddings: DataFrame, nCentroids: Int, lloydIters: Int,
-      fitSample: Int = 4096): Seq[Seq[Double]] = {
-    // Bounded fit: ONE cluster-side top-n job draws the `fitSample`
-    // non-zero corpus vectors with the smallest xxhash64(vec_id) (a
-    // seeded pseudo-random draw; TakeOrdered, not a full sort), and the
-    // Lloyd refinement runs driver-local on that ≤ fitSample × dim
-    // matrix — the standard train-on-a-sample coarse quantizer. At 100 TB
-    // the fit cost is a single scan + a few ms of driver arithmetic,
-    // independent of corpus size; the final cell ASSIGNMENT (annIvfTopK)
-    // stays exact and distributed over the full corpus. The first
-    // nCentroids of the draw seed the cells (same seeding rule as the
-    // previous full-corpus fit); assignment scoring mirrors the
-    // CentroidScores kernel: dot(v,c)/‖c‖, −∞ for a zero centroid,
-    // first-max tie-break.
+      fitSample: Int = 4096,
+      hierThreshold: Int = 4096): Seq[Seq[Double]] = {
+    // Bounded fit: ONE cluster-side top-n job draws the max(nCentroids,
+    // fitSample) non-zero corpus vectors with the smallest
+    // xxhash64(vec_id) (a seeded pseudo-random draw; TakeOrdered, not a
+    // full sort), and the Lloyd refinement runs driver-local on that
+    // sample matrix — the standard train-on-a-sample coarse quantizer.
+    // The final cell ASSIGNMENT (annIvfTopK / ProbeCells) stays exact
+    // and distributed over the full corpus. The first nCentroids of the
+    // draw seed the cells (same seeding rule as the previous
+    // full-corpus fit); assignment scoring mirrors the CentroidScores
+    // kernel: dot(v,c)/‖c‖, −∞ for a zero centroid, first-max
+    // tie-break.
+    //
+    // Past `hierThreshold` effective cells the fit goes HIERARCHICAL
+    // (r17, verdict item 2): the flat Lloyd is O(iters·sample·nCells·
+    // dim) with sample ≥ nCells — QUADRATIC in nCells and driver-local
+    // (10⁸ vectors at probes 32 size to ~1.5M cells under the dedup
+    // population rule = a 10¹⁴-flop single-thread fit). See
+    // [[hierarchicalCells]]. At or below the threshold the flat path
+    // is byte-identical to the r15/r16 fit, so every oracled small-SF
+    // result is unchanged.
     val e = withNorm(embeddings)
     val sample: Array[Array[Double]] = e
       // zero vectors can neither seed nor steer a cell — withNorm
@@ -170,9 +179,29 @@ object Similarity {
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    var centroids: Array[Array[Double]] = sample.take(nCentroids).map(_.clone())
+    val effective = math.min(nCentroids, sample.length)
+    val cells =
+      if (effective <= hierThreshold)
+        lloydRefine(sample, sample.take(nCentroids), lloydIters)
+      else hierarchicalCells(sample, effective, lloydIters, fitSample)
+    cells.map(_.toSeq).toSeq
+  }
+
+  /** The shared Lloyd refinement: assign every sample vector to its
+    * best-scoring centroid (norm-scaled dot, −∞ zero-norm guard,
+    * first-max tie-break), recompute means, `iters` times; empty
+    * clusters keep their previous centroid. Factored out of
+    * [[ivfCentroids]] UNCHANGED (r17) so the flat path stays
+    * bit-identical to the r15/r16 fits; the hierarchical path reuses it
+    * per super.
+    */
+  private def lloydRefine(
+      sample: Array[Array[Double]],
+      seeds: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = seeds.map(_.clone())
     val nC = centroids.length
-    for (_ <- 1 to lloydIters if nC > 0) {
+    for (_ <- 1 to iters if nC > 0) {
       val dim = centroids(0).length
       val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
       val sums = Array.fill(nC)(new Array[Double](dim))
@@ -203,7 +232,143 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }
     }
-    centroids.map(_.toSeq).toSeq
+    centroids
+  }
+
+  /** Index of the best-scoring row of `mat` for `v` under the shared
+    * rule (norm-scaled dot, zero-norm rows never win, first-max
+    * tie-break). The standalone twin of the scoring loop inside
+    * [[lloydRefine]] / [[superQuantizer]].
+    */
+  private def nearestRow(
+      v: Array[Double], mat: Array[Array[Double]], norms: Array[Double], dim: Int): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < mat.length) {
+      if (norms(c) != 0.0) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += v(i) * mat(c)(i); i += 1 }
+        val s = acc / norms(c)
+        if (s > bestS) { bestS = s; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** Hierarchical coarse fit (r17, verdict item 2) — the escape from
+    * the flat fit's O(nCells²·dim) driver Lloyd once the requested cell
+    * count outgrows `hierThreshold`:
+    *
+    *  1. fit ~√nCells SUPER centroids with the ordinary Lloyd over the
+    *     bounded `fitSample` prefix of the draw (the supers only steer
+    *     sample partitioning — they never ship anywhere);
+    *  2. assign EVERY drawn sample vector to its nearest super — one
+    *     O(sample·√nCells·dim) pass, parallel over driver cores;
+    *  3. give each super a proportional share of the nCells quota
+    *     (largest-remainder, capped by its member count — the caps
+    *     redistribute, so exactly min(nCells, sample) cells come back)
+    *     and Lloyd-refine its cells from its OWN members, seeded by the
+    *     first `quota` members in the global hash-draw order (the flat
+    *     seeding rule, applied within the super). Each super's refine
+    *     set is capped at max(quota, fitSample) stride-sampled members,
+    *     so a skewed super cannot reintroduce the quadratic.
+    *
+    * Total driver cost O(nCells^1.5·dim·iters) with steps 2-3 parallel
+    * over cores (~10⁹ flops at 10⁵ cells, vs ~10¹² flat), and no change
+    * anywhere downstream: the returned matrix has the same shape,
+    * scoring rule, and determinism (stable allocation, stable
+    * member order) — it just places cells via a two-level sample
+    * partition, the fit-side mirror of the two-level PROBE the r16
+    * kernel already runs. Recall impact is measured, not argued
+    * (SCALING_r17 hier-fit keys). Cell→super grouping is deliberately
+    * NOT returned: downstream superQuantizer re-derives supers from the
+    * final refined cells (≈0.2 s at 20k cells, parallel), keeping this
+    * function's contract identical to the flat path's.
+    */
+  private def hierarchicalCells(
+      sample: Array[Array[Double]],
+      nCentroids: Int,
+      lloydIters: Int,
+      fitSample: Int): Array[Array[Double]] = {
+    val n = sample.length
+    val target = math.min(nCentroids, n)
+    val dim = sample.head.length
+    val sRows = math.max(1, math.ceil(math.sqrt(target.toDouble)).toInt)
+    val supers = lloydRefine(
+      sample.take(math.min(fitSample, n)), sample.take(sRows), lloydIters)
+    val sNorms = supers.map(c => math.sqrt(c.map(x => x * x).sum))
+    val sEff = supers.length
+    val assign = new Array[Int](n)
+    java.util.stream.IntStream.range(0, n).parallel()
+      .forEach(i => assign(i) = nearestRow(sample(i), supers, sNorms, dim))
+    // CSR members per super, preserving the global hash-draw order
+    // (stable counting pass) so per-super seeding follows the same
+    // "first k of the draw" rule the flat fit uses
+    val counts = new Array[Int](sEff)
+    assign.foreach(a => counts(a) += 1)
+    val offsets = new Array[Int](sEff + 1)
+    var s = 0
+    while (s < sEff) { offsets(s + 1) = offsets(s) + counts(s); s += 1 }
+    val cursor = offsets.clone()
+    val members = new Array[Int](n)
+    var i = 0
+    while (i < n) { val a = assign(i); members(cursor(a)) = i; cursor(a) += 1; i += 1 }
+    // proportional quota, largest remainder, capped by member count.
+    // Σcounts = n ≥ target, so the remainder loop always terminates
+    // with Σquota = target exactly.
+    val quota = new Array[Int](sEff)
+    val frac = new Array[Double](sEff)
+    var allocated = 0
+    s = 0
+    while (s < sEff) {
+      val ideal = target.toDouble * counts(s) / n
+      quota(s) = math.min(counts(s), ideal.toInt)
+      frac(s) = ideal - ideal.toInt
+      allocated += quota(s)
+      s += 1
+    }
+    var rem = target - allocated
+    val order = Array.range(0, sEff).sortBy(si => -frac(si))
+    var guard = 0
+    while (rem > 0) {
+      var k = 0
+      while (k < sEff && rem > 0) {
+        val si = order(k)
+        if (quota(si) < counts(si)) { quota(si) += 1; rem -= 1 }
+        k += 1
+      }
+      guard += 1
+      require(guard <= target + 1, "hierarchical quota allocation failed to converge")
+    }
+    val outOffsets = new Array[Int](sEff + 1)
+    s = 0
+    while (s < sEff) { outOffsets(s + 1) = outOffsets(s) + quota(s); s += 1 }
+    val out = new Array[Array[Double]](target)
+    java.util.stream.IntStream.range(0, sEff).parallel().forEach { sp =>
+      val q = quota(sp)
+      if (q > 0) {
+        val mCount = counts(sp)
+        val memA = Array.tabulate(mCount)(j => sample(members(offsets(sp) + j)))
+        // bounded per-super refine set: seeds stay the first q members
+        // (flat rule); the Lloyd sample is a stride-thinning past
+        // max(q, fitSample) members so per-super cost is
+        // O(max(q, fitSample)·q·dim), never O(members·q·dim)
+        val cap = math.max(q, math.min(mCount, fitSample))
+        val fit =
+          if (mCount <= cap) memA
+          else {
+            val stride = mCount.toDouble / cap
+            Array.tabulate(cap)(j => memA((j * stride).toInt))
+          }
+        val cells = lloydRefine(fit, memA.take(q), lloydIters)
+        var j = 0
+        while (j < q) { out(outOffsets(sp) + j) = cells(j); j += 1 }
+      }
+    }
+    out
   }
 
   /** Second quantizer level over an already-fit cell matrix (SURVEY §2

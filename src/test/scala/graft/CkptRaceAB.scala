@@ -126,20 +126,26 @@ object CkptRaceAB {
     val bestA = runs.map(_._1._1).min; val bestB = runs.map(_._2._1).min
     val worstA = runs.map(_._1._1).max; val worstB = runs.map(_._2._1).max
     val shufA = runs.map(_._1._2).min; val shufB = runs.map(_._2._2).min
-    println(f"[ckptrace] SUMMARY lazyA best=$bestA%.2f worst=$worstA%.2f " +
-      f"eagerB best=$bestB%.2f worst=$worstB%.2f " +
-      f"bestRatioB/A=${bestB / bestA}%.3f shufMB A=$shufA%.1f B=$shufB%.1f")
-    // drift gate: side A is the PRE-audit shape reconstructed by hand,
-    // and the whole comparison rests on both sides doing identical
-    // logical work — the r16 artifact run measured 956.1 MB on BOTH.
-    // If dedupSpans' internals move (stage count, checkpoint placement,
-    // pair shaping), A would silently measure a shape that corresponds
-    // to no shipped history; shuffle bytes are deterministic per
-    // plan+data, so a >1% split is drift, not noise — fail loudly.
+    // drift gate BEFORE the SUMMARY line (ADVICE r16): side A is the
+    // PRE-audit shape reconstructed by hand, and the whole comparison
+    // rests on both sides doing identical logical work — the r16
+    // artifact run measured 956.1 MB on BOTH. If dedupSpans' internals
+    // move (stage count, checkpoint placement, pair shaping), A would
+    // silently measure a shape that corresponds to no shipped history;
+    // shuffle bytes are deterministic per plan+data, so a >1% split is
+    // drift, not noise — fail loudly. The gate must precede the
+    // SUMMARY println because the log parser regex-scrapes SUMMARY
+    // regardless of exit status (the campaign runner's FAILED marker
+    // goes to campaign stdout, not this log): printing first let a
+    // drift-detected run's ratios be mechanically ingested into the
+    // artifact anyway.
     require(shufA > 0 && math.abs(shufA - shufB) / math.max(shufA, shufB) < 0.01,
       f"lazy/eager shuffle diverged (A=$shufA%.1f MB, B=$shufB%.1f MB): the " +
         "hand-reconstructed pre-audit shape no longer matches dedupSpans — " +
         "update CkptRaceAB's lazyShape before trusting its ratios")
+    println(f"[ckptrace] SUMMARY lazyA best=$bestA%.2f worst=$worstA%.2f " +
+      f"eagerB best=$bestB%.2f worst=$worstB%.2f " +
+      f"bestRatioB/A=${bestB / bestA}%.3f shufMB A=$shufA%.1f B=$shufB%.1f")
     spark.stop()
   }
 }

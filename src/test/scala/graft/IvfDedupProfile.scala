@@ -35,7 +35,7 @@ object IvfDedupProfile {
     * logs whose generations differ, so per-tag "bests" can never mix
     * two different operators (the r16 flat-vs-twolevel hazard).
     */
-  private val harnessGen = "twolevel-r16"
+  private val harnessGen = "hierfit-r17"
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -89,6 +89,35 @@ class ProbeCellsSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN cell scores cannot block finite cells from selection (ADVICE r16)") {
+    import spark.implicits._
+    // A vector with an Inf element survives the upstream zero-norm
+    // filter (norm = Inf > 0) and produces NaN dots against any cell
+    // orthogonal to the Inf coordinate's sign pattern (Inf·0, or
+    // Inf−Inf across terms). Pre-fix, a NaN inserted while the buffer
+    // was unfilled froze the buffer: better() is not a total order for
+    // NaN, so every later finite score was rejected once it filled.
+    // Craft the matrix so the FIRST cells (lowest index — visited
+    // first) score NaN, then finite cells follow: the kernel must
+    // return the finite cells, NaN mapping to −∞ like the zero-norm
+    // guard.
+    val dim = 4
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(0.0, 1.0, 0.0, 0.0), // dot with v = Inf·0 + 0 + ... = NaN path
+      Seq(0.0, 0.0, 1.0, 0.0), // also NaN
+      Seq(1.0, 0.0, 0.0, 0.0), // dot = +Inf (fine — sorts greatest)
+      Seq(0.0, 0.0, 0.0, 1.0), // NaN
+      Seq(0.0, 1.0, 1.0, 1.0)) // NaN
+    val v = Seq(Double.PositiveInfinity, 0.0, 0.0, 0.0)
+    val df = Seq((1L, v)).toDF("vec_id", "v")
+    val got = df.select(ProbeCells.flat(col("v"), cents, 3).as("cells"))
+      .collect().head.getSeq[Int](0)
+    // NaN cells map to −∞ (ties broken by index): +Inf cell 2 first,
+    // then the lowest-indexed −∞ cells 0, 1
+    assert(got == Seq(2, 0, 1),
+      s"NaN scores corrupted selection: got $got, want Seq(2, 0, 1)")
+  }
+
   test("a vector equal to a cell centroid keeps that cell under pruning") {
     import spark.implicits._
     val rng = new Random(47)

@@ -85,6 +85,43 @@ def annotate_noise(out):
             "are the steady-state reference for them")
 
 
+def annotate_run_monotonicity(out):
+    """Run-level sanity check for the measurements block (r17, verdict
+    r16 item 3): within one ivfprof key, at fixed (cf, sp), wall must be
+    non-decreasing in probes — more probes is strictly more assignment
+    AND more candidate-verify work (auto sp also grows with p), so an
+    inversion is a host-phase term INSIDE the block, not a property of
+    the operator. Each affected key gets a mechanically-generated
+    in-key `noise_note` naming the inverted pair, so a reader of that
+    key alone cannot conclude probes are free.
+    """
+    tag_re = __import__("re").compile(
+        r"ivf p=(\d+) cf=([\d.]+)(?: sp=(\d+))?$")
+    for key, block in out.get("measurements", {}).items():
+        runs = block.get("runs") if isinstance(block, dict) else None
+        if not runs:
+            continue
+        groups = {}
+        for tag, r in runs.items():
+            m = tag_re.match(tag)
+            if m:
+                p, cf, sp = int(m.group(1)), m.group(2), m.group(3) or "auto"
+                groups.setdefault((cf, sp), []).append((p, r["wall_s"]))
+        notes = []
+        for (cf, sp), pts in sorted(groups.items()):
+            pts.sort()
+            for (p1, w1), (p2, w2) in zip(pts, pts[1:]):
+                if w2 < w1:
+                    notes.append(
+                        f"wall not monotone in probes at cf={cf} sp={sp} "
+                        f"(p={p2} {w2}s < p={p1} {w1}s): more probes is "
+                        "strictly more assignment+verify work, so this "
+                        "inversion is a host-phase term inside the block — "
+                        "read ratios within one p, never across probes here")
+        if notes:
+            block["noise_note"] = notes
+
+
 def qsecs(bench):
     """Per-query seconds from a bench JSON of either unit generation."""
     ms = bench.get("qunit") == "ms"
@@ -96,6 +133,7 @@ def main():
         out = json.load(open("SCALING_r16.json"))
         out["measurements"] = json.load(open(sys.argv[2]))
         annotate_noise(out)
+        annotate_run_monotonicity(out)
         json.dump(out, open("SCALING_r16.json", "w"), indent=2)
         print(json.dumps({"merged_keys": sorted(out["measurements"].keys()),
                           "noise_flagged": out.get("noise_flagged", [])}))
@@ -133,6 +171,7 @@ def main():
         "notes": NOTES,
     }
     annotate_noise(out)
+    annotate_run_monotonicity(out)
     json.dump(out, open("SCALING_r16.json", "w"), indent=2)
     print(json.dumps({"total_ratio": out["total_ratio"],
                       "flagged": flagged}, indent=None))

@@ -64,6 +64,16 @@ def ivf(txt):
                          "— split the log per generation before parsing")
     if gens:
         out["kernel_gen"] = gens.pop()
+    # refuse a concatenated log whose runs came from different REGIMES
+    # (threshold/plantCopies/eps/sfDir — ADVICE r16: the gen gate alone
+    # let same-gen runs from different configs min-merge under one tag
+    # while reporting only the first header's config)
+    headers = set(re.findall(
+        r"\[ivfprof\] (\S+ n=\d+ threshold=[\d.]+ plantCopies=\d+ eps=[\d.]+)", txt))
+    if len(headers) > 1:
+        raise SystemExit(f"[parse] ivfprof log mixes regimes {sorted(headers)} "
+                         "— split the log per (sfDir, threshold, plantCopies, eps) "
+                         "before parsing")
     h = re.search(r"\[ivfprof\] (\S+) n=(\d+) threshold=([\d.]+) plantCopies=(\d+) "
                   r"eps=([\d.]+) sampled=(\w+) exact_pairs=(\d+)", txt)
     if h:
