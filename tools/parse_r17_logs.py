@@ -137,9 +137,11 @@ def main():
                      "query compared against the committed r15/r16 lines. "
                      "READING: the r16 1.10x regression does NOT reproduce — "
                      "median per-query best-of-2/r16 is below 1.0 and "
-                     "best-of-2/r15 is ~1.0, so the r16 upshift was host "
-                     "phase, and the r16 eager-flip price at sf0.1 is ~1% "
-                     "median, not 5-10%")
+                     "best-of-2/r15 is ~1.02, so the r16 upshift was host "
+                     "phase, and the r16 eager-flip price at sf0.1 is ~2% "
+                     "median upper bound (best-of-2 vs r15's committed "
+                     "best-of-N, so part of even that is protocol), "
+                     "not 5-10%")
         extra["reland_sf01_bench"] = r
     t = read(logdir, "r17_ivffit.log")
     if t:
@@ -192,8 +194,14 @@ def main():
                          "roundHook times every propagation/contraction "
                          "round — rounds_ratio isolates diameter growth, "
                          "cc_ratio the per-round cost, rest_* the "
-                         "pair-derivation share that scales with data but "
-                         "not diameter"),
+                         "pair-derivation + edge-build share that scales "
+                         "with data but not diameter. CAVEAT: interleaving "
+                         "cancels phase between the two SIDES of one query, "
+                         "not BETWEEN queries — the groups-vs-star rest_sf100 "
+                         "split (both queries derive the identical pair set "
+                         "at identical shuffle bytes) is therefore a "
+                         "cross-block phase term, and only within-query "
+                         "numbers are protocol-comparable"),
                 "queries": r}
     t = read2(logdir, "r17_bench_sf10")
     if t:
