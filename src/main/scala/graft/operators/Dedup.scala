@@ -961,7 +961,13 @@ object Dedup {
     // output, still cheaper than the sort_array it replaced. That is
     // structural, not a tuning gap: two-level assignment only has an
     // asymptotic win when probes ≪ √nCells, which is exactly the
-    // clustered regime IVF is the right tool for.
+    // clustered regime IVF is the right tool for. r17 swept the
+    // boundary itself (SCALING_r17 lsh_vs_ivf_sf10_knee, p=25 ≈
+    // √nCells/2): probe-all there costs 2.3× assignment wall over
+    // sp=p for the last +1.2 % recall — while the clustered regime
+    // needs the full 2p (sp=p lost 7.5 % recall in the r16 sp4 key).
+    // The rule is recall-safe where two-level wins and pays only at
+    // the boundary where no pruning rule can win: CONFIRMED.
     // Dispatch on the FITTED cell count, not the requested one (ADVICE
     // r16): ivfCentroids returns fewer centroids than requested when
     // the corpus has fewer non-zero vectors than nCells, and deciding
