@@ -60,6 +60,22 @@ def ivffit(txt):
                     "mean_norm_flat": None if mnf == "n/a" else float(mnf)}
     if grid:
         out["by_ncells"] = grid
+        # run-level sanity, same discipline as annotate_run_monotonicity:
+        # hier fit wall should be non-decreasing in nCells (the driver
+        # arithmetic is); where it is not, the wall is dominated by the
+        # Spark sample-draw job, whose scheduling noise exceeds the
+        # sub-second fit — flag it in-key so a reader cannot conclude
+        # the fit gets cheaper with more cells
+        pts = sorted((int(k), v["hier_fit_s"]) for k, v in grid.items())
+        inv = [(a, b) for a, b in zip(pts, pts[1:]) if b[1] < a[1]]
+        if inv:
+            out["noise_note"] = [
+                f"hier wall not monotone in nCells ({b[0]} {b[1]}s < {a[0]} "
+                f"{a[1]}s): below ~1e5 cells the wall is dominated by the "
+                "Spark sample-draw job, not fit arithmetic — read the FLAT "
+                "column's growth (the quadratic being escaped) and the "
+                "large-nCells hier points; small-nCells hier deltas are "
+                "job-scheduling noise" for a, b in inv]
     return out or None
 
 
@@ -90,6 +106,28 @@ def ccrounds(txt):
         if q in out:
             out[q].update(v)
     return out or None
+
+
+def partscale(txt):
+    m = re.search(
+        r"\[partscale\] RESULT (\S+) partsA=(\d+) partsB=(\d+) bestA=([\d.]+) "
+        r"bestB=([\d.]+) wallRatio=([\d.]+) shufA=(\d+)MB shufB=(\d+)MB "
+        r"spillA=(\d+)MB spillB=(\d+)MB", txt)
+    if not m:
+        return None
+    q, pa, pb, ba, bb, wr, sa, sb, spa, spb = m.groups()
+    out = {"query": q, "parts_a": int(pa), "parts_b": int(pb),
+           "best_a_s": float(ba), "best_b_s": float(bb),
+           "wall_ratio_b_over_a": float(wr),
+           "shuffle_a_mb": int(sa), "shuffle_b_mb": int(sb),
+           "spill_a_mb": int(spa), "spill_b_mb": int(spb)}
+    pairs = re.findall(
+        r"\[partscale\] \S+ pair=\d+ A\(\d+\)=([\d.]+) s/\d+MB/spill=(\d+)MB "
+        r"B\(\d+\)=([\d.]+) s/\d+MB/spill=(\d+)MB", txt)
+    out["pairs"] = [{"a_s": float(a), "a_spill_mb": int(sa2),
+                     "b_s": float(b), "b_spill_mb": int(sb2)}
+                    for a, sa2, b, sb2 in pairs]
+    return out
 
 
 def reland(logdir):
@@ -203,6 +241,30 @@ def main():
                          "cross-block phase term, and only within-query "
                          "numbers are protocol-comparable"),
                 "queries": r}
+    t = read(logdir, "r17_partscale.log")
+    if t:
+        r = partscale(t)
+        if r:
+            r["what"] = ("the follow-up to cc_rounds_ab: QueryProfile located "
+                         "the pair-derivation decade excess in the "
+                         "doc_id-window + set-aggregate stage (cpu 110 -> "
+                         "2159 s for 10x rows, 1032 MB disk spill appearing "
+                         "at sf100) — per-partition bytes grow 10x per decade "
+                         "at the harness-pinned 32 shuffle partitions. This "
+                         "same-JVM interleaved A/B flips only "
+                         "spark.sql.shuffle.partitions (a runtime conf): the "
+                         "spill vanishes DETERMINISTICALLY on the scaled side "
+                         "(0 MB in every pair) and best wall improves, at "
+                         "~15% more shuffle bytes from finer partitions. "
+                         "READING: the superlinear decade term is partition "
+                         "SIZING, a local-harness artifact — a real cluster "
+                         "scales partitions with data (Sessions' 'AQE "
+                         "coalesces' premise), so the operator's decade "
+                         "behavior is linear shuffle + bounded per-partition "
+                         "memory; the wall ratio itself is phase-noisy "
+                         "(pair 1 inverted), the spill column is the "
+                         "structural signal")
+            extra["ngram_partition_scale_ab_sf100"] = r
     t = read2(logdir, "r17_bench_sf10")
     if t:
         s = bench_spread(t)
