@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Shared session construction so Verify / Bench / tests agree on the
   * configs that change semantics:
   *  - UTC session time zone,
-  *  - shuffle partitions sized to local cores (AQE coalesces on a real
-  *    cluster; 200 default partitions would just fragment local runs),
+  *  - shuffle partitions sized to local cores (AQE coalesces; a
+  *    cluster raises the INITIAL count instead — see the
+  *    initialPartitionNum note below — and the operators owning
+  *    cached, AQE-invisible exchanges size those from data),
   *  - nanosAsLong so parquet TIMESTAMP(NANOS) columns (events.ts) are
   *    readable (Spark has no nanos timestamp type),
   *  - AQE on, matching what a production cluster would run.
@@ -47,6 +49,34 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      // AQE coalescing can only MERGE partitions, never split, so this
+      // initial count is the un-splittable shuffle ceiling. A CLUSTER
+      // deployment should raise it to ~ max expected shuffle bytes /
+      // the 64 MB advisory (SPARK_GRAFT_INITIAL_PARTITIONS overrides;
+      // with coalescing enabled THIS conf, not shuffle.partitions, is
+      // what plans non-explicit shuffle counts — a harness A/B must
+      // flip this one). Locally it stays at cores, a measured decision
+      // (r17, SCALING_r17 initial_partitions_pricing_sf01): 10x cores
+      // priced a consistent fixed tax on every sub-second shuffly
+      // query (map-side bucket count + fetch segmentation; +0.1-0.7 s
+      // in 6/6 interleaved pairs) while buying nothing the engine
+      // still needs from the conf — the one measured large-SF spill
+      // site (the ngram index cache, 1 GB deterministic at sf100 under
+      // pinned 32) is sized from DATA by its owning operator since r17
+      // (Dedup.indexShuffleParts / ConnectedComponents.buildEdges:
+      // AQE cannot re-plan inside a persisted plan, so cached
+      // exchanges carry their own data-driven counts and are immune to
+      // this conf at both ends of the scale axis).
+      // canChangeCachedPlanOutputPartitioning likewise stays at its
+      // false default: flipped true (the other way to size cached
+      // exchanges), the coalesced cache no longer satisfies consumers'
+      // co-partitioning — PlanAuditSpec measured CC's round join
+      // re-exchanging the edge CACHE every round (3 exchanges where
+      // the wired plan has 1), re-shuffling the largest frame per
+      // round at corpus scale.
+      .config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -111,11 +111,43 @@ object ConnectedComponents {
     * such window. PlanAuditSpec pins the no-exchange/no-sort property
     * against Spark upgrades. Caller unpersists.
     */
-  private[graft] def buildEdges(p: DataFrame): DataFrame =
+  /** Explicit partition count for the cached edge exchange: edge bytes
+    * from the PAIR COUNT (2 rows of 2 longs per pair, ~32 B a shuffled
+    * row) against the 64 MB advisory, floored at the session's
+    * parallelism, capped at 64x. Inheriting the pair frame's partition
+    * COUNT was tried first and is wrong for the wired caller: the pair
+    * checkpoint rides the nP-sized perDoc cache partitioning (not an
+    * AQE-coalesced count), so inheritance doubled small-scale edge
+    * partitions for no byte reason. Edges are 16-byte rows — the floor
+    * holds through every measured scale (sf100's pair set is ~1.6 GB
+    * symmetric, 25 advisory chunks < the 32 floor) and the count only
+    * grows past ~64 M pairs, exactly when per-partition bytes would
+    * otherwise grow unbounded.
+    */
+  private[graft] def edgeParts(nPairs: Long, floor: Int): Int = {
+    val bytes = 2L * nPairs * 32L
+    val target = 64L << 20
+    math.max(floor, math.min(floor * 64L, (bytes + target - 1) / target).toInt)
+  }
+
+  private[graft] def buildEdges(p: DataFrame): DataFrame = {
+    // The cached exchange is sized EXPLICITLY (r17): AQE cannot re-plan
+    // inside a persisted plan (canChangeCachedPlanOutputPartitioning
+    // stays false precisely so the rounds can RIDE this cache — flipped
+    // true, PlanAuditSpec measured the round join re-exchanging the
+    // edge cache every round), and a bare repartition(col) would take
+    // whatever initialPartitionNum a cluster deployment sets — tiny
+    // 16-byte-row cache partitions re-joined every round. p is
+    // materialized by every caller's flow (dupGroups checkpoints it
+    // eagerly), so the count() is a stored-block scan, not a
+    // recomputation.
+    val floor = p.sparkSession.sparkContext.defaultParallelism
+    val nParts = edgeParts(p.count(), floor)
     p.union(p.select(col("dst"), col("src")))
-      .repartition(col("src"))
+      .repartition(nParts, col("src"))
       .sortWithinPartitions("src")
       .persist()
+  }
 
   /** Canonical dup groups from a near-dup pair list (see object doc for
     * the algorithm).

@@ -187,10 +187,15 @@ object Dedup {
       .agg(count(lit(1)).as("n"), approx_count_distinct(fpCol, 0.02).as("nfp")).head()
     val nDocs = est.getLong(0)
     val nFp = est.getLong(1)
+    // index-exchange sizing comes from the SCAN-anchored corpus frame
+    // in both branches: repDocs below is a join whose product stats
+    // are not scan-backed, and the rep set is never larger than the
+    // corpus, so this is a tight upper bound either way
+    val nParts = indexShuffleParts(documents)
     if (nDocs == 0 || nFp >= 0.9 * nDocs) {
       val (pairs, _) = prefixPairPhase(
         documents.select(col("doc_id"), lit(1L).as("g"), col("text")),
-        threshold, maxShingleDf)
+        threshold, maxShingleDf, nParts)
       pairs.select(
         col("rid_a").as("doc_id_a"), col("rid_b").as("doc_id_b"), col("jaccard"))
     } else {
@@ -216,7 +221,7 @@ object Dedup {
       val repDocs = documents.select(col("doc_id"), col("text"))
         .join(groups.select(col("doc_id"), col("g")), Seq("doc_id"))
         .select(col("doc_id"), col("g"), col("text"))
-      val (repPairs, repStats) = prefixPairPhase(repDocs, threshold, maxShingleDf)
+      val (repPairs, repStats) = prefixPairPhase(repDocs, threshold, maxShingleDf, nParts)
       // Phase 2: expand rep pairs back through the duplicate groups.
       // The two sets are disjoint (same vs different fingerprint), so
       // a plain union needs no dedup; expansion rows are exactly the
@@ -243,6 +248,41 @@ object Dedup {
           col("jaccard"))
       within.unionByName(cross)
     }
+  }
+
+  /** Explicit partition count for the cached shingle-index exchanges,
+    * from the CORPUS frame's optimizer stats (file-size-backed for the
+    * wired scan inputs): ceil(stats x expansion / 64 MB), floored at
+    * the session's parallelism, capped at 64x. Needed because the
+    * ranked/perDoc frames persist() and AQE cannot re-plan inside a
+    * cached plan (canChangeCachedPlanOutputPartitioning stays false so
+    * the per-doc aggregate can RIDE the cache): a conf-pinned count
+    * either spills — per-partition bytes grow a decade per decade at
+    * the local cores pin (SCALING_r17 ngram_partition_scale_ab_sf100:
+    * 1 GB deterministic sort/aggregate spill at sf100, gone at 320
+    * partitions) — or, deployment-raised, materializes the cache
+    * un-coalesced at the full initial count (the 1.28-1.55x
+    * persist-heavy tax SCALING_r17 index_cache_tax_sf01 priced at 10x
+    * cores). `expansion` ~ hashed-shingle-row bytes per input byte:
+    * ~1 row per token (~6 input bytes) at ~50 B a row, measured
+    * ~12-25x vs the snappy parquet footprint at sf100 — 16 keeps the
+    * post-shuffle chunks near the 64 MB advisory with 2x margin either
+    * way. Frames whose stats are unusable (non-positive, or past the
+    * 2^52 ≈ 4.5 PB sanity bound — the defaultSizeInBytes sentinel and
+    * multi-table join products, never a real corpus scan) fall back to
+    * the floor — the old posture, never worse. The bound is
+    * deliberately ABOVE any real single-corpus size: a 100 TB scan
+    * must reach the cap branch (its sizing IS this function's job),
+    * and the cap already limits how wrong a merely-inflated estimate
+    * can be (64x floor, reached at ~8.6 GB of stats at 32 cores).
+    */
+  private[graft] def indexShuffleParts(corpus: DataFrame, expansion: Long = 16L): Int = {
+    val floor = corpus.sparkSession.sparkContext.defaultParallelism
+    val cap = BigInt(floor) * 64
+    val target = BigInt(64L << 20)
+    val stats = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stats <= 0 || stats > (BigInt(1) << 52)) floor
+    else ((BigInt(expansion) * stats + target - 1) / target).min(cap).toInt.max(floor)
   }
 
   /** The r13 set-similarity engine shared by both ngramJaccardPairs
@@ -312,6 +352,12 @@ object Dedup {
       docsG: DataFrame,
       threshold: Double,
       maxShingleDf: Option[Int],
+      // explicit count for the two index exchanges feeding the ranked
+      // cache (see [[indexShuffleParts]]); 0 = derive from docsG's own
+      // stats (direct/spec callers — the wired canonicalized caller
+      // passes a count derived from the SCAN-anchored corpus frame,
+      // since repDocs' join-product stats are not scan-backed)
+      nParts: Int = 0,
       // materialization hook for the two multi-consumer frames (ranked
       // and perDoc). CACHE OWNERSHIP: the operator cannot unpersist
       // these itself — their consumers execute at the CALLER's action
@@ -332,13 +378,20 @@ object Dedup {
       // the audit can observe the frames production materializes.
       mat: DataFrame => DataFrame = _.persist()): (DataFrame, DataFrame) = {
     graft.functions.ShingleGenerator.register(docsG.sparkSession)
+    val nP = if (nParts > 0) nParts else indexShuffleParts(docsG)
     val hashed = docsG
       .selectExpr("doc_id", "g", "shingles_distinct(text) AS shingle")
       .select(col("doc_id"), col("g"), xxhash64(col("shingle")).as("h"))
     val keep = maxShingleDf.map(cap => col("df") <= cap).getOrElse(lit(true))
     val wDoc = Window.partitionBy("doc_id")
+    // both index exchanges are explicit repartitions the windows then
+    // ride (hash(h/doc_id, nP) satisfies their clustered distribution,
+    // so EnsureRequirements inserts nothing extra) — inside the cached
+    // plan AQE cannot size them, see [[indexShuffleParts]]
     val ranked = hashed
+      .repartition(nP, col("h"))
       .withColumn("df", sum(col("g")).over(Window.partitionBy("h")))
+      .repartition(nP, col("doc_id"))
       .withColumn("na", count(lit(1)).over(wDoc))
       .withColumn("m", count(when(keep, lit(1))).over(wDoc))
       .withColumn("rn", row_number().over(

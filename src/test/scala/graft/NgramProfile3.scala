@@ -48,16 +48,16 @@ object NgramProfile3 {
       }
     }
     run("A_ckpt_ckpt", () =>
-      (Dedup.prefixPairPhase(docs, 0.8, Some(1000), _.localCheckpoint(false))._1, Nil))
+      (Dedup.prefixPairPhase(docs, 0.8, Some(1000), mat = _.localCheckpoint(false))._1, Nil))
     run("D_nomat_ckpt", () => {
       var i = 0
-      val p = Dedup.prefixPairPhase(docs, 0.8, Some(1000),
+      val p = Dedup.prefixPairPhase(docs, 0.8, Some(1000), mat =
         df => { i += 1; if (i == 1) df else df.localCheckpoint(false) })._1
       (p, Nil)
     })
     run("B_persist_persist", () => {
       val mats = mutable.Buffer[DataFrame]()
-      val p = Dedup.prefixPairPhase(docs, 0.8, Some(1000),
+      val p = Dedup.prefixPairPhase(docs, 0.8, Some(1000), mat =
         df => { val m = df.persist(); mats += m; m })._1
       (p, mats.toSeq)
     })

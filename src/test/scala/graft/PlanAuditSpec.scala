@@ -234,7 +234,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .select(col("doc_id"), lit(1L).as("g"), col("text"))
     // persist ranked exactly as production does; leave perDoc bare so
     // its executed plan (agg over the ranked cache) stays inspectable
-    Dedup.prefixPairPhase(docs, 0.8, Some(1000),
+    Dedup.prefixPairPhase(docs, 0.8, Some(1000), mat =
       df => { recorded += df; if (recorded.size == 1) df.persist() else df })
     try {
       assert(recorded.size == 2, "expected ranked + perDoc materializations")

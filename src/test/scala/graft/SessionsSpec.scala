@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates the r17 session partitioning posture (the measured decision in
+  * Sessions' initialPartitionNum note): the AQE initial shuffle count
+  * stays at cores locally (10x cores priced a consistent fixed tax on
+  * every sub-second shuffly query while the one measured large-SF
+  * spill site is data-sized by its owning operator), the env override
+  * exists for cluster-posture probes, and cached-plan re-planning
+  * stays off so consumers can ride cache partitioning (flipped on, CC's
+  * round join re-exchanged the edge cache every round). AQE coalescing
+  * itself must stay active — without it every small shuffle runs the
+  * full initial count of tasks.
+  */
+class SessionsSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.local("4")
+
+  test("initial shuffle count = cores locally; coalescing on; cache re-planning off") {
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum") === "4")
+    // streaming state stores key off shuffle.partitions at first run
+    // (AQE is not applied to stateful streaming shuffles)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true") === "true")
+    // must stay at its false default: flipped on, a coalesced cache no
+    // longer satisfies its consumers' co-partitioning and CC's round
+    // join re-exchanges the edge CACHE every round (measured: 3
+    // exchanges where the wired plan has 1). The persist-heavy
+    // operators size their cached exchanges explicitly instead
+    // (Dedup.indexShuffleParts / ConnectedComponents.buildEdges).
+    assert(
+      spark.conf.get(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false") === "false")
+  }
+
+  test("a small shuffle coalesces below the initial partition count") {
+    import spark.implicits._
+    val out = (1 to 1000).toDF("x")
+      .groupBy(col("x") % 7).agg(sum("x"))
+    out.write.format("noop").mode("overwrite").save()
+    // post-AQE partition count: a ~KB shuffle must coalesce, proving
+    // the coalescing machinery the posture leans on is actually active
+    val parts = out.rdd.getNumPartitions
+    assert(parts >= 1 && parts < 4, s"post-AQE partitions = $parts")
+  }
+}

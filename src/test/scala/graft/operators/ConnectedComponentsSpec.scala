@@ -113,6 +113,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("edge cache sizing: byte-proportional from the pair count, floored, capped") {
+    // r17: the cached exchange is sized explicitly (AQE cannot re-plan
+    // inside a persisted plan) from the pair COUNT's byte estimate —
+    // every measured scale floors at session parallelism (identical
+    // plans to the pre-sizing engine), growth starts past ~64 M pairs
+    val floor = 32
+    assert(ConnectedComponents.edgeParts(0L, floor) == floor)
+    assert(ConnectedComponents.edgeParts(25_000L, floor) == floor, "sf0.1-scale floors")
+    assert(ConnectedComponents.edgeParts(25_000_000L, floor) == floor, "sf100-scale floors")
+    // 640 M pairs x 64 B symmetric = ~41 GB -> 611 advisory chunks
+    assert(ConnectedComponents.edgeParts(640_000_000L, floor) == 611)
+    assert(ConnectedComponents.edgeParts(Long.MaxValue / 128, floor) == floor * 64,
+      "absurd counts saturate at the cap")
+    // and the wired integration: a tiny materialized pair set keeps the
+    // session floor, so small-SF plans are bit-identical to pre-r17
+    import spark.implicits._
+    val tiny = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst").localCheckpoint(true)
+    val e1 = ConnectedComponents.buildEdges(tiny)
+    try {
+      assert(e1.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+        "a tiny pair set must keep the session-parallelism floor")
+    } finally e1.unpersist(true)
+  }
+
   test("groups over real jaccard pairs: every group's members share its min id") {
     val groups = ConnectedComponents.dupGroups(
       Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.001"),

@@ -453,4 +453,51 @@ class DedupSpec extends AnyFunSuite {
     assert(out.getString(1) == s"$span x", s"second in-doc copy should go: $out")
     assert(out.getLong(2) == 9L && out.getLong(3) == 8L)
   }
+
+  test("IVF byte gate degrades nCells at production dim without losing correctness") {
+    // dim-768 (real-world embedding width, vs the testdata's 64) with a
+    // deliberately tiny centroid-matrix budget: the demand side asks
+    // for ~700 cells (cellFactor 50 on 200 vectors) but 32 KB / (8 B x
+    // 768) affords ~5, so the gate must DEGRADE to the minCells floor
+    // rather than refuse or ship a budget-busting matrix — and the
+    // degraded index must still be value-exact vs the exact operator
+    // and still find identical-vector pairs (fewer cells only raises
+    // per-cell population; recall can only improve).
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val dim = 768
+    val base = (1L to 200L).map(id => id -> Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val dups = (0 until 3).map(i => (900L + i) -> base(rnd.nextInt(base.size))._2)
+    val df = (base ++ dups).toDF("vec_id", "v0")
+      .select(col("vec_id"), col("v0").cast("array<double>").as("embedding"))
+    def valued(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = valued(Dedup.embeddingNearDupsExact(df))
+    val ivf = valued(Dedup.embeddingNearDupsIvf(
+      df, cellFactor = 50.0, maxCentroidBytes = 32L << 10))
+    val bad = ivf.filter { case (k, v) => !exact.get(k).contains(v) }
+    assert(bad.isEmpty, s"degraded-index pairs absent from exact or cosine drift: ${bad.take(5)}")
+    val mustFind = dups.map { case (did, dv) =>
+      val oid = base.find(_._2 == dv).get._1
+      (math.min(did, oid), math.max(did, oid))
+    }.toSet
+    assert(mustFind.forall(ivf.contains),
+      s"identical-vector pairs missed under the byte gate: ${mustFind.filterNot(ivf.contains)}")
+  }
+
+  test("index-exchange sizing: floor for small corpora, proportional, capped") {
+    // r17: the ranked/perDoc cache exchanges are sized from corpus
+    // stats (AQE cannot re-plan inside a persisted plan). spark.range
+    // gives exact 8-bytes-a-row stats to probe the formula with.
+    val floor = spark.sparkContext.defaultParallelism
+    // tiny corpus -> session floor (the old posture, bit-identical plans)
+    assert(Dedup.indexShuffleParts(spark.range(10).toDF()) == floor)
+    // 256 MB of stats x16 expansion / 64 MB target = 64 partitions
+    assert(Dedup.indexShuffleParts(spark.range(32L << 20).toDF()) == 64)
+    // huge stats saturate at 64x the floor, and the insane-stats
+    // sentinel (join products of defaults) falls back to the floor
+    assert(Dedup.indexShuffleParts(spark.range(1L << 34).toDF()) == floor * 64)
+    assert(Dedup.indexShuffleParts(
+      spark.range(1L << 34).toDF().crossJoin(spark.range(1L << 34).toDF("b"))) == floor)
+  }
 }

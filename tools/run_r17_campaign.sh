@@ -43,3 +43,28 @@ run r17_ivf_sf30_auto.log graft.IvfDedupProfile /tmp/graft_sf30 32,64 1.0 0.4 1 
 echo "ALL DONE $(date +%T)"
 echo "next: python3 tools/parse_r17_logs.py $L > /tmp/r17_extra.json"
 echo "      python3 tools/make_scaling_r17.py $L/r17_bench_sf1.log $L/r17_bench_sf10.log /tmp/r17_extra.json"
+
+# ---- r17b: the shuffle-partition-posture campaign (second half of the
+# round; logs land in $LB and are merged by parse_r17b_logs.py).
+# Prereq: /tmp/graft_sf100 with documents (see r16 header).
+# NOTE: r17b_partscale_sf01.log in the committed artifact was produced
+# at the PRE-sizing build (it is the evidence that motivated
+# Dedup.indexShuffleParts / buildEdges sizing); re-running it at HEAD
+# reproduces the v2 numbers instead — the tax it prices is gone.
+LB=${LOGDIR_B:-/tmp/r17blogs}
+mkdir -p "$LB"
+runb() { local log=$1; shift
+  echo "=== $(date +%T) START $log: $*"
+  $RUN "$@" > "$LB/$log" 2>&1 || echo "!!! $log FAILED (exit $?)"
+  echo "=== $(date +%T) DONE  $log"
+}
+# sf0.1 posture pricing: heavy persist-heavy queries + sub-second
+# shuffly queries, 32 vs 320 initial partitions, same JVM
+runb r17b_partscale_sf01_v2.log graft.PartitionScaleAB \
+  "q_dedup_ngram_jaccard,q_dedup_groups,q_corpus_clean_full,q_dedup_minhash_lsh,q_token_count,q_ema,q1_pricing_summary,q_events_tumbling_agg" \
+  /root/testdata/sf0.1 3 32 320
+# sf100 wired-default spill gate (no conf flips — measures the shipped
+# posture; expect disk_spill_mb 0 and ~210-task index stages)
+runb r17b_qprof_ngram_sf100.log graft.QueryProfile q_dedup_ngram_jaccard /tmp/graft_sf100 2
+runb r17b_qprof_groups_sf100.log graft.QueryProfile q_dedup_groups /tmp/graft_sf100 1
+echo "next: python3 tools/parse_r17b_logs.py $LB --merge"
