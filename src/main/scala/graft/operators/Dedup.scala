@@ -187,12 +187,12 @@ object Dedup {
       .agg(count(lit(1)).as("n"), approx_count_distinct(fpCol, 0.02).as("nfp")).head()
     val nDocs = est.getLong(0)
     val nFp = est.getLong(1)
-    // index-exchange sizing comes from the SCAN-anchored corpus frame
-    // in both branches: repDocs below is a join whose product stats
-    // are not scan-backed, and the rep set is never larger than the
-    // corpus, so this is a tight upper bound either way
-    val nParts = indexShuffleParts(documents)
     if (nDocs == 0 || nFp >= 0.9 * nDocs) {
+      // index-exchange sizing from the SCAN-anchored corpus frame
+      // (repDocs-style join products have no scan-backed stats); the
+      // whole corpus enters the index in this branch, so the full
+      // x16 expansion applies
+      val nParts = indexShuffleParts(documents)
       val (pairs, _) = prefixPairPhase(
         documents.select(col("doc_id"), lit(1L).as("g"), col("text")),
         threshold, maxShingleDf, nParts)
@@ -221,7 +221,14 @@ object Dedup {
       val repDocs = documents.select(col("doc_id"), col("text"))
         .join(groups.select(col("doc_id"), col("g")), Seq("doc_id"))
         .select(col("doc_id"), col("g"), col("text"))
-      val (repPairs, repStats) = prefixPairPhase(repDocs, threshold, maxShingleDf, nParts)
+      // only the REP set (one doc per distinct fingerprint) enters the
+      // rep-phase index, so full-corpus sizing would re-create the
+      // over-partitioned-cache tax (index_cache_tax_sf01) at exactly
+      // the dup mass that engages this branch — scale the expansion by
+      // the measured rep share (nFp/nDocs < 0.9 here), floored at 1
+      val repParts = indexShuffleParts(
+        documents, math.max(1L, math.round(16.0 * nFp / nDocs)))
+      val (repPairs, repStats) = prefixPairPhase(repDocs, threshold, maxShingleDf, repParts)
       // Phase 2: expand rep pairs back through the duplicate groups.
       // The two sets are disjoint (same vs different fingerprint), so
       // a plain union needs no dedup; expansion rows are exactly the

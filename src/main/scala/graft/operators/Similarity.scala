@@ -67,11 +67,15 @@ object Similarity {
     val hit = dimCache.synchronized(dimCache.get(key))
     if (hit != null) hit.intValue
     else {
-      val row = embeddings.select(size(col("embedding"))).limit(1).collect()
+      // skip NULL embeddings rather than require the FIRST scanned row
+      // be non-null: every consumer (withNorm, the kernels) already
+      // drops NULL vectors, so whether the sampler trips on one must
+      // not depend on scan order / file layout (r17 review finding —
+      // the IVF byte gate made this a wired-path crash)
+      val row = embeddings.select(size(col("embedding")).as("d"))
+        .filter(col("d").isNotNull).limit(1).collect()
       require(row.nonEmpty,
-        "dimOf: embeddings input is empty — ANN needs at least one vector to size its index")
-      require(!row.head.isNullAt(0),
-        "dimOf: the sampled embedding is NULL — clean NULL vectors out before indexing")
+        "dimOf: embeddings input has no non-NULL vector — ANN needs at least one to size its index")
       val d = row.head.getInt(0)
       dimCache.synchronized(dimCache.put(key, Integer.valueOf(d)))
       d

@@ -130,4 +130,26 @@ class SimilaritySpec extends AnyFunSuite {
     // candidates are verified with exact cosine, so anything returned is real
     assert(lsh.values.forall(_.nonEmpty))
   }
+
+  test("dimOf skips NULL embeddings: index sizing must not depend on scan order") {
+    // r17 review regression gate: the IVF byte gate calls dimOf on the
+    // RAW frame, and a corpus whose first scanned row carries a NULL
+    // embedding used to crash the wired path even though every kernel
+    // drops NULL vectors. The sampler now skips NULLs.
+    import spark.implicits._
+    val df = Seq(
+      (1L, null.asInstanceOf[Seq[Double]]),
+      (2L, Seq(1.0, 2.0, 3.0)),
+      (3L, Seq(4.0, 5.0, 6.0))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.dimOf(df) == 3)
+    // and the wired operator end-to-end: the NULL row pairs with nothing,
+    // the identical-direction pair is found
+    val pairs = Dedup.embeddingNearDupsIvf(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L), "NULL vector must pair with nothing")
+    val allNull = Seq((9L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.dimOf(allNull))
+    assert(e.getMessage.contains("no non-NULL vector"))
+  }
 }

@@ -239,7 +239,13 @@ def main():
                          "split (both queries derive the identical pair set "
                          "at identical shuffle bytes) is therefore a "
                          "cross-block phase term, and only within-query "
-                         "numbers are protocol-comparable"),
+                         "numbers are protocol-comparable. SECOND CAVEAT "
+                         "(r17 review): per_round_* vectors come from the "
+                         "LAST printed pair while every scalar comes from "
+                         "the BEST pair, so sum(per_round_*) need not equal "
+                         "cc_rounds_*_s — use the vectors for round SHAPE "
+                         "(count, relative weight), the scalars for "
+                         "magnitude"),
                 "queries": r}
     t = read(logdir, "r17_partscale.log")
     if t:
