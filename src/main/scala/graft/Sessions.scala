@@ -21,6 +21,17 @@ object Sessions {
   private def defaultCores: String =
     math.min(32, Runtime.getRuntime.availableProcessors()).toString
 
+  /** AQE initial shuffle-partition count: the deployment override or
+    * the local cores default (see the initialPartitionNum note in
+    * [[local]]). Pure so SessionsSpec can gate the override path —
+    * env cannot be seeded for an in-process builder, and a typo in
+    * the var name here would otherwise silently ignore deployment
+    * sizing forever.
+    */
+  private[graft] def initialPartitions(
+      cores: String, env: Map[String, String] = sys.env): String =
+    env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores)
+
   /** Drop every CacheManager entry AND every persisted RDD's blocks,
     * blocking until the frees complete. The one cache-hygiene primitive
     * the harnesses share (Bench between/before timed runs, Verify
@@ -76,7 +87,7 @@ object Sessions {
       // round at corpus scale.
       .config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores))
+        initialPartitions(cores))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -37,6 +37,16 @@ class SessionsSpec extends AnyFunSuite {
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false") === "false")
   }
 
+  test("the deployment override resolves; the default is the cores value") {
+    // env cannot be seeded for an in-process builder, so the
+    // env-or-default resolution is a pure function gated directly —
+    // a typo in the var name would otherwise silently ignore
+    // deployment sizing while every session-conf assert stayed green
+    assert(Sessions.initialPartitions("32", Map.empty) === "32")
+    assert(Sessions.initialPartitions(
+      "32", Map("SPARK_GRAFT_INITIAL_PARTITIONS" -> "4096")) === "4096")
+  }
+
   test("a small shuffle coalesces below the initial partition count") {
     import spark.implicits._
     val out = (1 to 1000).toDF("x")

@@ -109,21 +109,26 @@ def ccrounds(txt):
 
 
 def partscale(txt):
+    # side specs may carry a "+cacheaqe" suffix since r17b — match any
+    # non-space spec and keep ints only for plain digit sides, so a
+    # suffixed log cannot silently fail to parse (ADVICE r17)
     m = re.search(
-        r"\[partscale\] RESULT (\S+) partsA=(\d+) partsB=(\d+) bestA=([\d.]+) "
+        r"\[partscale\] RESULT (\S+) partsA=(\S+) partsB=(\S+) bestA=([\d.]+) "
         r"bestB=([\d.]+) wallRatio=([\d.]+) shufA=(\d+)MB shufB=(\d+)MB "
         r"spillA=(\d+)MB spillB=(\d+)MB", txt)
     if not m:
         return None
     q, pa, pb, ba, bb, wr, sa, sb, spa, spb = m.groups()
-    out = {"query": q, "parts_a": int(pa), "parts_b": int(pb),
+    out = {"query": q,
+           "parts_a": int(pa) if pa.isdigit() else pa,
+           "parts_b": int(pb) if pb.isdigit() else pb,
            "best_a_s": float(ba), "best_b_s": float(bb),
            "wall_ratio_b_over_a": float(wr),
            "shuffle_a_mb": int(sa), "shuffle_b_mb": int(sb),
            "spill_a_mb": int(spa), "spill_b_mb": int(spb)}
     pairs = re.findall(
-        r"\[partscale\] \S+ pair=\d+ A\(\d+\)=([\d.]+) s/\d+MB/spill=(\d+)MB "
-        r"B\(\d+\)=([\d.]+) s/\d+MB/spill=(\d+)MB", txt)
+        r"\[partscale\] \S+ pair=\d+ A\([^)]+\)=([\d.]+) s/\d+MB/spill=(\d+)MB "
+        r"B\([^)]+\)=([\d.]+) s/\d+MB/spill=(\d+)MB", txt)
     out["pairs"] = [{"a_s": float(a), "a_spill_mb": int(sa2),
                      "b_s": float(b), "b_spill_mb": int(sb2)}
                     for a, sa2, b, sb2 in pairs]
