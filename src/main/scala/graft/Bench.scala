@@ -68,11 +68,84 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the full line at ~1797/1800 from r14's 1767 — within budget, and the
   * existing drop order (errors-when-empty, then runs, then timed_runs)
   * absorbs any future per-query digit growth before times are at risk.
+  *
+  * Host-noise sentinel (r18, the r17 verdict's item 1): BENCH_r17's
+  * committed line read 4.6x reproducible reality (oversubscribed host;
+  * its own logs showed GC-seconds > wall) and only an expensive
+  * independent re-run proved it — that adjudication must be mechanical.
+  * Every run now emits `"hn":[calMinMs,calMaxMs,gcPct,nSpready]` plus
+  * `"noisy":1` when contaminated, where
+  *  - calMin/calMax are the best/worst of six runs (three before the
+  *    session, three after the suite) of a FIXED single-thread
+  *    CPU-bound calibration loop — identical work every round, so on a
+  *    quiet host the six agree within a few percent and any
+  *    oversubscription stretches the worst run;
+  *  - gcPct is this JVM's cumulative GC time over the suite as a
+  *    percent of suite wall (r17's smoking gun was GC-seconds
+  *    EXCEEDING wall: starved GC threads on an oversubscribed box);
+  *  - nSpready counts queries whose timed-run spread exceeds their
+  *    best time (each individually is normal sub-second jitter; many
+  *    at once is the host, not the plans).
+  * The `noisy` verdict ([[hostNoiseVerdict]], spec-gated) trips on
+  * calMax > 1.5x calMin, gc > wall, or nSpready >= max(5, 10% of the
+  * query set). The hn/noisy fields ride EVERY budget candidate (they
+  * are the warning — dropping them defeats the sentinel) and sit at
+  * the line's tail next to "proto" so tail capture keeps them; their
+  * ~21 quiet-host chars push the fullest line into the documented
+  * fallback (errors-when-empty + runs drop; timed_runs still fits),
+  * which loses only diagnostics, never times. Full detail (all six
+  * cal times, gc/wall ms, the spready query names, trip reasons) goes
+  * to stderr.
   */
 object Bench {
   private def ms3(v: Double): String = {
     if (v < 0) "-1"
     else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+  }
+
+  // JIT cannot elide the calibration loop while its result escapes
+  @volatile private var calSink = 0L
+
+  /** One run of the fixed calibration workload: 2^27 xorshift steps on
+    * one thread, ~150 ms on a quiet core of this class of machine.
+    * Pure CPU, no allocation, no Spark state — its wall measures the
+    * HOST's cpu availability and nothing else.
+    */
+  private[graft] def calibrateOnce(): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    calSink = x
+    (System.nanoTime() - t0) / 1000000L
+  }
+
+  private def totalGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** The noisy-host decision, pure so BenchNoiseSpec can gate the
+    * thresholds (see the object doc's sentinel section for why each
+    * signal exists). Returns the trip reasons; empty = quiet.
+    */
+  private[graft] def hostNoiseVerdict(
+      calMs: Seq[Long], gcMs: Long, wallMs: Long,
+      nSpready: Int, nQueries: Int): Seq[String] = {
+    require(calMs.nonEmpty, "hostNoiseVerdict needs at least one calibration sample")
+    val calMin = calMs.min
+    val calMax = calMs.max
+    Seq(
+      // 2x integer-math threshold for 1.5x: quiet-host spread on a
+      // fixed 150 ms pure-CPU loop is a few percent
+      if (calMax * 2 > calMin * 3)
+        Some(s"calibration spread $calMin-$calMax ms (> 1.5x)") else None,
+      if (gcMs > wallMs)
+        Some(s"gc $gcMs ms > suite wall $wallMs ms") else None,
+      if (nQueries > 0 && nSpready >= math.max(5, nQueries / 10))
+        Some(s"timed-run spread > best on $nSpready/$nQueries queries") else None
+    ).flatten
   }
 
   def main(args: Array[String]): Unit = {
@@ -87,7 +160,12 @@ object Bench {
       require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
       n
     }.getOrElse(2)
+    // three calibration runs before the session exists (nothing else
+    // in this JVM yet), three more after the suite on the idle session
+    val calBefore = (1 to 3).map(_ => calibrateOnce())
     val spark = Sessions.local()
+    val gc0 = totalGcMs()
+    val suiteT0 = System.nanoTime()
 
     def materialize(fn: (SparkSession, String) => DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -167,6 +245,22 @@ object Bench {
         else (name, times.min, times.max - times.min, times.size)
       }
     }
+    // host-noise sentinel inputs (see the object doc): suite wall + GC
+    // delta bracket the query region; the post-suite calibration runs
+    // on the now-idle session
+    val suiteWallMs = (System.nanoTime() - suiteT0) / 1000000L
+    val gcMs = totalGcMs() - gc0
+    val calAll = calBefore ++ (1 to 3).map(_ => calibrateOnce())
+    val spreadyNames = results.collect {
+      case (k, v, s, n) if v > 0 && n >= 2 && s > v => k
+    }
+    val noiseReasons =
+      hostNoiseVerdict(calAll, gcMs, suiteWallMs, spreadyNames.size, results.size)
+    val noisy = noiseReasons.nonEmpty
+    System.err.println(
+      s"[bench] host-noise: cal_ms=${calAll.mkString("[", ",", "]")} gc_ms=$gcMs " +
+        s"suite_wall_ms=$suiteWallMs spready=${spreadyNames.mkString("[", ",", "]")} " +
+        s"noisy=$noisy reasons=${noiseReasons.mkString("[", "; ", "]")}")
     // capped-bucket dedup queries publish their drop count per run
     results.foreach { case (name, _, _, _) =>
       SparkEntry.reportedDrops(name).foreach { n =>
@@ -213,7 +307,13 @@ object Bench {
       // candidate fallback.
       // short value: the full "cache-honest-r13" tag rides stderr; the
       // stdout field only needs to version the protocol
-      s"""$head$err$runs$tr,"queries":$qs,"proto":"r13"}"""
+      // hn/noisy (r18 sentinel) ride EVERY candidate — they are the
+      // warning a contaminated line must carry — and sit at the tail
+      // with "proto" so tail capture keeps them
+      val gcPct = if (suiteWallMs > 0) gcMs * 100 / suiteWallMs else -1
+      val hn = s""","hn":[${calAll.min},${calAll.max},$gcPct,${spreadyNames.size}]""" +
+        (if (noisy) ""","noisy":1""" else "")
+      s"""$head$err$runs$tr,"queries":$qs$hn,"proto":"r13"}"""
     }
     val budget = 1800
     val candidates = Seq(line(true, true), line(false, true), line(false, false))

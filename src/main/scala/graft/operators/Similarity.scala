@@ -71,12 +71,20 @@ object Similarity {
       // be non-null: every consumer (withNorm, the kernels) already
       // drops NULL vectors, so whether the sampler trips on one must
       // not depend on scan order / file layout (r17 review finding —
-      // the IVF byte gate made this a wired-path crash)
-      val row = embeddings.select(size(col("embedding")).as("d"))
-        .filter(col("d").isNotNull).limit(1).collect()
+      // the IVF byte gate made this a wired-path crash). The null
+      // filter is on the COLUMN, not on size(): under legacy
+      // sizeOfNull semantics (an ansi=false foreign/spark-submit
+      // session, which Sessions' scaladoc explicitly supports)
+      // size(NULL) is -1, not NULL, and a size-based filter would
+      // pass a NULL row through as dimension -1 (r17 ADVICE).
+      val row = embeddings.filter(col("embedding").isNotNull)
+        .select(size(col("embedding")).as("d")).limit(1).collect()
       require(row.nonEmpty,
         "dimOf: embeddings input has no non-NULL vector — ANN needs at least one to size its index")
       val d = row.head.getInt(0)
+      require(d >= 0,
+        s"dimOf: size(embedding) returned $d — a negative size can only mean legacy " +
+          "null semantics leaked past the null filter or a non-array column")
       dimCache.synchronized(dimCache.put(key, Integer.valueOf(d)))
       d
     }

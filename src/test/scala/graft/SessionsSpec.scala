@@ -18,8 +18,15 @@ class SessionsSpec extends AnyFunSuite {
 
   private lazy val spark = Sessions.local("4")
 
+  // the suite must stay green in an environment that exports the
+  // deployment override (SPARK_GRAFT_INITIAL_PARTITIONS): Sessions.local
+  // reads it unconditionally BY DESIGN, so the expected initial count
+  // is the resolved value, not the literal cores (r17 ADVICE)
+  private lazy val expectedInitial = Sessions.initialPartitions("4")
+
   test("initial shuffle count = cores locally; coalescing on; cache re-planning off") {
-    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum") === "4")
+    assert(spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") === expectedInitial)
     // streaming state stores key off shuffle.partitions at first run
     // (AQE is not applied to stateful streaming shuffles)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
@@ -55,6 +62,11 @@ class SessionsSpec extends AnyFunSuite {
     // post-AQE partition count: a ~KB shuffle must coalesce, proving
     // the coalescing machinery the posture leans on is actually active
     val parts = out.rdd.getNumPartitions
-    assert(parts >= 1 && parts < 4, s"post-AQE partitions = $parts")
+    // bound by the RESOLVED initial count (>= 2 so the bound is never
+    // vacuous): with the deployment override exported the session
+    // legitimately starts wider than cores, and a ~KB shuffle must
+    // still coalesce below wherever it started
+    val bound = math.max(2, expectedInitial.toInt)
+    assert(parts >= 1 && parts < bound, s"post-AQE partitions = $parts (initial $expectedInitial)")
   }
 }
