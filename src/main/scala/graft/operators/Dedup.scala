@@ -951,6 +951,27 @@ object Dedup {
     * equality and selection order are spec-gated in ProbeCellsSpec;
     * recall floor in DedupSpec; both regimes profiled in SCALING_r16.
     */
+  /** The IVF cell-count sizing rule, extracted (r18) so the byte gate
+    * is directly spec-gated and the profiling harnesses can report
+    * requested-vs-gated cells without re-deriving the arithmetic:
+    * demand = max(cellFactor·√n, n·probes/(cap/2)) — the classical √n
+    * operating point, lifted so expected multi-probe population stays
+    * at half the hot-cell cap; supply = min(maxCells, maxCentroidBytes
+    * / (8·dim)) — the count cap AND the centroid-matrix byte gate (the
+    * matrix rides the task binary; see the wiring comment at the call
+    * site). Floor at max(minCells, probes).
+    */
+  private[graft] def ivfCellCount(
+      n: Long, dim: Int, probes: Int, cellFactor: Double,
+      minCells: Int = 8, maxCells: Int = 1 << 20,
+      maxBucketSize: Int = 4096, maxCentroidBytes: Long = 256L << 20): Int = {
+    val cellsByBytes = math.max(minCells.toLong, maxCentroidBytes / (8L * dim))
+    math.max(math.max(minCells, probes).toLong,
+      math.min(math.min(maxCells.toLong, cellsByBytes),
+        math.max(math.ceil(cellFactor * math.sqrt(n.toDouble)).toLong,
+          math.ceil(n.toDouble * probes / (maxBucketSize / 2)).toLong))).toInt
+  }
+
   def embeddingNearDupsIvf(
       embeddings: DataFrame,
       threshold: Double = 0.4,
@@ -991,11 +1012,8 @@ object Dedup {
     // operator exists for. Default 256 MB ⇒ 512k cells at the testdata's
     // dim 64, ~43k at dim 768.
     val dim = Similarity.dimOf(embeddings)
-    val cellsByBytes = math.max(minCells.toLong, maxCentroidBytes / (8L * dim))
-    val nCells = math.max(math.max(minCells, probes).toLong,
-      math.min(math.min(maxCells.toLong, cellsByBytes),
-        math.max(math.ceil(cellFactor * math.sqrt(n.toDouble)).toLong,
-          math.ceil(n.toDouble * probes / (maxBucketSize / 2)).toLong))).toInt
+    val nCells = ivfCellCount(
+      n, dim, probes, cellFactor, minCells, maxCells, maxBucketSize, maxCentroidBytes)
     val centroids = Similarity.ivfCentroids(embeddings, nCells, lloydIters)
     val pEff = math.min(probes, centroids.length)
     graft.functions.QuantCosinePairs.register(embeddings.sparkSession)

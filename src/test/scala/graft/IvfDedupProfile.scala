@@ -138,23 +138,51 @@ object IvfDedupProfile {
       s"eps=$eps sampled=${sampledQids.isDefined} exact_pairs=${exact.size} " +
       s"gen=$harnessGen")
 
-    def run(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+    // capBuckets drops per run (r18, verdict item 4): the byte-gate
+    // degrade branch raises per-cell population, and capBuckets is its
+    // observable backstop — a gate run whose drops stay dark proves
+    // nothing. Observation metrics arrive on the async listener bus;
+    // poll bounded like SparkEntry.reportedDrops.
+    def dropsOf(o: org.apache.spark.sql.Observation): Long = {
+      val deadline = System.nanoTime() + 2_000_000_000L
+      var metric: Option[Long] = None
+      while (metric.isEmpty && System.nanoTime() < deadline) {
+        metric = Option(org.apache.spark.sql.classic.GraftInternal
+          .observedMetricsOrEmpty(o).getOrElse("dropped_memberships", null))
+          .map { case n: java.lang.Number => n.longValue }
+        if (metric.isEmpty) Thread.sleep(50)
+      }
+      metric.getOrElse(-1L)
+    }
+    def run(tag: String,
+        mkDf: Option[org.apache.spark.sql.Observation] => org.apache.spark.sql.DataFrame): Unit = {
       Sessions.dropAllCaches(spark)
       drained(); shufW.set(0L)
+      val obs = org.apache.spark.sql.Observation()
       val t0 = System.nanoTime()
-      val got = pairsOf(restricted(df))
+      val got = pairsOf(restricted(mkDf(Some(obs))))
       val wall = (System.nanoTime() - t0) / 1e9
       val mb = drained() >> 20
       val recall = if (exact.isEmpty) 1.0 else (exact & got).size.toDouble / exact.size
       val precision = if (got.isEmpty) 1.0 else (exact & got).size.toDouble / got.size
       println(f"[ivfprof] $tag recall=$recall%.4f precision=$precision%.4f " +
-        f"wall=$wall%.2f s shuffle=${mb}MB pairs=${got.size}")
+        f"wall=$wall%.2f s shuffle=${mb}MB pairs=${got.size} drops=${dropsOf(obs)}")
     }
-    run("lsh", Dedup.embeddingNearDupsLsh(emb, threshold))
+    // sizing report (r18): requested vs byte-gated cell count per grid
+    // point, from the operator's own extracted rule — a gate run must
+    // SHOW the gate engaged (gated < uncapped), not imply it
+    val dim = graft.operators.Similarity.dimOf(emb)
+    for (cf <- cfGrid; p <- probesGrid) {
+      val gated = Dedup.ivfCellCount(n, dim, p, cf)
+      val uncapped = Dedup.ivfCellCount(n, dim, p, cf, maxCentroidBytes = Long.MaxValue)
+      println(s"[ivfprof] sizing p=$p cf=$cf dim=$dim n=$n cells=$gated " +
+        s"uncapped=$uncapped byte_gate_engaged=${gated < uncapped}")
+    }
+    run("lsh", o => Dedup.embeddingNearDupsLsh(emb, threshold, dropObs = o))
     for (cf <- cfGrid; p <- probesGrid; sp <- spGrid)
       run(if (spGrid.size == 1) s"ivf p=$p cf=$cf" else s"ivf p=$p cf=$cf sp=$sp",
-        Dedup.embeddingNearDupsIvf(emb, threshold, probes = p, cellFactor = cf,
-          superProbes = sp))
+        o => Dedup.embeddingNearDupsIvf(emb, threshold, probes = p, cellFactor = cf,
+          superProbes = sp, dropObs = o))
     spark.stop()
   }
 }

@@ -485,6 +485,22 @@ class DedupSpec extends AnyFunSuite {
       s"identical-vector pairs missed under the byte gate: ${mustFind.filterNot(ivf.contains)}")
   }
 
+  test("ivfCellCount: byte gate caps supply at production dim; floors hold") {
+    // r18 (the sizing rule extracted from embeddingNearDupsIvf): at the
+    // default 256 MB budget and dim 768, supply = 256 MB / (8 B x 768)
+    // = 43,690 cells — the documented production-width ceiling — while
+    // the demand side (cf=64 over 800k vectors) asks for 57,244
+    assert(Dedup.ivfCellCount(800000L, 768, 4, 64.0) === 43690)
+    assert(Dedup.ivfCellCount(
+      800000L, 768, 4, 64.0, maxCentroidBytes = Long.MaxValue) === 57244)
+    // testdata dim 64: the byte supply is 512k cells, so the 2^20
+    // count cap and the byte gate are both above any wired demand
+    assert(Dedup.ivfCellCount(800000L, 64, 4, 1.0) === 1563) // n*probes/(cap/2)
+    // floor: max(minCells, probes) even when demand is tiny
+    assert(Dedup.ivfCellCount(100L, 64, 16, 0.001) === 16)
+    assert(Dedup.ivfCellCount(100L, 64, 1, 0.001) === 8)
+  }
+
   test("index-exchange sizing: floor for small corpora, proportional, capped") {
     // r17: the ranked/perDoc cache exchanges are sized from corpus
     // stats (AQE cannot re-plan inside a persisted plan). spark.range
