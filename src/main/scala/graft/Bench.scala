@@ -31,7 +31,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    67 sub-10 s values all pay;
   *  - all per-query diagnostic maps (spread, exact timed-run counts)
   *    go to stderr; stdout carries only the modal run count plus how
-  *    many queries differ ({"default":N,"n_except":K});
+  *    many queries differ ("tr":[modal,n_except] since r18);
   *  - `sf` is the directory basename, not the full path;
   *  - the line is SELF-CHECKED against a 1800-char budget (the window
   *    minus sbt's ~75-char trailing "[success] Total time" line, with
@@ -75,11 +75,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * independent re-run proved it — that adjudication must be mechanical.
   * Every run now emits `"hn":[calMinMs,calMaxMs,gcPct,nSpready]` plus
   * `"noisy":1` when contaminated, where
-  *  - calMin/calMax are the best/worst of six runs (three before the
-  *    session, three after the suite) of a FIXED single-thread
-  *    CPU-bound calibration loop — identical work every round, so on a
-  *    quiet host the six agree within a few percent and any
-  *    oversubscription stretches the worst run;
+  *  - calMin/calMax are the best/worst over three runs before the
+  *    session, one at EVERY query boundary (a mid-suite phase is
+  *    invisible to endpoint-only sampling), and three after the suite,
+  *    of a FIXED single-thread CPU-bound calibration loop — identical
+  *    work every round, so on a quiet host all samples agree within a
+  *    few percent and any oversubscription window stretches the worst;
   *  - gcPct is this JVM's cumulative GC time over the suite as a
   *    percent of suite wall (r17's smoking gun was GC-seconds
   *    EXCEEDING wall: starved GC threads on an oversubscribed box);
@@ -92,10 +93,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are the warning — dropping them defeats the sentinel) and sit at
   * the line's tail next to "proto" so tail capture keeps them; their
   * ~21 quiet-host chars push the fullest line into the documented
-  * fallback (errors-when-empty + runs drop; timed_runs still fits),
-  * which loses only diagnostics, never times. Full detail (all six
-  * cal times, gc/wall ms, the spready query names, trip reasons) goes
-  * to stderr.
+  * fallback (errors-when-empty + runs drop), and the timed-runs
+  * diagnostic is compacted to "tr":[modal,n_except] so IT still fits
+  * — the fallback loses only diagnostics, never times. Full detail
+  * (every cal sample in order, gc/wall ms, the spready query names,
+  * trip reasons) goes to stderr.
   */
 object Bench {
   private def ms3(v: Double): String = {
@@ -181,6 +183,7 @@ object Bench {
     // the ContextCleaner's weak refs fire for broadcast/shuffle
     // leftovers too, and give its queue a moment to drain — each query
     // should measure its plan, not its predecessors' heap history.
+    val midCal = scala.collection.mutable.ArrayBuffer[Long]()
     def settleBetweenQueries(): Unit = {
       // r13's ngram prefix phase persist()s its ranked/perDoc frames,
       // and a later query rebuilding the identical subplan (q_dedup_
@@ -190,6 +193,12 @@ object Bench {
       Sessions.dropAllCaches(spark)
       System.gc()
       Thread.sleep(200)
+      // one mid-suite calibration sample per query boundary (r18): the
+      // before/after pairs bracket the suite but cannot see a host
+      // phase that starts and ends INSIDE it — which is exactly how the
+      // r17/r18 50-140 s excursions on the ngram family presented.
+      // ~150 ms x 68 boundaries is ~1.3% of suite wall.
+      midCal += calibrateOnce()
     }
 
     // The storage-layout twins run FIRST and ADJACENT: their whole point
@@ -242,7 +251,14 @@ object Bench {
         if (nRuns >= 2 && times.nonEmpty && times.min < 1.0 && times.size < 3)
           times = times ++ (times.size until 3).flatMap(_ => timedRun(fn))
         if (times.isEmpty) (name, -1.0, -1.0, 0)
-        else (name, times.min, times.max - times.min, times.size)
+        else {
+          // every timed run, in order, to stderr (r18): a spread number
+          // alone cannot distinguish one 100 s excursion from uniform
+          // jitter — the r17/r18 adjudications needed exactly this
+          System.err.println(
+            times.map(t => f"$t%.3f").mkString(s"[bench] times $name: ", ",", ""))
+          (name, times.min, times.max - times.min, times.size)
+        }
       }
     }
     // host-noise sentinel inputs (see the object doc): suite wall + GC
@@ -250,7 +266,7 @@ object Bench {
     // on the now-idle session
     val suiteWallMs = (System.nanoTime() - suiteT0) / 1000000L
     val gcMs = totalGcMs() - gc0
-    val calAll = calBefore ++ (1 to 3).map(_ => calibrateOnce())
+    val calAll = calBefore ++ midCal ++ (1 to 3).map(_ => calibrateOnce())
     val spreadyNames = results.collect {
       case (k, v, s, n) if v > 0 && n >= 2 && s > v => k
     }
@@ -295,7 +311,12 @@ object Bench {
       val head = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","qunit":"ms","sf":"$sfName""""
       val err = if (errors == "[]" && !withRuns) "" else s""","errors":$errors"""
       val runs = if (withRuns) s""","runs":$nRuns""" else ""
-      val tr = if (withTimedRuns) s""","timed_runs":{"default":$modalRuns,"n_except":$nExcept}""" else ""
+      // compact since r18: the hn sentinel's ~21 chars pushed the long
+      // form out of EVERY candidate on the 68-query line (the first
+      // full-suite run after the sentinel landed emitted neither runs
+      // nor timed_runs) — [modal, n_except] carries the same two
+      // numbers in a third of the chars and fits candidate 2
+      val tr = if (withTimedRuns) s""","tr":[$modalRuns,$nExcept]""" else ""
       // protocol annotation (r14 verdict item 6): Bench is cache-honest
       // since r13 (CacheManager cleared before every timed run), so the
       // r11->r13 headline climb is a protocol change, not a regression;

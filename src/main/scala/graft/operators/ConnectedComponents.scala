@@ -112,9 +112,16 @@ object ConnectedComponents {
     * against Spark upgrades. Caller unpersists.
     */
   /** Explicit partition count for the cached edge exchange: edge bytes
-    * from the PAIR COUNT (2 rows of 2 longs per pair, ~32 B a shuffled
-    * row) against the 64 MB advisory, floored at the session's
-    * parallelism, capped at 64x. Inheriting the pair frame's partition
+    * from the PAIR COUNT (2 rows of 2 longs per pair, ~32 B a row)
+    * against the 64 MB advisory, floored at the session's
+    * parallelism, capped at 64x. The 32 B/row constant is MEASURED
+    * (r18, EdgeBytesProbe at the wired ngram producer, SCALING_r18
+    * `edge_bytes_per_row`): the exchange writes 11.95–13.91 B/row
+    * lz4-compressed on the wire, while the persisted cache this
+    * exchange exists to size holds deserialized ~24 B UnsafeRows plus
+    * block overhead — the constant deliberately tracks the CACHE's
+    * in-memory per-partition footprint (what actually spills), giving
+    * ~2.3x headroom over wire bytes at the advisory. Inheriting the pair frame's partition
     * COUNT was tried first and is wrong for the wired caller: the pair
     * checkpoint rides the nP-sized perDoc cache partitioning (not an
     * AQE-coalesced count), so inheritance doubled small-scale edge

@@ -872,8 +872,8 @@ object Dedup {
     * exactly the T ~ n^ρ table growth the method mandates; wall 10.5×).
     *
     * Shape: fit `nCells ≈ cellFactor·√n` coarse centroids on a BOUNDED
-    * sample ([[Similarity.ivfCentroids]] — one TakeOrdered scan +
-    * driver-local Lloyd, corpus-size-independent); each vector assigns
+    * sample ([[Similarity.ivfCentroids]] — one hash-cutoff filtered
+    * scan + driver-local Lloyd, corpus-size-independent); each vector assigns
     * map-side to its `probes` nearest cells (full-precision
     * [[graft.functions.CentroidScores]], the annIvfTopK assignment);
     * the ONE corpus-sized exchange carries each vector `probes` times,
@@ -1014,7 +1014,7 @@ object Dedup {
     val dim = Similarity.dimOf(embeddings)
     val nCells = ivfCellCount(
       n, dim, probes, cellFactor, minCells, maxCells, maxBucketSize, maxCentroidBytes)
-    val centroids = Similarity.ivfCentroids(embeddings, nCells, lloydIters)
+    val centroids = Similarity.ivfCentroids(embeddings, nCells, lloydIters, nRows = n)
     val pEff = math.min(probes, centroids.length)
     graft.functions.QuantCosinePairs.register(embeddings.sparkSession)
     // top-p cells per vector via the fused ProbeCells kernel (r16):

@@ -157,15 +157,63 @@ object Similarity {
     * (C × dim doubles) and lives on the driver — index construction is a
     * fit step, like any ML estimator.
     */
+  /** The unsigned-64 hash value below which a uniform xxhash64 lands
+    * with probability `frac` — the pre-filter the fit draw uses to
+    * bound per-task collect results.
+    */
+  private[graft] def hashCutoff(frac: Double): Long =
+    if (frac >= 1.0) Long.MaxValue
+    else (BigDecimal(Long.MinValue) + BigDecimal(2).pow(64) * BigDecimal(frac))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact
+
+  /** The fit draw: the `target` corpus vectors with the smallest
+    * xxhash64(vec_id) (a seeded pseudo-random draw). Implemented as a
+    * hash-CUTOFF filter + one parallel collect + a driver-side sort,
+    * NOT orderBy(h).limit(target): TakeOrdered returns up to `target`
+    * rows PER TASK, and at production dims that blows
+    * spark.driver.maxResultSize long before the driver holds the
+    * sample — measured (r18, SCALING_r18 ivf_dim768_byte_gate): the
+    * 43,690-cell dim-768 fit shipped ~151 MB per task and aborted at
+    * 7 tasks/1.06 GB against the 1 GB default. The cutoff passes
+    * ~1.5x `target` rows TOTAL (binomial, margin 1.5 — undershoot
+    * probability < e^(-target/50) at the 4096 floor, and the
+    * deterministic x8 escalation loop makes even that safe), so the
+    * collect moves ~1.5x the sample bytes regardless of dim, and the
+    * 256 MB centroid byte gate bounds the sample bytes themselves.
+    * Hash ties at the cutoff boundary are 64-bit-collision rare and
+    * were resolved arbitrarily by TakeOrdered too.
+    */
+  private[graft] def fitDraw(
+      e: DataFrame, target: Int, nRows: Long): Array[Array[Double]] = {
+    var frac = if (nRows <= 0) 1.0 else math.min(1.0, 1.5 * target.toDouble / nRows)
+    var drawn: Array[(Long, Array[Double])] = Array.empty
+    var done = false
+    while (!done) {
+      val cutoff = hashCutoff(frac)
+      drawn = e.withColumn("h", xxhash64(col("vec_id")))
+        .filter(col("h") <= cutoff)
+        .select(col("h"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      done = drawn.length >= target || frac >= 1.0
+      if (!done) frac = math.min(1.0, frac * 8)
+    }
+    drawn.sortBy(_._1).take(target).map(_._2)
+  }
+
   private[graft] def ivfCentroids(
       embeddings: DataFrame, nCentroids: Int, lloydIters: Int,
       fitSample: Int = 4096,
-      hierThreshold: Int = 4096): Seq[Seq[Double]] = {
-    // Bounded fit: ONE cluster-side top-n job draws the max(nCentroids,
-    // fitSample) non-zero corpus vectors with the smallest
-    // xxhash64(vec_id) (a seeded pseudo-random draw; TakeOrdered, not a
-    // full sort), and the Lloyd refinement runs driver-local on that
-    // sample matrix — the standard train-on-a-sample coarse quantizer.
+      hierThreshold: Int = 4096,
+      nRows: Long = -1L): Seq[Seq[Double]] = {
+    // Bounded fit: ONE cluster-side filtered-collect job draws the
+    // max(nCentroids, fitSample) non-zero corpus vectors with the
+    // smallest xxhash64(vec_id) (see [[fitDraw]] for why it is a hash
+    // cutoff, not a TakeOrdered), and the Lloyd refinement runs
+    // driver-local on that sample matrix — the standard
+    // train-on-a-sample coarse quantizer. `nRows` is the caller's
+    // known non-zero-vector count (every wired caller has one from its
+    // own sizing); -1 falls back to one count() scan here.
     // The final cell ASSIGNMENT (annIvfTopK / ProbeCells) stays exact
     // and distributed over the full corpus. The first nCentroids of the
     // draw seed the cells (same seeding rule as the previous
@@ -181,16 +229,11 @@ object Similarity {
     // [[hierarchicalCells]]. At or below the threshold the flat path
     // is byte-identical to the r15/r16 fit, so every oracled small-SF
     // result is unchanged.
+    // zero vectors can neither seed nor steer a cell — withNorm
+    // already excludes them centrally
     val e = withNorm(embeddings)
-    val sample: Array[Array[Double]] = e
-      // zero vectors can neither seed nor steer a cell — withNorm
-      // already excludes them centrally
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h")
-      .limit(math.max(nCentroids, fitSample))
-      .select("v")
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample: Array[Array[Double]] =
+      fitDraw(e, math.max(nCentroids, fitSample), if (nRows > 0) nRows else e.count())
     val effective = math.min(nCentroids, sample.length)
     val cells =
       if (effective <= hierThreshold)
@@ -526,13 +569,15 @@ object Similarity {
       nProbe: Int = 12,
       lloydIters: Int = 1): DataFrame = {
     TopKByScore.register(embeddings.sparkSession)
-    val centroids = ivfCentroids(embeddings, nCentroids, lloydIters)
     // materialized once — the corpus assignment and the query projection
     // would otherwise each rescan the source and recompute norms.
     // EAGER (r16 audit): the query projection sits inside broadcast()
     // — an async build job that, lazy, races the corpus branch for
-    // these blocks and rescans the source per loser.
+    // these blocks and rescans the source per loser. Built BEFORE the
+    // fit since r18 so the fit draw gets its nRows from a stored-block
+    // count instead of a second corpus scan.
     val e = withNorm(embeddings).localCheckpoint(eager = true)
+    val centroids = ivfCentroids(embeddings, nCentroids, lloydIters, nRows = e.count())
     val corpus = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
     // nProbe nearest cells per query: sort (−score, idx) structs, slice
     val probes = {

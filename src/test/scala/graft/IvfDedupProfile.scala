@@ -178,7 +178,11 @@ object IvfDedupProfile {
       println(s"[ivfprof] sizing p=$p cf=$cf dim=$dim n=$n cells=$gated " +
         s"uncapped=$uncapped byte_gate_engaged=${gated < uncapped}")
     }
-    run("lsh", o => Dedup.embeddingNearDupsLsh(emb, threshold, dropObs = o))
+    // SPARK_GRAFT_IVFPROF_SKIP_LSH skips the (expensive) LSH baseline
+    // when a prior log already holds it for the same corpus/config —
+    // e.g. re-running only the IVF side after an operator fix (r18)
+    if (!sys.env.contains("SPARK_GRAFT_IVFPROF_SKIP_LSH"))
+      run("lsh", o => Dedup.embeddingNearDupsLsh(emb, threshold, dropObs = o))
     for (cf <- cfGrid; p <- probesGrid; sp <- spGrid)
       run(if (spGrid.size == 1) s"ivf p=$p cf=$cf" else s"ivf p=$p cf=$cf sp=$sp",
         o => Dedup.embeddingNearDupsIvf(emb, threshold, probes = p, cellFactor = cf,

@@ -78,4 +78,36 @@ class HierFitSpec extends AnyFunSuite {
     assert(hier.length == flat.length,
       s"count contract broke on a small corpus: hier=${hier.length} flat=${flat.length}")
   }
+
+  test("hash-cutoff fit draw equals the TakeOrdered draw it replaced") {
+    // r18: the draw moved from orderBy(h).limit(t) (per-TASK results of
+    // up to t rows — blew spark.driver.maxResultSize at dim 768, see
+    // fitDraw's scaladoc) to a cutoff filter + driver-side sort. Same
+    // rows, same order, for every target regime: under, at, and over
+    // the corpus size — and regardless of whether nRows is exact, an
+    // overestimate (smaller initial cutoff + escalation), or unknown.
+    import org.apache.spark.sql.functions._
+    val df = corpus(500, 16, seed = 7L)
+    val e = Similarity.withNorm(df)
+    def oldDraw(t: Int): Seq[Seq[Double]] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(t).select("v").collect()
+      .map(_.getSeq[Double](0)).toSeq
+    for (t <- Seq(16, 100, 500, 700); n <- Seq(500L, 10000L, -1L)) {
+      val got = Similarity.fitDraw(e, t, n).map(_.toSeq).toSeq
+      assert(got === oldDraw(t), s"draw diverged at target=$t nRows=$n")
+    }
+  }
+
+  test("hashCutoff maps fractions onto the unsigned hash line monotonically") {
+    assert(Similarity.hashCutoff(1.0) === Long.MaxValue)
+    assert(Similarity.hashCutoff(0.0) === Long.MinValue)
+    // 0.5 of the unsigned span from Long.MinValue lands at the unsigned
+    // midpoint (floor formula admits ≤1 extra value — immaterial under
+    // the draw's 1.5x margin), NOT anywhere near Long.MaxValue
+    assert(Similarity.hashCutoff(0.5) === 0L)
+    val fs = Seq(0.001, 0.01, 0.1, 0.25, 0.5, 0.9, 0.999)
+    val cs = fs.map(Similarity.hashCutoff)
+    assert(cs === cs.sorted, s"non-monotonic cutoffs: $cs")
+  }
 }

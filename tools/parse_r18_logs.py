@@ -1,0 +1,237 @@
+#!/usr/bin/env python3
+"""Parse the round-18 campaign logs into SCALING_r18.json — same
+mechanical discipline as the r16/r17 parsers (every artifact number
+scraped from a harness log, never transcribed by hand).
+Usage:
+  python3 tools/parse_r18_logs.py <logDir> [--write]
+Expects in <logDir> (each optional — absent logs are skipped with a
+stderr note):
+  r18_bench_full_{a,b}.log/.err  fresh-JVM full-suite Bench at HEAD,
+                                 sf0.1, RUNS=3 (verdict item 1a) — the
+                                 .log holds the JSON line, the .err the
+                                 host-noise stderr detail
+  r18_partscale_sf01.log         PartitionScaleAB 8-query re-land
+                                 (verdict item 2)
+  r18_edgebytes.log              EdgeBytesProbe (verdict item 5)
+  r18_ivf_dim768.log             IvfDedupProfile on the tiled dim-768
+                                 corpus (verdict item 4)
+Without --write, prints the artifact JSON to stdout for inspection;
+with --write, writes SCALING_r18.json at the repo root.
+"""
+import json, os, re, statistics, sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from parse_r16_logs import read  # noqa: E402
+from parse_r17b_logs import partscale_multi  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_side(logdir, side):
+    txt = read(logdir, f"r18_bench_full_{side}.log")
+    if not txt:
+        return None
+    line = next((ln for ln in txt.splitlines() if ln.startswith("{")), None)
+    if not line:
+        print(f"[parse] bench {side}: no JSON line", file=sys.stderr)
+        return None
+    d = json.loads(line)
+    out = {"total_s": d["value"], "queries_ms": d["queries"],
+           "hn": d.get("hn"), "noisy": d.get("noisy", 0),
+           "errors": d.get("errors", [])}
+    err = read(logdir, f"r18_bench_full_{side}.err") or ""
+    m = re.search(r"\[bench\] host-noise: (.*)", err)
+    if m:
+        out["host_noise_stderr"] = m.group(1)
+    return out
+
+
+def fullsuite_key(logdir):
+    sides = {s: bench_side(logdir, s) for s in ("a", "b")}
+    sides = {s: v for s, v in sides.items() if v}
+    if not sides:
+        return None
+    key = {"sides": sides}
+    # best-of-sides per query, then compare against the committed lines
+    qmaps = [v["queries_ms"] for v in sides.values()]
+    best = {q: min(m[q] for m in qmaps if q in m)
+            for q in set().union(*[set(m) for m in qmaps])}
+    key["best_of_sides_total_s"] = round(sum(best.values()) / 1000.0, 3)
+    key["best_of_sides_ms"] = dict(sorted(best.items()))
+    for rnd in ("r15", "r16", "r17"):
+        p = os.path.join(ROOT, f"BENCH_{rnd}.json")
+        if not os.path.exists(p):
+            continue
+        prev = json.load(open(p))
+        # the driver wraps the bench line in {"tail": "<captured log>"};
+        # the JSON line is the last {...} inside the tail
+        if "queries" not in prev and "tail" in prev:
+            m2 = re.search(r"\{\"metric\".*\}", prev["tail"])
+            prev = json.loads(m2.group(0)) if m2 else {}
+        prev_q = prev.get("queries", {})
+        ratios = [best[q] / prev_q[q] for q in best
+                  if q in prev_q and prev_q[q] > 0 and best[q] > 0]
+        if ratios:
+            key[f"median_per_query_ratio_vs_{rnd}"] = round(
+                statistics.median(ratios), 3)
+            key[f"{rnd}_total_s"] = prev.get("value")
+    return key
+
+
+def edgebytes(txt):
+    out = {}
+    for m in re.finditer(
+            r"\[edgebytes\] (\S+) pairs=(\d+) edge_rows=(\d+) shuffle_rows=(\d+) "
+            r"shuffle_write_bytes=(\d+) bytes_per_row=([\d.]+) edge_parts=(\d+) "
+            r"estimate_bytes=(\d+)", txt):
+        sf, np_, ne, sr, b, bpr, ep, est = m.groups()
+        out[os.path.basename(sf)] = {
+            "pairs": int(np_), "edge_rows": int(ne), "shuffle_rows": int(sr),
+            "shuffle_write_bytes": int(b), "bytes_per_row": float(bpr),
+            "edge_parts": int(ep), "estimate_bytes_at_32B": int(est),
+            "estimate_over_measured": round(int(est) / max(1, int(b)), 2)}
+    return out or None
+
+
+def ivfprof(txt):
+    out = {"sizing": [], "runs": {}}
+    m = re.search(
+        r"\[ivfprof\] (\S+) n=(\d+) threshold=([\d.]+) plantCopies=(\d+) "
+        r"eps=([\d.]+) sampled=(\w+) exact_pairs=(\d+) gen=(\S+)", txt)
+    if m:
+        out["config"] = {
+            "sf_dir": m.group(1), "n_vectors": int(m.group(2)),
+            "threshold": float(m.group(3)), "plant_copies": int(m.group(4)),
+            "eps": float(m.group(5)), "sampled_exact": m.group(6) == "true",
+            "exact_pairs": int(m.group(7)), "gen": m.group(8)}
+    for s in re.finditer(
+            r"\[ivfprof\] sizing p=(\d+) cf=([\d.]+) dim=(\d+) n=(\d+) "
+            r"cells=(\d+) uncapped=(\d+) byte_gate_engaged=(\w+)", txt):
+        out["sizing"].append({
+            "probes": int(s.group(1)), "cell_factor": float(s.group(2)),
+            "dim": int(s.group(3)), "n": int(s.group(4)),
+            "cells": int(s.group(5)), "uncapped": int(s.group(6)),
+            "byte_gate_engaged": s.group(7) == "true"})
+    for r in re.finditer(
+            r"\[ivfprof\] (.+?) recall=([\d.]+) precision=([\d.]+) "
+            r"wall=([\d.]+) s shuffle=(\d+)MB pairs=(\d+) drops=(-?\d+)", txt):
+        out["runs"][r.group(1)] = {
+            "recall": float(r.group(2)), "precision": float(r.group(3)),
+            "wall_s": float(r.group(4)), "shuffle_mb": int(r.group(5)),
+            "pairs": int(r.group(6)), "drops": int(r.group(7))}
+    return out if (out["sizing"] or out["runs"]) else None
+
+
+def main():
+    logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r18logs"
+    write = "--write" in sys.argv
+    meas = {}
+
+    fk = fullsuite_key(logdir)
+    if fk:
+        fk["what"] = (
+            "verdict item 1a: the protocol-grade full-suite wall at "
+            "end-of-round-17 work's HEAD that r17 never shipped — two "
+            "fresh-JVM Bench runs (sf0.1, SPARK_GRAFT_BENCH_RUNS=3, "
+            "cache-honest-r13) on an otherwise-idle host, each line "
+            "carrying the NEW hn sentinel (calMin/calMax ms, gc percent "
+            "of suite wall, spread>best count). READING: compare "
+            "best-of-sides per-query against the committed r16 line "
+            "(the last clean full-suite anchor); BENCH_r17 is the "
+            "adjudicated-contaminated line and its ratio is reported "
+            "only to document the collapse of its outliers.")
+        meas["fullsuite_reland_r18_head"] = fk
+
+    txt = read(logdir, "r18_partscale_sf01.log")
+    ps = partscale_multi(txt) if txt else None
+    if ps:
+        meas["initial_partitions_pricing_sf01"] = {
+            "by_query": ps,
+            "what": (
+                "verdict item 2: quiet-host re-land of the wired-decision "
+                "pricing (r17's magnitudes landed in a documented bad "
+                "phase and were self-flagged). Same-JVM 32-vs-320 "
+                "initialPartitionNum alternation over the 8-query set at "
+                "sf0.1, 3 pairs, at r18 HEAD (operator-owned cached-"
+                "exchange sizing in). The DECISION this prices: the "
+                "session default stays at cores locally; only the fixed "
+                "small-shuffle tax magnitude was in question.")}
+
+    txt = read(logdir, "r18_edgebytes.log")
+    eb = edgebytes(txt) if txt else None
+    if eb:
+        meas["edge_bytes_per_row"] = {
+            "by_sf": eb,
+            "what": (
+                "verdict item 5: the measured shuffle-write bytes per "
+                "edge row at ConnectedComponents.buildEdges' repartition "
+                "exchange (the wired ngram pair producer, pairs "
+                "checkpointed first so the bracketed window's ONLY "
+                "shuffle is the edge exchange). edgeParts assumes 32 "
+                "B/row; shuffle write is lz4-compressed UnsafeRows, so "
+                "the measured number calibrates the advisory-divisor "
+                "constant the 64 MB sizing rule actually meters.")}
+
+    txt = read(logdir, "r18_ivf_dim768.log")
+    iv = ivfprof(txt) if txt else None
+    if iv:
+        iv["what"] = (
+            "verdict item 4: the 256 MB centroid byte gate's DEGRADE "
+            "branch and the hierarchical coarse fit executed end-to-end "
+            "at production dim (768) for the first time — tiled corpus "
+            "(EmbedDimTile: diagonal-orthogonal blocks, cosines exactly "
+            "preserved), 4 planted copies/vector at eps 0.3, threshold "
+            "0.9. cf=64 FORCES demand (57,244 cells) past the gate's "
+            "43,690-cell supply; WIRED sizing at these 800k vectors "
+            "gives ~3,125 cells (population rule), so this key is a "
+            "gate-engagement + fit-quality run, NOT a wired-defaults "
+            "recall claim — the sizing lines prove the gate engaged and "
+            "the drops field shows capBuckets' observable backstop.")
+        meas["ivf_dim768_byte_gate"] = iv
+
+    # verdict item 3: the in-artifact annotation for the r17 key a
+    # reader could mistake for "the hier fit costs ~10 recall points"
+    meas["ivf_ncells_1e5_clustered_annotation"] = {
+        "annotates": "SCALING_r17.json measurements.ivf_ncells_1e5_clustered",
+        "what": (
+            "That key's recall 0.8461 sits below the 0.85 LSH-parity "
+            "floor the wired defaults are spec'd to, and the key does "
+            "not say why: its cf=112 forcing exists to hit ~1e5 cells "
+            "over 800k vectors — a FIT-SCALE done-gate (bounded driver "
+            "time at nCells >= 1e5), far outside the wired sizing rule "
+            "(which gives ~3.1k cells at 800k vectors and probes=8, per "
+            "Dedup.ivfCellCount — spec-gated since r18). The hier fit "
+            "itself does not cost recall at wired-scale sizing: "
+            "SCALING_r17 lsh_vs_ivf_sf30_hierfit measured recall "
+            "IDENTICAL to the flat fit at the same config (p=64: 0.9651 "
+            "vs 0.9651, shuffle unchanged). Readers wanting a hier-fit "
+            "recall floor should read that key; this one gates fit "
+            "wall-time only.")}
+
+    out = {
+        "round": 18,
+        "notes": {
+            "method": (
+                "All keys scraped from /tmp/r18logs harness logs by "
+                "tools/parse_r18_logs.py (campaign: "
+                "tools/run_r18_campaign.sh — bench re-land first on an "
+                "otherwise-idle machine, then the same-JVM A/Bs, then "
+                "the dim-768 gate run)."),
+            "protocol": (
+                "Bench lines are best-of-3 per query, cache-honest-r13, "
+                "fresh JVM per side; every line now self-reports host "
+                "noise (hn sentinel, BenchNoiseSpec-gated thresholds). "
+                "Same-JVM A/Bs compare RATIOS; absolute seconds are "
+                "comparable only within one log.")},
+        "measurements": meas}
+    s = json.dumps(out, indent=1)
+    if write:
+        with open(os.path.join(ROOT, "SCALING_r18.json"), "w") as f:
+            f.write(s + "\n")
+        print(f"[parse] wrote SCALING_r18.json ({len(meas)} keys)", file=sys.stderr)
+    else:
+        print(s)
+
+
+if __name__ == "__main__":
+    main()
