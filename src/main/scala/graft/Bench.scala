@@ -122,6 +122,29 @@ object Bench {
     (System.nanoTime() - t0) / 1000000L
   }
 
+  /** One stderr line of JIT state: per-CodeHeap used/max MB plus the
+    * JVM's cumulative compilation ms. Sampled at every query boundary
+    * (r18): the captured excursions burn 10-30x CPU on identical work
+    * with flat host calibration — the interpreted-execution signature —
+    * and code-cache exhaustion/deopt churn is the leading JVM-side
+    * cause. A pegged CodeHeap or a compilation-time balloon across an
+    * excursion confirms it; flat lines refute it.
+    */
+  private def jitLine(): String = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map { pl =>
+        val u = pl.getUsage
+        s"${pl.getName.stripPrefix("CodeHeap ").replaceAll("[' ]", "")}=" +
+          s"${u.getUsed >> 20}/${u.getMax >> 20}MB"
+      }
+    val comp = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(c => s" comp_ms=${c.getTotalCompilationTime}").getOrElse("")
+    pools.mkString(" ") + comp
+  }
+
   private def totalGcMs(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -193,6 +216,7 @@ object Bench {
       Sessions.dropAllCaches(spark)
       System.gc()
       Thread.sleep(200)
+      System.err.println(s"[bench] jit ${jitLine()}")
       // one mid-suite calibration sample per query boundary (r18): the
       // before/after pairs bracket the suite but cannot see a host
       // phase that starts and ends INSIDE it — which is exactly how the
@@ -216,6 +240,49 @@ object Bench {
       .filter { case (name, _) => only.forall(pats => pats.exists(name.contains)) }
     val selected = twinsFirst.flatMap(t => all.find(_._1 == t)) ++
       all.filterNot { case (name, _) => twinsFirst.contains(name) }
+    // SPARK_GRAFT_BENCH_STAGEPROF=1 (r18): per-stage attribution for
+    // EXCURSION runs only. The r17/r18 campaigns measured rare 7-20x
+    // wall excursions on the ngram family that (a) need suite context
+    // to reproduce (12 isolated QueryProfile runs stay flat), (b) are
+    // not host load (boundary calibrations stay ~flat through one),
+    // so only an in-suite stage dump can attribute them. When a timed
+    // run exceeds 3x the query's best-so-far, the run's stages land on
+    // stderr: whether the time sits in one stage's tasks (cpu/gc/
+    // shuffle/spill columns) or BETWEEN stages (scheduler/cleaner gap
+    // = wall - stage walls) decides the next fix.
+    val stageProf = sys.env.contains("SPARK_GRAFT_BENCH_STAGEPROF")
+    val profStages = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Int, Long, Long, Long, Long, Long)]()
+    if (stageProf) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          if (si.failureReason.isEmpty) {
+            val ms = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s)
+              .getOrElse(-1L)
+            val tm = si.taskMetrics
+            profStages.add((si.stageId, ms, si.numTasks, tm.executorRunTime,
+              tm.shuffleReadMetrics.totalBytesRead >> 20,
+              tm.shuffleWriteMetrics.bytesWritten >> 20,
+              tm.jvmGCTime, tm.diskBytesSpilled >> 20))
+          }
+        }
+      })
+    def dumpExcursion(name: String, wall: Double, best: Double): Unit = {
+      import scala.jdk.CollectionConverters._
+      val snap = profStages.asScala.toVector
+      val stageWallSum = snap.map(_._2).sum / 1000.0
+      System.err.println(
+        f"[bench] EXCURSION $name wall=$wall%.2f s best=$best%.2f s " +
+          f"stages=${snap.size} stageWallSum=$stageWallSum%.2f s " +
+          f"gapEstimate=${wall - stageWallSum}%.2f s (serial-stage estimate)")
+      snap.sortBy(-_._2).take(10).foreach { case (id, ms, nt, rt, sr, sw, gc, sp) =>
+        System.err.println(
+          f"[bench]   stage=$id%-5d wall=${ms / 1000.0}%7.2f s cpu=${rt / 1000.0}%8.2f s " +
+            f"gc=${gc / 1000.0}%6.2f s tasks=$nt%-4d read=${sr}MB write=${sw}MB spill=${sp}MB")
+      }
+    }
     def timedRun(fn: (SparkSession, String) => DataFrame): Option[Double] = {
       // every timed run re-executes the WHOLE pipeline, including any
       // intermediates the operator persist()s: without this, the warm
@@ -238,7 +305,16 @@ object Bench {
         // round-over-round comparisons track the plan, not the machine;
         // the max-min spread (stderr) lets a round-over-round delta
         // smaller than the spread read as noise, not a plan change
-        var times = (1 to nRuns).flatMap(_ => timedRun(fn))
+        var times = Vector.empty[Double]
+        def instrumentedRun(): Unit = {
+          if (stageProf) profStages.clear()
+          timedRun(fn).foreach { w =>
+            if (stageProf && times.nonEmpty && w > 3 * times.min)
+              dumpExcursion(name, w, times.min)
+            times = times :+ w
+          }
+        }
+        (1 to nRuns).foreach(_ => instrumentedRun())
         // sub-second queries get a third opinion: their absolute noise
         // floor (task setup + a GC pause) is a large FRACTION of the
         // result, which is exactly where r6/r7 saw 2-7x phantom
@@ -249,7 +325,7 @@ object Bench {
         // one run per query; the per-query effective timed-run count
         // is emitted in "timed_runs" (default + exceptions).
         if (nRuns >= 2 && times.nonEmpty && times.min < 1.0 && times.size < 3)
-          times = times ++ (times.size until 3).flatMap(_ => timedRun(fn))
+          (times.size until 3).foreach(_ => instrumentedRun())
         if (times.isEmpty) (name, -1.0, -1.0, 0)
         else {
           // every timed run, in order, to stderr (r18): a spread number

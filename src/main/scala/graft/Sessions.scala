@@ -104,6 +104,22 @@ object Sessions {
       // bucket across tasks — silently breaking the co-location the
       // zero-exchange engine path (MtmEngine colocated=true) relies on
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // codegen class cache sized for a MULTI-QUERY session (r18). The
+      // default 100 entries thrashes under this engine's harnesses: the
+      // 68-query bench suite cycles ~1000+ distinct generated classes,
+      // so every timed run re-generated (janino) and re-JITed (C2) its
+      // whole plan — measured as a near-continuous compilation storm
+      // (250 s of cumulative JIT time inside a 262 s family suite,
+      // Bench's boundary jit lines) whose scheduling intermittently
+      // inflated many-stage queries 7-40x (the "ngram-family
+      // excursions" that polluted the r13-r18 wall artifacts; 44-stage
+      // q_dedup_groups_star hit 195 s on a 4.9 s plan). Static conf, so
+      // it must be set HERE, not per query; 4096 covers the suite's
+      // distinct stages with headroom, costs only driver metaspace for
+      // classes actually generated, and is the right posture for any
+      // long-lived multi-query session at scale. Excursion A/B and the
+      // jit-line evidence: SCALING_r18 codegen_cache_excursions.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
