@@ -142,7 +142,14 @@ object Bench {
     val comp = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
       .filter(_.isCompilationTimeMonitoringSupported)
       .map(c => s" comp_ms=${c.getTotalCompilationTime}").getOrElse("")
-    pools.mkString(" ") + comp
+    // loaded-class count disambiguates rising comp_ms: flat count +
+    // rising ms = the JVM C2-ing already-loaded classes (one-time
+    // backlog, benign); a count still climbing per RE-run = generated-
+    // source churn (codegen cache misses), since every janino cache
+    // miss defines and loads fresh classes
+    val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    pools.mkString(" ") + comp +
+      s" classes=${cls.getTotalLoadedClassCount}/${cls.getUnloadedClassCount}u"
   }
 
   private def totalGcMs(): Long = {

@@ -120,6 +120,18 @@ object Sessions {
       // long-lived multi-query session at scale. Excursion A/B and the
       // jit-line evidence: SCALING_r18 codegen_cache_excursions.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // ... and the ID-IN-CLASS-NAME default defeats that cache ACROSS
+      // stages: with the whole-stage codegenStageId embedded in the
+      // generated class NAME (cache-key-relevant source text), every
+      // stage of a plan is textually unique even when the generated
+      // BODIES are identical. Measured (r18, CodegenChurnAB on
+      // q_dedup_groups — a CC round loop whose per-round stages are
+      // textually identical): id-in-name loads 12,819 generated
+      // classes for ONE run where stable names load 87 (~150x), and
+      // steady-state wall drops 3.7 -> 2.5 s because C2 compiles each
+      // distinct body once instead of per stage. The id survives in
+      // the generated comment for debugging; only the name stabilizes.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

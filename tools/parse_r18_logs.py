@@ -6,10 +6,14 @@ Usage:
   python3 tools/parse_r18_logs.py <logDir> [--write]
 Expects in <logDir> (each optional — absent logs are skipped with a
 stderr note):
-  r18_bench_full_{a,b}.log/.err  fresh-JVM full-suite Bench at HEAD,
-                                 sf0.1, RUNS=3 (verdict item 1a) — the
-                                 .log holds the JSON line, the .err the
-                                 host-noise stderr detail
+  r18_bench_full_{a,b}.log/.err  fresh-JVM full-suite Bench, sf0.1,
+                                 RUNS=3 — the PRE-codegen-fix tree
+                                 (kept as before-evidence)
+  r18_bench_full_{c,d}.log/.err  same protocol at final HEAD (verdict
+                                 item 1a) — the headline sides
+  r18b_bench_family{2,3,4}.err   filtered family suites for the
+                                 excursion root-cause A/B (2,3 = 100-
+                                 entry codegen cache, 4 = 4096)
   r18_partscale_sf01.log         PartitionScaleAB 8-query re-land
                                  (verdict item 2)
   r18_edgebytes.log              EdgeBytesProbe (verdict item 5)
@@ -47,11 +51,20 @@ def bench_side(logdir, side):
 
 
 def fullsuite_key(logdir):
-    sides = {s: bench_side(logdir, s) for s in ("a", "b")}
-    sides = {s: v for s, v in sides.items() if v}
+    # sides a/b ran at the pre-codegen-fix tree (kept as the before
+    # evidence); sides c/d are the protocol re-land at final HEAD and
+    # are what the headline/best-of-sides numbers read from
+    pre = {s: v for s in ("a", "b") if (v := bench_side(logdir, s))}
+    sides = {s: v for s in ("c", "d") if (v := bench_side(logdir, s))}
+    if not sides:
+        sides = pre
+        pre = {}
     if not sides:
         return None
     key = {"sides": sides}
+    if pre:
+        key["pre_codegen_fix_sides"] = {
+            s: {k: v[k] for k in ("total_s", "hn", "noisy")} for s, v in pre.items()}
     # best-of-sides per query, then compare against the committed lines
     qmaps = [v["queries_ms"] for v in sides.values()]
     best = {q: min(m[q] for m in qmaps if q in m)
@@ -122,6 +135,65 @@ def ivfprof(txt):
     return out if (out["sizing"] or out["runs"]) else None
 
 
+def family(logdir, name):
+    """One filtered family-bench log: per-query run lists, excursion
+    dumps, jit boundary lines, host-noise line."""
+    err = read(logdir, f"{name}.err")
+    if not err:
+        return None
+    out = {"times_s": {}, "excursions": [], "jit_comp_ms": []}
+    for m in re.finditer(r"\[bench\] times (\S+): ([\d.,]+)", err):
+        out["times_s"][m.group(1)] = [float(x) for x in m.group(2).split(",")]
+    for m in re.finditer(
+            r"\[bench\] EXCURSION (\S+) wall=([\d.]+) s best=([\d.]+) s "
+            r"stages=(\d+) stageWallSum=([\d.]+) s gapEstimate=(-?[\d.]+) s", err):
+        out["excursions"].append({
+            "query": m.group(1), "wall_s": float(m.group(2)),
+            "best_s": float(m.group(3)), "stages": int(m.group(4)),
+            "stage_wall_sum_s": float(m.group(5)), "gap_s": float(m.group(6))})
+    for m in re.finditer(r"comp_ms=(\d+)", err):
+        out["jit_comp_ms"].append(int(m.group(1)))
+    m = re.search(r"suite_wall_ms=(\d+)", err)
+    if m:
+        out["suite_wall_s"] = int(m.group(1)) / 1000.0
+    m = re.search(r"gc_ms=(\d+)", err)
+    if m:
+        out["gc_s"] = int(m.group(1)) / 1000.0
+    return out if out["times_s"] else None
+
+
+def codegen_key(logdir):
+    pre = family(logdir, "r18b_bench_family3")
+    pre2 = family(logdir, "r18b_bench_family2")
+    post = family(logdir, "r18b_bench_family4")
+    if not (pre and post):
+        return None
+    key = {
+        "before_maxEntries_100": pre,
+        "before_maxEntries_100_second_suite": pre2,
+        "after_maxEntries_4096": post,
+        "what": (
+            "The root cause of the ngram-family wall excursions that "
+            "polluted the r13-r18 artifacts (BENCH_r17's adjudicated "
+            "outliers included). Same 6-query family suite, RUNS=8, "
+            "stage-prof on, before/after Sessions' "
+            "spark.sql.codegen.cache.maxEntries 100 -> 4096. BEFORE: "
+            "excursions up to 40x (195.7 s on a 4.9 s plan), "
+            "excursion stage dumps show 10-30x CPU on identical "
+            "stages, and the boundary jit lines show a near-continuous "
+            "compilation storm (cumulative JIT ms in jit_comp_ms "
+            "climbs ~250 s across a 262 s suite — the default "
+            "100-entry codegen class cache evicts every plan between "
+            "runs, so each timed run re-janinos and re-C2s its whole "
+            "query). AFTER: zero excursions, best walls drop ~2x on "
+            "the many-stage queries (groups_star 4.57 -> 2.31 s), "
+            "suite wall 262 -> 134 s, gc 6.6 -> 2.2 s. Isolated runs "
+            "(r18b_qprof_*: 12 flat QueryProfile runs) and flat "
+            "boundary calibrations through a 195 s excursion had "
+            "already excluded host load and single-query causes.")}
+    return key
+
+
 def main():
     logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r18logs"
     write = "--write" in sys.argv
@@ -141,6 +213,10 @@ def main():
             "adjudicated-contaminated line and its ratio is reported "
             "only to document the collapse of its outliers.")
         meas["fullsuite_reland_r18_head"] = fk
+
+    cg = codegen_key(logdir)
+    if cg:
+        meas["codegen_cache_excursions"] = cg
 
     txt = read(logdir, "r18_partscale_sf01.log")
     ps = partscale_multi(txt) if txt else None
