@@ -67,7 +67,9 @@ object Sessions {
       // with coalescing enabled THIS conf, not shuffle.partitions, is
       // what plans non-explicit shuffle counts — a harness A/B must
       // flip this one). Locally it stays at cores, a measured decision
-      // (r17, SCALING_r17 initial_partitions_pricing_sf01): 10x cores
+      // (r17; re-landed quiet-host r18 — SCALING_r18
+      // initial_partitions_pricing_sf01, same direction in 8/8
+      // queries, +0.03-0.08 s fixed tax at 320): 10x cores
       // priced a consistent fixed tax on every sub-second shuffly
       // query (map-side bucket count + fetch segmentation; +0.1-0.7 s
       // in 6/6 interleaved pairs) while buying nothing the engine
