@@ -278,6 +278,16 @@ object Bench {
       })
     def dumpExcursion(name: String, wall: Double, best: Double): Unit = {
       import scala.jdk.CollectionConverters._
+      // stage-completed events arrive on the ASYNC listener bus: snap
+      // too early and the excursion's final stages are missing (under-
+      // counting stageWallSum mis-attributes in-stage time to the
+      // gap estimate — the exact decision this dump exists to make)
+      // then bleed into the NEXT run's cleared queue. Poll to
+      // quiescence like EdgeBytesProbe.drained().
+      var prev = -1; var waited = 0
+      while (profStages.size != prev && waited < 5000) {
+        prev = profStages.size; Thread.sleep(400); waited += 400
+      }
       val snap = profStages.asScala.toVector
       val stageWallSum = snap.map(_._2).sum / 1000.0
       System.err.println(

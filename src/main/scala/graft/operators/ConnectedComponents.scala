@@ -121,15 +121,21 @@ object ConnectedComponents {
     * exchange exists to size holds deserialized ~24 B UnsafeRows plus
     * block overhead — the constant deliberately tracks the CACHE's
     * in-memory per-partition footprint (what actually spills), giving
-    * ~2.3x headroom over wire bytes at the advisory. Inheriting the pair frame's partition
+    * ~2.3x headroom over wire bytes at the advisory. (One number, four
+    * framings, for the next recalibration: 16 B = the logical payload,
+    * two longs; ~24 B = the deserialized UnsafeRow the cache holds;
+    * 12-14 B = lz4 wire bytes, what AQE's advisory meters on real
+    * shuffles; 32 B = THIS rule's constant, sized to the cache
+    * footprint because the cache partition is what spills.)
+    * Inheriting the pair frame's partition
     * COUNT was tried first and is wrong for the wired caller: the pair
     * checkpoint rides the nP-sized perDoc cache partitioning (not an
     * AQE-coalesced count), so inheritance doubled small-scale edge
-    * partitions for no byte reason. Edges are 16-byte rows — the floor
+    * partitions for no byte reason. The floor
     * holds through every measured scale (sf100's pair set is ~1.6 GB
-    * symmetric, 25 advisory chunks < the 32 floor) and the count only
-    * grows past ~64 M pairs, exactly when per-partition bytes would
-    * otherwise grow unbounded.
+    * symmetric at the cache width, 25 advisory chunks < the 32 floor)
+    * and the count only grows past ~64 M pairs, exactly when
+    * per-partition bytes would otherwise grow unbounded.
     */
   private[graft] def edgeParts(nPairs: Long, floor: Int): Int = {
     val bytes = 2L * nPairs * 32L

@@ -1014,7 +1014,8 @@ object Dedup {
     val dim = Similarity.dimOf(embeddings)
     val nCells = ivfCellCount(
       n, dim, probes, cellFactor, minCells, maxCells, maxBucketSize, maxCentroidBytes)
-    val centroids = Similarity.ivfCentroids(embeddings, nCells, lloydIters, nRows = n)
+    val centroids = Similarity.ivfCentroids(
+      embeddings, nCells, lloydIters, nRows = n, normed = Some(e))
     val pEff = math.min(probes, centroids.length)
     graft.functions.QuantCosinePairs.register(embeddings.sparkSession)
     // top-p cells per vector via the fused ProbeCells kernel (r16):

@@ -177,9 +177,11 @@ object Similarity {
     * 7 tasks/1.06 GB against the 1 GB default. The cutoff passes
     * ~1.5x `target` rows TOTAL (binomial, margin 1.5 — undershoot
     * probability < e^(-target/50) at the 4096 floor, and the
-    * deterministic x8 escalation loop makes even that safe), so the
-    * collect moves ~1.5x the sample bytes regardless of dim, and the
-    * 256 MB centroid byte gate bounds the sample bytes themselves.
+    * deterministic x2 escalation loop covers even that, bounding any
+    * single collect at ~3x the sample bytes — x8 was reviewed out: one
+    * jump from the gate-ceiling sample would itself clear 1 GB), so
+    * the collect moves ~1.5x the sample bytes regardless of dim, and
+    * the 256 MB centroid byte gate bounds the sample bytes themselves.
     * Hash ties at the cutoff boundary are 64-bit-collision rare and
     * were resolved arbitrarily by TakeOrdered too.
     */
@@ -196,7 +198,7 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       done = drawn.length >= target || frac >= 1.0
-      if (!done) frac = math.min(1.0, frac * 8)
+      if (!done) frac = math.min(1.0, frac * 2)
     }
     drawn.sortBy(_._1).take(target).map(_._2)
   }
@@ -205,7 +207,8 @@ object Similarity {
       embeddings: DataFrame, nCentroids: Int, lloydIters: Int,
       fitSample: Int = 4096,
       hierThreshold: Int = 4096,
-      nRows: Long = -1L): Seq[Seq[Double]] = {
+      nRows: Long = -1L,
+      normed: Option[DataFrame] = None): Seq[Seq[Double]] = {
     // Bounded fit: ONE cluster-side filtered-collect job draws the
     // max(nCentroids, fitSample) non-zero corpus vectors with the
     // smallest xxhash64(vec_id) (see [[fitDraw]] for why it is a hash
@@ -213,7 +216,11 @@ object Similarity {
     // driver-local on that sample matrix — the standard
     // train-on-a-sample coarse quantizer. `nRows` is the caller's
     // known non-zero-vector count (every wired caller has one from its
-    // own sizing); -1 falls back to one count() scan here.
+    // own sizing); -1 falls back to one count() scan here. `normed` is
+    // the caller's already-materialized withNorm frame — every wired
+    // caller checkpoints one, and without it each draw round re-scans
+    // and re-norms the raw source (at 800k x dim 768, a full parquet
+    // rescan) while the normed blocks sit in the block store.
     // The final cell ASSIGNMENT (annIvfTopK / ProbeCells) stays exact
     // and distributed over the full corpus. The first nCentroids of the
     // draw seed the cells (same seeding rule as the previous
@@ -231,7 +238,7 @@ object Similarity {
     // result is unchanged.
     // zero vectors can neither seed nor steer a cell — withNorm
     // already excludes them centrally
-    val e = withNorm(embeddings)
+    val e = normed.getOrElse(withNorm(embeddings))
     val sample: Array[Array[Double]] =
       fitDraw(e, math.max(nCentroids, fitSample), if (nRows > 0) nRows else e.count())
     val effective = math.min(nCentroids, sample.length)
@@ -574,10 +581,12 @@ object Similarity {
     // EAGER (r16 audit): the query projection sits inside broadcast()
     // — an async build job that, lazy, races the corpus branch for
     // these blocks and rescans the source per loser. Built BEFORE the
-    // fit since r18 so the fit draw gets its nRows from a stored-block
-    // count instead of a second corpus scan.
+    // fit since r18 so BOTH the fit draw's sizing count and the draw's
+    // own filtered collect read stored blocks instead of re-scanning
+    // and re-norming the source.
     val e = withNorm(embeddings).localCheckpoint(eager = true)
-    val centroids = ivfCentroids(embeddings, nCentroids, lloydIters, nRows = e.count())
+    val centroids = ivfCentroids(
+      embeddings, nCentroids, lloydIters, nRows = e.count(), normed = Some(e))
     val corpus = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
     // nProbe nearest cells per query: sort (−score, idx) structs, slice
     val probes = {

@@ -13,10 +13,13 @@ import java.util.concurrent.atomic.AtomicLong
   * checkpoints it — exactly the dupGroups prologue — then materializes
   * ONLY buildEdges' output. Inside that bracketed window the sole
   * shuffle is the edge repartition exchange, so the listener's
-  * shuffle-write delta over the edge-row count IS bytes/row (shuffle
-  * write is what AQE's 64 MB advisory meters, so the wire-compressed
-  * number is the RIGHT calibration target, not the in-memory row
-  * width).
+  * shuffle-write delta over the edge-row count IS wire bytes/row.
+  * Both widths matter and edgeParts' scaladoc reconciles them: AQE's
+  * 64 MB advisory meters the wire-compressed number this probe
+  * measures (11.95-13.91 B/row, SCALING_r18), while the constant
+  * deliberately sizes to the ~24 B deserialized cache row plus
+  * overhead — the cache partition is what spills, so the 32 B rule
+  * carries ~2.3x headroom against the wire number.
   *
   * Test/runMain graft.EdgeBytesProbe [sfDir...]
   */

@@ -9,8 +9,16 @@ stderr note):
   r18_bench_full_{a,b}.log/.err  fresh-JVM full-suite Bench, sf0.1,
                                  RUNS=3 — the PRE-codegen-fix tree
                                  (kept as before-evidence)
-  r18_bench_full_{c,d}.log/.err  same protocol at final HEAD (verdict
-                                 item 1a) — the headline sides
+  r18_bench_full_{c,d}.log/.err  same protocol after the codegen-cache
+                                 bump only (demoted to
+                                 cache4096_only_sides)
+  r18_bench_full_{e,f}.log/.err  same protocol at final HEAD (cache +
+                                 stable class names) — the headline
+                                 sides (verdict item 1a). Re-running
+                                 run_r18_campaign.sh at HEAD writes
+                                 sides a/b NAMES but final-HEAD code —
+                                 rename them e2/f2 or adjust here
+                                 before re-parsing
   r18b_bench_family{2,3,4}.err   filtered family suites for the
                                  excursion root-cause A/B (2,3 = 100-
                                  entry codegen cache, 4 = 4096)
@@ -67,11 +75,17 @@ def fullsuite_key(logdir):
             key[label] = {
                 s: {k: v[k] for k in ("total_s", "hn", "noisy")}
                 for s, v in found[g].items()}
-    # best-of-sides per query, then compare against the committed lines
+    # best-of-sides per query, then compare against the committed lines.
+    # Bench emits -1 for an errored query: exclude those from the min
+    # (one errored side must not poison the headline or subtract from
+    # the total); a query errored on EVERY side keeps -1, visibly.
     qmaps = [v["queries_ms"] for v in sides.values()]
-    best = {q: min(m[q] for m in qmaps if q in m)
-            for q in set().union(*[set(m) for m in qmaps])}
-    key["best_of_sides_total_s"] = round(sum(best.values()) / 1000.0, 3)
+    best = {}
+    for q in set().union(*[set(m) for m in qmaps]):
+        ok = [m[q] for m in qmaps if m.get(q, -1) >= 0]
+        best[q] = min(ok) if ok else -1
+    key["best_of_sides_total_s"] = round(
+        sum(v for v in best.values() if v >= 0) / 1000.0, 3)
     key["best_of_sides_ms"] = dict(sorted(best.items()))
     for rnd in ("r15", "r16", "r17"):
         p = os.path.join(ROOT, f"BENCH_{rnd}.json")
