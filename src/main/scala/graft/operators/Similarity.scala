@@ -187,7 +187,11 @@ object Similarity {
     */
   private[graft] def fitDraw(
       e: DataFrame, target: Int, nRows: Long): Array[Array[Double]] = {
-    var frac = if (nRows <= 0) 1.0 else math.min(1.0, 1.5 * target.toDouble / nRows)
+    // a non-positive nRows would mean frac = 1.0 — a full-corpus
+    // collect, the exact maxResultSize abort this draw replaces; the
+    // unknown-count fallback lives in ivfCentroids (one count() scan)
+    require(nRows > 0, s"fitDraw needs the corpus row count, got $nRows")
+    var frac = math.min(1.0, 1.5 * target.toDouble / nRows)
     var drawn: Array[(Long, Array[Double])] = Array.empty
     var done = false
     while (!done) {
@@ -239,8 +243,13 @@ object Similarity {
     // zero vectors can neither seed nor steer a cell — withNorm
     // already excludes them centrally
     val e = normed.getOrElse(withNorm(embeddings))
+    val n = if (nRows > 0) nRows else e.count()
+    // an all-zero/empty corpus has nothing to seed cells with: return
+    // the empty matrix (pEff = 0 downstream) instead of tripping
+    // fitDraw's positive-count require with a confusing message
+    if (n == 0) return Seq.empty
     val sample: Array[Array[Double]] =
-      fitDraw(e, math.max(nCentroids, fitSample), if (nRows > 0) nRows else e.count())
+      fitDraw(e, math.max(nCentroids, fitSample), n)
     val effective = math.min(nCentroids, sample.length)
     val cells =
       if (effective <= hierThreshold)

@@ -84,8 +84,8 @@ class HierFitSpec extends AnyFunSuite {
     // up to t rows — blew spark.driver.maxResultSize at dim 768, see
     // fitDraw's scaladoc) to a cutoff filter + driver-side sort. Same
     // rows, same order, for every target regime: under, at, and over
-    // the corpus size — and regardless of whether nRows is exact, an
-    // overestimate (smaller initial cutoff + escalation), or unknown.
+    // the corpus size — whether nRows is exact or an overestimate
+    // (smaller initial cutoff, escalation loop covers it).
     import org.apache.spark.sql.functions._
     val df = corpus(500, 16, seed = 7L)
     val e = Similarity.withNorm(df)
@@ -93,10 +93,13 @@ class HierFitSpec extends AnyFunSuite {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(t).select("v").collect()
       .map(_.getSeq[Double](0)).toSeq
-    for (t <- Seq(16, 100, 500, 700); n <- Seq(500L, 10000L, -1L)) {
+    for (t <- Seq(16, 100, 500, 700); n <- Seq(500L, 10000L)) {
       val got = Similarity.fitDraw(e, t, n).map(_.toSeq).toSeq
       assert(got === oldDraw(t), s"draw diverged at target=$t nRows=$n")
     }
+    // a non-positive count must refuse loudly, not full-collect (the
+    // unknown-count fallback is ivfCentroids' one count() scan)
+    assertThrows[IllegalArgumentException](Similarity.fitDraw(e, 16, -1L))
   }
 
   test("hashCutoff maps fractions onto the unsigned hash line monotonically") {
