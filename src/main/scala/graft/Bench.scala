@@ -283,12 +283,21 @@ object Bench {
       // counting stageWallSum mis-attributes in-stage time to the
       // gap estimate — the exact decision this dump exists to make)
       // then bleed into the NEXT run's cleared queue. Poll to
-      // quiescence like EdgeBytesProbe.drained().
-      var prev = -1; var waited = 0
-      while (profStages.size != prev && waited < 5000) {
-        prev = profStages.size; Thread.sleep(400); waited += 400
+      // quiescence like EdgeBytesProbe.drained() — seeded from the
+      // CURRENT size (not -1) so a bus already drained exits after one
+      // confirming 200 ms window instead of a guaranteed 800 ms.
+      var prev = profStages.size; var waited = 0; var stable = false
+      while (!stable && waited < 5000) {
+        Thread.sleep(200); waited += 200
+        val cur = profStages.size
+        stable = cur == prev
+        prev = cur
       }
       val snap = profStages.asScala.toVector
+      // Clear HERE too (not only at the next run's start): stages
+      // completed by the settle/cache-drop work between runs would
+      // otherwise land in the queue attributed to nothing.
+      profStages.clear()
       val stageWallSum = snap.map(_._2).sum / 1000.0
       System.err.println(
         f"[bench] EXCURSION $name wall=$wall%.2f s best=$best%.2f s " +

@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Single source of truth for the IVF sizing defaults (r19): both
+    * [[ivfCellCount]] and [[embeddingNearDupsIvf]] default their
+    * shared parameters from here, so the sizing report a harness gets
+    * by calling ivfCellCount with defaults can never silently drift
+    * from the count a default-parameter operator run really used.
+    */
+  private[graft] object IvfDefaults {
+    val MinCells: Int = 8
+    val MaxCells: Int = 1 << 20
+    val MaxBucketSize: Int = 4096
+    val MaxCentroidBytes: Long = 256L << 20
+  }
+
   /** The shared backbone: distinct (doc_id, shingle) inverted index,
     * produced by the native [[graft.functions.ShingleGenerator]] — a
     * streamed flatMap inside the scan stage. (Two rejected designs, both
@@ -963,8 +976,9 @@ object Dedup {
     */
   private[graft] def ivfCellCount(
       n: Long, dim: Int, probes: Int, cellFactor: Double,
-      minCells: Int = 8, maxCells: Int = 1 << 20,
-      maxBucketSize: Int = 4096, maxCentroidBytes: Long = 256L << 20): Int = {
+      minCells: Int = IvfDefaults.MinCells, maxCells: Int = IvfDefaults.MaxCells,
+      maxBucketSize: Int = IvfDefaults.MaxBucketSize,
+      maxCentroidBytes: Long = IvfDefaults.MaxCentroidBytes): Int = {
     val cellsByBytes = math.max(minCells.toLong, maxCentroidBytes / (8L * dim))
     math.max(math.max(minCells, probes).toLong,
       math.min(math.min(maxCells.toLong, cellsByBytes),
@@ -977,12 +991,12 @@ object Dedup {
       threshold: Double = 0.4,
       probes: Int = 8,
       cellFactor: Double = 1.0,
-      minCells: Int = 8,
-      maxCells: Int = 1 << 20,
+      minCells: Int = IvfDefaults.MinCells,
+      maxCells: Int = IvfDefaults.MaxCells,
       lloydIters: Int = 2,
-      maxBucketSize: Int = 4096,
+      maxBucketSize: Int = IvfDefaults.MaxBucketSize,
       superProbes: Int = 0,
-      maxCentroidBytes: Long = 256L << 20,
+      maxCentroidBytes: Long = IvfDefaults.MaxCentroidBytes,
       dropObs: Option[Observation] = None): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     require(cellFactor > 0.0, s"cellFactor must be positive, got $cellFactor")

@@ -194,7 +194,28 @@ object Similarity {
     var frac = math.min(1.0, 1.5 * target.toDouble / nRows)
     var drawn: Array[(Long, Array[Double])] = Array.empty
     var done = false
+    // r19 (ADVICE): `nRows` is a convention-enforced contract; a caller
+    // that badly UNDERestimates the true count of `e` (e.g. passes 10
+    // for a billion-row corpus) starts frac at 1.0 — the exact
+    // full-corpus maxResultSize collect this draw exists to prevent.
+    // Before paying ANY frac>=1.0 collect, verify with one count()
+    // scan (cheap vs the collect it guards) and rebase frac on the
+    // real count when the claim was wrong; subsequent escalation then
+    // doubles from the verified baseline, so a later frac=1.0 collect
+    // only happens when the corpus truly is draw-sized.
+    var countVerified = false
     while (!done) {
+      if (frac >= 1.0 && !countVerified) {
+        countVerified = true
+        val realN = e.count()
+        if (realN > 4L * target) {
+          System.err.println(
+            s"[graft] fitDraw: caller claimed nRows=$nRows but corpus has " +
+              s"$realN rows; rebasing draw fraction on the real count " +
+              s"instead of a full-corpus collect")
+          frac = math.min(1.0, 1.5 * target.toDouble / realN)
+        }
+      }
       val cutoff = hashCutoff(frac)
       drawn = e.withColumn("h", xxhash64(col("vec_id")))
         .filter(col("h") <= cutoff)

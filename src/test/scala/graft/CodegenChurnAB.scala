@@ -8,9 +8,17 @@ package graft
   * generated CLASS NAME (cache-key-relevant source text, unlike the
   * comment), and under AQE + the CC round loop the id assignment order
   * is runtime-dependent — so identical plans compile to differently
-  * NAMED classes. This alternates the conf per run block inside one
-  * JVM and prints wall + loaded-class deltas; flat class counts on the
-  * false side confirm the mechanism.
+  * NAMED classes. This INTERLEAVES the two conf sides run by run
+  * inside one JVM (true,false,true,false,…) and prints wall +
+  * loaded-class deltas per run, then a steady-state summary. The two
+  * sides' generated sources have disjoint cache keys (the class-name
+  * text differs), so each side warms its OWN codegen cache across its
+  * runs — but classes below the codegen layer (Spark internals,
+  * parquet readers) load once for whichever side runs first, so the
+  * per-side comparison is the STEADY-STATE (last-run-per-side) delta
+  * the summary prints, not raw early-run deltas (r19, ADVICE: the
+  * previous all-true-then-all-false ordering let the false side ride
+  * the true side's warm JVM asymmetrically).
   *
   * Test/runMain graft.CodegenChurnAB [query] [sfDir] [runsPerSide]
   */
@@ -21,18 +29,23 @@ object CodegenChurnAB {
     val n = args.lift(2).map(_.toInt).getOrElse(6)
     val spark = Sessions.local()
     val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
-    def runOnce(tag: String): Unit = {
+    def runOnce(tag: String): (Double, Long) = {
       Sessions.dropAllCaches(spark)
       val c0 = cls.getTotalLoadedClassCount
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[churn] $tag wall=$wall%.2f s new_classes=${cls.getTotalLoadedClassCount - c0}")
+      val nc = cls.getTotalLoadedClassCount - c0
+      println(f"[churn] $tag wall=$wall%.2f s new_classes=$nc")
+      (wall, nc)
     }
-    for (side <- Seq("true", "false"); i <- 1 to n) {
+    val last = scala.collection.mutable.Map[String, (Double, Long)]()
+    for (i <- 1 to n; side <- Seq("true", "false")) {
       spark.conf.set("spark.sql.codegen.useIdInClassName", side)
-      runOnce(s"$q useIdInClassName=$side run=$i")
+      last(side) = runOnce(s"$q useIdInClassName=$side run=$i")
     }
+    for (side <- Seq("true", "false"); (w, nc) <- last.get(side))
+      println(f"[churn] STEADY $q useIdInClassName=$side wall=$w%.2f s new_classes=$nc")
     spark.stop()
   }
 }
