@@ -100,6 +100,18 @@ class HierFitSpec extends AnyFunSuite {
     // a non-positive count must refuse loudly, not full-collect (the
     // unknown-count fallback is ivfCentroids' one count() scan)
     assertThrows[IllegalArgumentException](Similarity.fitDraw(e, 16, -1L))
+    // r19 (ADVICE): an nRows that badly UNDERestimates the corpus
+    // (claims 1 row for 500) starts frac at 1.0 — the guard must
+    // recount and rebase rather than full-collect, and the rebased
+    // draw must still be THE draw (same smallest-hash rows)
+    for (t <- Seq(16, 100)) {
+      val got = Similarity.fitDraw(e, t, 1L).map(_.toSeq).toSeq
+      assert(got === oldDraw(t), s"rebased draw diverged at target=$t nRows=1")
+    }
+    // a corpus that truly is draw-sized (realN <= 4x target) keeps the
+    // full-collect path: the guard recounts, finds the claim harmless,
+    // and does not rebase
+    assert(Similarity.fitDraw(e, 500, 1L).map(_.toSeq).toSeq === oldDraw(500))
   }
 
   test("hashCutoff maps fractions onto the unsigned hash line monotonically") {
