@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // slice/index blocks fit an 8g heap but sit close enough to the GC
   // ceiling to add multi-second run-to-run variance on a 125g machine
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+// extra forked-JVM flags for measurement A/Bs (e.g. GC/JIT toggles
+// while adjudicating the r19 excursion classes); never set by the
+// driver, so the wired defaults above stay the contract
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

@@ -148,9 +148,32 @@ object Bench {
     // source churn (codegen cache misses), since every janino cache
     // miss defines and loads fresh classes
     val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    // janino compiles (codegen-cache MISSES) vs JIT comp_ms: rising
+    // comp_ms at flat janino = C2 backlog on already-generated classes;
+    // rising janino count = the generated SOURCE varied (cache cannot
+    // hit) — the two churn classes need different fixes (r19)
+    val jan = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
     pools.mkString(" ") + comp +
+      s" janino=${jan.getCount}" +
       s" classes=${cls.getTotalLoadedClassCount}/${cls.getUnloadedClassCount}u"
   }
+
+  /** Hypervisor steal ticks (USER_HZ-cpu-seconds·100, summed over all
+    * vCPUs) from /proc/stat field 9 — the guest-visible record of the
+    * HOST descheduling this VM's cores. The r19 excursion adjudication
+    * reads its delta per timed run: an excursion whose window shows a
+    * steal burst is the host's, not the engine's (matches every other
+    * signal: all-32-task slowdown, mildly stretched single-thread
+    * calibration, no in-JVM lock/GC/compile anomaly). 0 when the file
+    * is unreadable (non-Linux), which disables the correlation line.
+    */
+  private[graft] def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong).getOrElse(0L)
+      finally src.close()
+    } catch { case _: Throwable => 0L }
 
   private def totalGcMs(): Long = {
     import scala.jdk.CollectionConverters._
@@ -259,7 +282,7 @@ object Bench {
     // = wall - stage walls) decides the next fix.
     val stageProf = sys.env.contains("SPARK_GRAFT_BENCH_STAGEPROF")
     val profStages = new java.util.concurrent.ConcurrentLinkedQueue[
-      (Int, Long, Int, Long, Long, Long, Long, Long)]()
+      (Int, Long, Int, Long, Long, Long, Long, Long, Long)]()
     if (stageProf) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -269,7 +292,14 @@ object Bench {
             val ms = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s)
               .getOrElse(-1L)
             val tm = si.taskMetrics
+            // run=executorRunTime (wall-in-task) NEXT TO cpu=
+            // executorCpuTime (ns actually on-core): high run at low
+            // cpu = tasks BLOCKED (I/O, lock, descheduled); high run
+            // at matching cpu = tasks BURNING (interpreted/deopt
+            // execution) — the r19 excursion adjudication hinges on
+            // exactly this bit
             profStages.add((si.stageId, ms, si.numTasks, tm.executorRunTime,
+              tm.executorCpuTime / 1000000L,
               tm.shuffleReadMetrics.totalBytesRead >> 20,
               tm.shuffleWriteMetrics.bytesWritten >> 20,
               tm.jvmGCTime, tm.diskBytesSpilled >> 20))
@@ -303,28 +333,92 @@ object Bench {
         f"[bench] EXCURSION $name wall=$wall%.2f s best=$best%.2f s " +
           f"stages=${snap.size} stageWallSum=$stageWallSum%.2f s " +
           f"gapEstimate=${wall - stageWallSum}%.2f s (serial-stage estimate)")
-      snap.sortBy(-_._2).take(10).foreach { case (id, ms, nt, rt, sr, sw, gc, sp) =>
+      snap.sortBy(-_._2).take(10).foreach { case (id, ms, nt, rt, ct, sr, sw, gc, sp) =>
         System.err.println(
-          f"[bench]   stage=$id%-5d wall=${ms / 1000.0}%7.2f s cpu=${rt / 1000.0}%8.2f s " +
-            f"gc=${gc / 1000.0}%6.2f s tasks=$nt%-4d read=${sr}MB write=${sw}MB spill=${sp}MB")
+          f"[bench]   stage=$id%-5d wall=${ms / 1000.0}%7.2f s run=${rt / 1000.0}%8.2f s " +
+            f"cpu=${ct / 1000.0}%8.2f s gc=${gc / 1000.0}%6.2f s tasks=$nt%-4d " +
+            f"read=${sr}MB write=${sw}MB spill=${sp}MB")
       }
     }
-    def timedRun(fn: (SparkSession, String) => DataFrame): Option[Double] = {
+    // In-flight stall attribution (r19, the r18 verdict's item 1): the
+    // residual excursion signature — a timed run 3-40x its own best with
+    // stages uniformly inflated at near-zero task CPU and a ~10 s
+    // out-of-stage gap — is a DRIVER-side phenomenon (boundary
+    // calibration stays flat through one, so host CPU is available),
+    // and only a thread dump taken WHILE the run is stuck can name the
+    // thread. A daemon watchdog arms per timed run once a best-so-far
+    // exists: if the run is still in flight at max(3x best, best+2 s)
+    // it dumps every thread (ThreadMXBean with lock-owner info, the
+    // jcmd Thread.print equivalent — guide 7.3) plus the jit line, and
+    // samples again 3 s later — the stack that does not move between
+    // the two samples is the stall. Post-run stage dumps
+    // (SPARK_GRAFT_BENCH_STAGEPROF) stay complementary: they say WHERE
+    // the time landed, the watchdog says WHO was holding it up.
+    def dumpThreads(tag: String, prevCpu: Map[Long, Long] = Map.empty): Map[Long, Long] = {
+      val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      val infos = mx.dumpAllThreads(true, true, 16)
+      val cpu = infos.map(ti => ti.getThreadId -> mx.getThreadCpuTime(ti.getThreadId)).toMap
+      System.err.println(
+        s"[bench] STALLDUMP $tag threads=${infos.length} ${jitLine()}")
+      infos.foreach(ti => System.err.print("[bench] " + ti.toString))
+      // when a first sample exists, rank threads by CPU burned BETWEEN
+      // the two samples — the stall's active party regardless of where
+      // any single snapshot caught it
+      if (prevCpu.nonEmpty) {
+        val deltas = infos
+          .map(ti => (ti, cpu.getOrElse(ti.getThreadId, 0L) -
+            prevCpu.getOrElse(ti.getThreadId, 0L)))
+          .filter(_._2 > 0).sortBy(-_._2).take(12)
+        System.err.println(s"[bench] STALLCPU $tag top threads by cpu since sample1:")
+        deltas.foreach { case (ti, d) =>
+          val top = ti.getStackTrace.take(3).mkString(" <- ")
+          System.err.println(
+            f"[bench]   cpu=${d / 1e6}%8.1f ms ${ti.getThreadName}%-60s $top")
+        }
+      }
+      System.err.println(s"[bench] STALLDUMP-END $tag")
+      cpu
+    }
+    def timedRun(
+        fn: (SparkSession, String) => DataFrame,
+        name: String, bestSoFar: Option[Double]): Option[Double] = {
       // every timed run re-executes the WHOLE pipeline, including any
       // intermediates the operator persist()s: without this, the warm
       // run's cache would turn the timed runs into cached-view reads
       // (r13's ngram measured 5.8 s vs its honest ~12 s at sf10 that
       // way). The clearing itself happens outside the timer.
       Sessions.dropAllCaches(spark)
+      val done = new java.util.concurrent.CountDownLatch(1)
+      bestSoFar.filter(_ > 0).foreach { b =>
+        val triggerMs = (math.max(3.0 * b, b + 2.0) * 1000).toLong
+        val w = new Thread(() => {
+          if (!done.await(triggerMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+            val c1 = dumpThreads(f"$name sample1 @${triggerMs / 1000.0}%.1f s (best $b%.2f s)")
+            if (!done.await(2000, java.util.concurrent.TimeUnit.MILLISECONDS))
+              dumpThreads(s"$name sample2 +2s", c1)
+          }
+        }, s"bench-stall-watchdog-$name")
+        w.setDaemon(true)
+        w.start()
+      }
       val t0 = System.nanoTime()
       try { materialize(fn); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
+      finally done.countDown()
     }
     val results = selected.map { case (name, fn) =>
       settleBetweenQueries()
+      // the warm-up wall seeds the stall watchdog for timed run 1: the
+      // captured whole-window excursions inflate EVERY timed run of the
+      // struck query (best-of-N useless against them), so waiting for a
+      // clean timed best would never arm the dump exactly when it is
+      // needed most. A stalled warm-up only raises the trigger (never a
+      // false fire).
+      val warmT0 = System.nanoTime()
       val warmOk =
         try { materialize(fn); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val warmWall = (System.nanoTime() - warmT0) / 1e9
       if (!warmOk) (name, -1.0, -1.0, 0)
       else {
         // best of nRuns timed runs: damps background-load / GC noise so
@@ -332,12 +426,15 @@ object Bench {
         // the max-min spread (stderr) lets a round-over-round delta
         // smaller than the spread read as noise, not a plan change
         var times = Vector.empty[Double]
+        var steals = Vector.empty[Long]
         def instrumentedRun(): Unit = {
           if (stageProf) profStages.clear()
-          timedRun(fn).foreach { w =>
+          val st0 = stealTicks()
+          timedRun(fn, name, Some(if (times.isEmpty) warmWall else times.min)).foreach { w =>
             if (stageProf && times.nonEmpty && w > 3 * times.min)
               dumpExcursion(name, w, times.min)
             times = times :+ w
+            steals = steals :+ (stealTicks() - st0)
           }
         }
         (1 to nRuns).foreach(_ => instrumentedRun())
@@ -352,6 +449,25 @@ object Bench {
         // is emitted in "timed_runs" (default + exceptions).
         if (nRuns >= 2 && times.nonEmpty && times.min < 1.0 && times.size < 3)
           (times.size until 3).foreach(_ => instrumentedRun())
+        // r19 excursion robustness (documented in OPTIMIZATION_r19.md):
+        // the attributed multi-second excursions (shuffle-file I/O
+        // stalls pre-tmpfs; JIT warm-up CPU burn on the 30-stage CC
+        // queries) inflate SEVERAL consecutive runs, so best-of-2 on a
+        // struck query reports 3-26x its reproducible value (BENCH_r18:
+        // q_dedup_groups 64.4 s vs 2.3-2.5 s). When the achieved runs
+        // DISAGREE with each other (spread > 0.5x best — steady-state
+        // heavies measure well under that), the best is not yet
+        // trustworthy and the query earns more samples of the SAME
+        // methodology, up to 6 timed runs. Self-limiting: a quiet query
+        // never triggers; a struck query keeps sampling until it
+        // escapes the excursion window or hits the cap. The sub-0.5 s
+        // floor leaves task-setup jitter to the 3-run top-up above.
+        var extraAttempts = 0
+        while (nRuns >= 2 && times.nonEmpty && times.size < 6 && extraAttempts < 8 &&
+            times.min >= 0.5 && (times.max - times.min) > 0.5 * times.min) {
+          extraAttempts += 1
+          instrumentedRun()
+        }
         if (times.isEmpty) (name, -1.0, -1.0, 0)
         else {
           // every timed run, in order, to stderr (r18): a spread number
@@ -359,19 +475,55 @@ object Bench {
           // jitter — the r17/r18 adjudications needed exactly this
           System.err.println(
             times.map(t => f"$t%.3f").mkString(s"[bench] times $name: ", ",", ""))
+          // host-steal correlation per run, in cpu-seconds (ticks/100):
+          // printed only when the host actually stole during this
+          // query's runs, so quiet logs stay quiet
+          if (steals.exists(_ > 0))
+            System.err.println(
+              steals.map(s => f"${s / 100.0}%.2f")
+                .mkString(s"[bench] steal_cpu_s $name: ", ",", ""))
           (name, times.min, times.max - times.min, times.size)
         }
       }
     }
     // host-noise sentinel inputs (see the object doc): suite wall + GC
-    // delta bracket the query region; the post-suite calibration runs
-    // on the now-idle session
+    // delta bracket the query region (tail re-runs below are excluded
+    // from the window by design — they exist to ESCAPE it); the
+    // post-suite calibration runs on the now-idle session
     val suiteWallMs = (System.nanoTime() - suiteT0) / 1000000L
     val gcMs = totalGcMs() - gc0
-    val calAll = calBefore ++ midCal ++ (1 to 3).map(_ => calibrateOnce())
+    // spready = the main suite's trust signal, computed BEFORE the tail
+    // re-runs so the sentinel keeps describing the suite as it ran
     val spreadyNames = results.collect {
       case (k, v, s, n) if v > 0 && n >= 2 && s > v => k
     }
+    // r19 tail re-runs (the r18 verdict's item 2 lever): a query whose
+    // timed runs still disagree by more than its best after the
+    // in-place extension was inside an excursion window for ALL its
+    // samples — the one escape left is temporal displacement. One more
+    // timed run of the identical methodology lands here, minutes after
+    // the query's original window; both values go to stderr and the
+    // min/spread fold into the same best-of-timed-runs the line always
+    // reported. Floored at 0.5 s best and gated on nRuns >= 2 like the
+    // other robustness passes.
+    val fnByName = selected.toMap
+    val finalResults = results.map { case r @ (name, v, s, n) =>
+      if (!(nRuns >= 2 && v >= 0.5 && n >= 2 && s > v)) r
+      else {
+        settleBetweenQueries()
+        timedRun(fnByName(name), name, Some(v)) match {
+          case Some(w) =>
+            System.err.println(f"[bench] tailrun $name suite_best=$v%.3f s rerun=$w%.3f s")
+            val hi = math.max(v + s, w)
+            val lo = math.min(v, w)
+            (name, lo, hi - lo, n + 1)
+          case None =>
+            System.err.println(s"[bench] tailrun $name failed; keeping suite value")
+            r
+        }
+      }
+    }
+    val calAll = calBefore ++ midCal ++ (1 to 3).map(_ => calibrateOnce())
     val noiseReasons =
       hostNoiseVerdict(calAll, gcMs, suiteWallMs, spreadyNames.size, results.size)
     val noisy = noiseReasons.nonEmpty
@@ -386,12 +538,12 @@ object Bench {
         System.err.println(s"[bench] $name dropped_memberships=$n$tag")
       }
     }
-    val spreads = results.map { case (k, _, s, _) => "\"" + k + "\":" + ms3(s) }.mkString("{", ",", "}")
+    val spreads = finalResults.map { case (k, _, s, _) => "\"" + k + "\":" + ms3(s) }.mkString("{", ",", "}")
     System.err.println(s"[bench] spread=$spreads")
     // exact per-query timed-run counts live on stderr; stdout carries
     // only the modal default and the COUNT of exceptions (see Output
     // discipline) — the r10 except-MAP is exactly what overflowed
-    val runCounts = results.map { case (k, _, _, n) => (k, n) }
+    val runCounts = finalResults.map { case (k, _, _, n) => (k, n) }
     System.err.println(
       runCounts.map { case (k, n) => s"$k=$n" }.mkString("[bench] timed_runs: ", ",", ""))
     val modalRuns =
@@ -402,12 +554,12 @@ object Bench {
     val nExcept = runCounts.count(_._2 != modalRuns)
     // ascending-by-time, layout twins forced last — the end of the line
     // is what survives tail capture (see Output discipline)
-    val (twinResults, otherResults) = results.partition { case (k, _, _, _) => twinsFirst.contains(k) }
+    val (twinResults, otherResults) = finalResults.partition { case (k, _, _, _) => twinsFirst.contains(k) }
     val emitOrder = otherResults.sortBy(_._2) ++ twinResults
     def msInt(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
     val qs = emitOrder.map { case (k, v, _, _) => "\"" + k + "\":" + msInt(v) }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val errors = finalResults.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = finalResults.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val sfName = sfDir.stripSuffix("/").split('/').last
     def line(withRuns: Boolean, withTimedRuns: Boolean): String = {
       val head = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","qunit":"ms","sf":"$sfName""""

@@ -32,6 +32,45 @@ object Sessions {
       cores: String, env: Map[String, String] = sys.env): String =
     env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores)
 
+  /** Shuffle/spill scratch directory for the LOCAL session (r19).
+    * Resolution, first match wins:
+    *  - SPARK_LOCAL_DIRS set → None (Spark's own env override already
+    *    wins over spark.local.dir; setting the conf too would only
+    *    mislead readers of the UI's Environment tab),
+    *  - SPARK_GRAFT_LOCAL_DIR set → that directory (deployment
+    *    override; empty string disables the default and keeps the JVM
+    *    tmpdir),
+    *  - /dev/shm exists and is writable → /dev/shm/graft-spark-local.
+    * Why tmpfs by default: the r19 stall-watchdog dumps caught every
+    * task thread of a 3-10x q_dedup_groups excursion RUNNABLE inside
+    * kernel file I/O on the shuffle path (DiskBlockObjectWriter.open /
+    * LZ4 stream creation / copyFileStreamNIO merges), with host CPU
+    * calibration flat — the bench box's ext4-on-virtio root (mounted
+    * `discard`: synchronous TRIM on every shuffle-file delete) stalls
+    * the device queue under Spark's create/delete-heavy shuffle
+    * traffic. Moving scratch to tmpfs removed the I/O stall class and
+    * cut steady-state walls on every shuffle-heavy query (measured
+    * same-day A/B at sf0.1: q_dedup_groups best 3.05→1.77 s, ngram
+    * 1.22→1.04 s, star 2.41→1.68 s — OPTIMIZATION_r19.md). This is the
+    * local-mode equivalent of what a production cluster does anyway —
+    * point spark.local.dir at its fastest local device (guide §2.1:
+    * shuffle-file disk bandwidth can be the tighter limit) — NOT a
+    * bench-only trick: the parquet inputs stay on disk and every byte
+    * of shuffle work (serialization, compression, merges) still
+    * happens. A 100 TB deployment with shuffle > RAM keeps real disks
+    * via either override above.
+    */
+  private[graft] def scratchDir(
+      env: Map[String, String] = sys.env,
+      shmWritable: => Boolean = {
+        val f = new java.io.File("/dev/shm"); f.isDirectory && f.canWrite
+      }): Option[String] =
+    if (env.contains("SPARK_LOCAL_DIRS")) None
+    else env.get("SPARK_GRAFT_LOCAL_DIR") match {
+      case Some(d) => Some(d).filter(_.nonEmpty)
+      case None => if (shmWritable) Some("/dev/shm/graft-spark-local") else None
+    }
+
   /** Drop every CacheManager entry AND every persisted RDD's blocks,
     * blocking until the frees complete. The one cache-hygiene primitive
     * the harnesses share (Bench between/before timed runs, Verify
@@ -57,7 +96,7 @@ object Sessions {
     // custom plan nodes (LocalSortHint) self-register their strategy on
     // whatever session their dataframe carries — no extension injection
     // here, so foreign/spark-submit sessions work identically
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       // AQE coalescing can only MERGE partitions, never split, so this
@@ -135,6 +174,10 @@ object Sessions {
       // the generated comment for debugging; only the name stabilizes.
       .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.ui.enabled", "false")
+    // see [[scratchDir]]: tmpfs shuffle scratch by default on this
+    // class of host, standard overrides preserved
+    val spark = scratchDir()
+      .foldLeft(builder)((b, d) => b.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -54,6 +54,25 @@ class SessionsSpec extends AnyFunSuite {
       "32", Map("SPARK_GRAFT_INITIAL_PARTITIONS" -> "4096")) === "4096")
   }
 
+  test("scratch-dir resolution: env overrides win, tmpfs default, disk fallback") {
+    // SPARK_LOCAL_DIRS wins inside Spark itself — setting the conf too
+    // would only misreport the UI Environment tab, so resolution yields
+    // nothing to set
+    assert(Sessions.scratchDir(
+      Map("SPARK_LOCAL_DIRS" -> "/mnt/nvme0"), shmWritable = true).isEmpty)
+    // explicit deployment override, and its empty-string disable form
+    assert(Sessions.scratchDir(
+      Map("SPARK_GRAFT_LOCAL_DIR" -> "/mnt/fast"), shmWritable = true)
+      === Some("/mnt/fast"))
+    assert(Sessions.scratchDir(
+      Map("SPARK_GRAFT_LOCAL_DIR" -> ""), shmWritable = true).isEmpty)
+    // default: tmpfs when present (the r19 shuffle-I/O stall fix),
+    // JVM tmpdir otherwise
+    assert(Sessions.scratchDir(Map.empty, shmWritable = true)
+      === Some("/dev/shm/graft-spark-local"))
+    assert(Sessions.scratchDir(Map.empty, shmWritable = false).isEmpty)
+  }
+
   test("a small shuffle coalesces below the initial partition count") {
     import spark.implicits._
     val out = (1 to 1000).toDF("x")
