@@ -45,14 +45,24 @@ object CorpusPipeline {
   private def build(
       documents: DataFrame, minQuality: Double, jaccardThreshold: Double,
       redactPii: Boolean = false, gopherRules: Boolean = false): Stages = {
+    // CPU-spread guard (r19, shared [[CpuSpread]]): stage 1 fuses the
+    // round's heaviest per-row kernels (redaction, Gopher stats,
+    // quality, fingerprint) into the scan stage — on an unsplittable
+    // single-row-group local table that whole chain ran on ONE task
+    // (measured: a 1.0 s single-task stage dominating the steady-state
+    // 2.0 s wall at sf0.1). One round-robin exchange of the input rows
+    // buys full-core kernels; a many-file corpus at scale takes the
+    // no-op branch (no exchange added). Row placement only — every
+    // downstream stage keys by content.
+    val spread = CpuSpread.spread(documents)
     // 0. optional PII redaction — a second projection fused into the
     // same scan stage (no exchange): redact BEFORE the quality gate so
     // scoring and both dedup stages see the text that would actually
     // ship. Off by default; the standalone q_redact_pii query gates the
     // kernel itself.
     val redacted =
-      if (!redactPii) documents
-      else documents.select(
+      if (!redactPii) spread
+      else spread.select(
         col("doc_id"),
         graft.functions.PiiRedact.redacted(col("text")).getField("clean").as("text"))
     // 0b. optional Gopher-rules gate — a stateless filter in the same

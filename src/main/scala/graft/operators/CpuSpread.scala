@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Low-parallelism guard for CPU-bound scan-stage kernels, shared by
+  * Multimodal (its r8-r10 origin — see the scaladocs there for the
+  * adjudication history) and, since r19, the text/dedup pipelines.
+  *
+  * At corpus scale a parquet table arrives as many files and the scan
+  * alone feeds every core, so [[spread]] is a NO-OP (no exchange
+  * added). A local single-file (single-row-group) table is
+  * unsplittable and pins the whole per-row kernel chain — regex
+  * redaction, Gopher stats, shingle generation, MinHash — to ONE task,
+  * making wall time scale with rows-per-partition instead of rows
+  * (r19 stage profiles: q_corpus_clean_full's steady state was one
+  * 1.0 s single-task stage plus 0.9 s of everything else). When the
+  * incoming scan has fewer partitions than the session's parallelism,
+  * one round-robin exchange of the input rows buys full-core kernels.
+  *
+  * Correctness: round-robin placement only — row content untouched;
+  * every caller's downstream is row-order-independent (generators,
+  * per-row kernels, aggregates keyed by content).
+  */
+private[operators] object CpuSpread {
+
+  /** Estimated scan partition count for a file-backed frame WITHOUT
+    * forcing physical planning (r9: `df.rdd.getNumPartitions` planned
+    * every multimodal query twice): reproduces Spark's
+    * `FilePartition.maxSplitBytes` sizing from the analyzed plan's
+    * `HadoopFsRelation` file index — total bytes and file count are
+    * footer-free metadata the index already holds. Bin-packing slack
+    * means the estimate only ever UNDER-counts by a few partitions;
+    * the guard compares against core count, where that precision is
+    * irrelevant. None when the frame has no file scan leaf (in-memory
+    * test frames) — callers fall back to the planned count. For join
+    * products the sum-of-leaf-estimates can under-count a post-shuffle
+    * layout; the only consequence is a spurious small-corpus exchange,
+    * and at scale the leaf estimate alone already clears the core
+    * count.
+    */
+  private[operators] def scanPartitionEstimate(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val rels = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (rels.isEmpty) None
+    else Some(rels.map { rel =>
+      val openCost = conf.filesOpenCostInBytes
+      val nFiles = math.max(1L, rel.location.inputFiles.length.toLong)
+      val totalBytes = rel.location.sizeInBytes + nFiles * openCost
+      val bytesPerCore =
+        totalBytes / math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      val maxSplit =
+        math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+      ((totalBytes + maxSplit - 1) / maxSplit).toInt
+    }.sum)
+  }
+
+  /** One round-robin exchange when the scan cannot feed the cores;
+    * no-op otherwise. See object doc. `spark.graft.cpuSpread.enabled`
+    * (session conf, default true) is the measurement/deployment escape
+    * hatch — it exists so an interleaved same-JVM A/B can price the
+    * guard per query (r19) and so a deployment that KNOWS its scans
+    * are wide can pin the no-op without relying on the estimate.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    if (!df.sparkSession.conf.get("spark.graft.cpuSpread.enabled", "true").toBoolean)
+      return df
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // FILE-BACKED frames only (r19 A/B): a frame with no file-scan leaf
+    // is an upstream operator's output (checkpoint, join product over
+    // checkpoints) whose partitioning the producer already chose — the
+    // composed corpus pipeline feeds its post-gate SURVIVORS (a few
+    // hundred rows at sf0.1) into the dedup operators, and spreading
+    // those cost q_corpus_clean_full ~0.2 s of pure 32-task overhead
+    // in the interleaved A/B while buying nothing (the survivors'
+    // kernel work already sits behind the stage-1 spread).
+    scanPartitionEstimate(df) match {
+      case Some(est) if est < par => df.repartition(par)
+      case _ => df
+    }
+  }
+}

@@ -76,6 +76,13 @@ object Decontaminate {
       .collect()
       .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
     val bc = spark.sparkContext.broadcast(EvalContainment.build(grouped))
+    // deliberately NOT CpuSpread-wrapped (r19): the containment kernel
+    // is hash probes per token — light enough per input byte that the
+    // round-robin exchange outweighs the single-task scan at bench
+    // scale (interleaved A/B: median 0.35 s unspread vs 0.44 s
+    // spread), and at corpus scale the scan is wide so the guard would
+    // be a no-op anyway — the spread buys nothing at either end here,
+    // unlike the shingle/MinHash kernels where it won its A/B
     corpus.select(
         col("doc_id"),
         EvalContainment.column(col("text"), bc, minContainment))

@@ -56,7 +56,10 @@ object Dedup {
     */
   private[graft] def shingleIndex(documents: DataFrame): DataFrame = {
     graft.functions.ShingleGenerator.register(documents.sparkSession)
-    documents
+    // CpuSpread (r19): the generator is the scan stage's CPU — an
+    // unsplittable single-file local table pins it to one task; no-op
+    // on many-file corpora (see CpuSpread's scaladoc)
+    CpuSpread.spread(documents)
       .selectExpr("doc_id", "shingles_distinct(text) AS shingle")
   }
 
@@ -116,7 +119,8 @@ object Dedup {
     graft.functions.ShingleGenerator.register(spark)
     graft.functions.RollingHash.register(spark)
     graft.functions.Mix64.register(spark)
-    documents
+    // CpuSpread (r19): same single-task-scan guard as shingleIndex
+    CpuSpread.spread(documents)
       // generator-side set semantics, same rationale and collision
       // class as [[hashedShingleIndex]] (and the oracle replays
       // list_distinct before hashing, so both engines see the same
@@ -399,7 +403,11 @@ object Dedup {
       mat: DataFrame => DataFrame = _.persist()): (DataFrame, DataFrame) = {
     graft.functions.ShingleGenerator.register(docsG.sparkSession)
     val nP = if (nParts > 0) nParts else indexShuffleParts(docsG)
-    val hashed = docsG
+    // CpuSpread (r19): the shingle generator + xxhash64 are the scan
+    // stage's CPU; single-task on an unsplittable local file (the r19
+    // profile read ~1.5 s of one-core generator work inside
+    // q_dedup_groups), no-op on many-file corpora
+    val hashed = CpuSpread.spread(docsG)
       .selectExpr("doc_id", "g", "shingles_distinct(text) AS shingle")
       .select(col("doc_id"), col("g"), xxhash64(col("shingle")).as("h"))
     val keep = maxShingleDf.map(cap => col("df") <= cap).getOrElse(lit(true))
@@ -535,7 +543,9 @@ object Dedup {
     // shape simply had no group — filtering pre-checkpoint would
     // re-evaluate the kernel per consuming operator (PushDownPredicates
     // inlines the alias into the filter).
-    val perDoc = documents
+    // CpuSpread (r19): the fused MinHashDoc kernel is the scan stage's
+    // CPU; single-task on an unsplittable local file, no-op at scale
+    val perDoc = CpuSpread.spread(documents)
       .select(col("doc_id"), graft.functions.MinHashDoc.column(col("text"), perms).as("sig"))
       .select(col("doc_id"), col("sig.mh").as("mh"), col("sig.hs").as("hs"),
         size(col("sig.hs")).cast("long").as("n"))
@@ -1157,7 +1167,10 @@ object Dedup {
     // broadcast threshold), both map stages are submitted concurrently
     // and, lazy, race the block store, each re-running the corpus text
     // scan + split. CkptRaceAB measures the before/after at sf10.
-    val toks = documents
+    // CpuSpread (r19): the split + downstream token_windows generator
+    // are scan-stage CPU; single-task on an unsplittable local file,
+    // no-op at scale
+    val toks = CpuSpread.spread(documents)
       .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
       .localCheckpoint(eager = true) // consumers: windows, the final span-removal join
     // one row per k-token window with its start position, via the

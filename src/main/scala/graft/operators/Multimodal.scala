@@ -53,61 +53,12 @@ object Multimodal {
         .otherwise("unknown").as("kind"))
   }
 
-  /** Low-parallelism guard for the CPU-bound batched stages. Media
-    * corpora arrive as many files at scale, so the scan alone feeds
-    * every core — but a local single-file (single-row-group) table is
-    * unsplittable and pins the whole per-byte decode to ONE task,
-    * making wall time scale with rows-per-partition instead of rows
-    * (SCALING_r8's 11.75x q_multimodal_features flag was exactly
-    * this). When the incoming scan has fewer partitions than the
-    * session's parallelism, one round-robin exchange of the opaque
-    * payload rows buys full-core decode; with healthy input
-    * parallelism it is a no-op (no exchange added).
+  /** Low-parallelism guard for the CPU-bound batched stages — the
+    * shared [[CpuSpread]] (its r8-r10 adjudication history lives in
+    * that object's scaladoc; extracted r19 so the text/dedup pipelines
+    * reuse the identical guard).
     */
-  private def cpuSpread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (scanPartitionEstimate(df).getOrElse(df.rdd.getNumPartitions) < par)
-      df.repartition(par)
-    else df
-  }
-
-  /** Estimated scan partition count for a file-backed frame WITHOUT
-    * forcing physical planning (r9's `df.rdd.getNumPartitions` planned
-    * every multimodal query twice): reproduces Spark's
-    * `FilePartition.maxSplitBytes` sizing from the analyzed plan's
-    * `HadoopFsRelation` file index — total bytes and file count are
-    * footer-free metadata the index already holds. The estimate is
-    * `ceil(totalBytes / maxSplit)` with each file's open cost folded
-    * into totalBytes — the same padded-bytes arithmetic `FilePartition`
-    * bins against, so many tiny files still raise the count through
-    * their open-cost padding WITHOUT a `max(nFiles, …)` floor (Spark
-    * bin-packs small files together, so actual partitions can be far
-    * FEWER than nFiles; the r10 floor over-counted in exactly that
-    * case and could make `cpuSpread` skip a needed repartition).
-    * Bin-packing slack means the estimate only ever UNDER-counts by a
-    * few partitions; the guard compares against core count, where that
-    * precision is irrelevant. None when the frame has no file scan leaf
-    * (in-memory test frames) — callers fall back to the planned count.
-    */
-  private def scanPartitionEstimate(df: DataFrame): Option[Int] = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val conf = df.sparkSession.sessionState.conf
-    val rels = df.queryExecution.analyzed.collect {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        lr.relation.asInstanceOf[HadoopFsRelation]
-    }
-    if (rels.isEmpty) None
-    else Some(rels.map { rel =>
-      val openCost = conf.filesOpenCostInBytes
-      val nFiles = math.max(1L, rel.location.inputFiles.length.toLong)
-      val totalBytes = rel.location.sizeInBytes + nFiles * openCost
-      val bytesPerCore =
-        totalBytes / math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-      val maxSplit =
-        math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
-      ((totalBytes + maxSplit - 1) / maxSplit).toInt
-    }.sum)
-  }
+  private def cpuSpread(df: DataFrame): DataFrame = CpuSpread.spread(df)
 
   /** Decoded-media metadata row. `bit_depth` is the parsed bits-per-
     * channel/pixel for payloads that structurally parse as a real

@@ -231,7 +231,8 @@ object TextOps {
     graft.functions.ShingleGenerator.register(spark)
     RollingHash.register(spark)
     graft.functions.Mix64.register(spark)
-    val counts = documents
+    // CpuSpread (r19): generator + two hash kernels are scan-stage CPU
+    val counts = CpuSpread.spread(documents)
       .selectExpr("doc_id", "shingles(text) AS shingle") // duplicates kept
       .selectExpr("doc_id", "mix64(rolling_hash(shingle)) AS h")
       .groupBy("doc_id")
@@ -268,7 +269,9 @@ object TextOps {
   def tfidfTopTerms(documents: DataFrame, topK: Int = 5): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     graft.functions.ShingleGenerator.register(documents.sparkSession)
-    val tf = documents
+    // CpuSpread (r19): the tokenizer is the scan stage's CPU;
+    // single-task on an unsplittable local file, no-op at scale
+    val tf = CpuSpread.spread(documents)
       .selectExpr("doc_id", "tokens(text) AS term")
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
