@@ -61,6 +61,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * above (errors-when-empty and runs first, then timed_runs) remains
   * the safety net and loses only diagnostics, never times.
   *
+  * Excursion-robust runs (r19; OPTIMIZATION_r19.md "Class 2"): the
+  * attributed multi-second host windows inflate SEVERAL consecutive
+  * runs of one query, so a struck query's best-of-2 reported 3-26x its
+  * reproducible value (BENCH_r18's q_dedup_groups 64.4 s vs 2.3-2.5 s).
+  * Same methodology, more samples where variance says the best is not
+  * trustworthy: (1) while the achieved runs disagree (spread > 0.5x
+  * best, best >= 0.5 s) the query keeps sampling up to 6 timed runs;
+  * (2) a query STILL spready (spread > best) after the suite gets one
+  * tail re-run displaced minutes from its window; (3) a stall watchdog
+  * dumps all threads (with per-thread cpu deltas between two samples)
+  * while a run exceeding 3x its reference is LIVE, and every timed run
+  * logs its /proc/stat steal delta. The hn/noisy sentinel still
+  * describes the MAIN suite as it ran (tail re-runs only lower minima).
+  *
   * SPARK_GRAFT_BENCH_ONLY (comma-separated substrings) filters the query
   * set for local iteration; the driver never sets it.
   *

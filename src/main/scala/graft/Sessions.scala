@@ -59,6 +59,17 @@ object Sessions {
     * of shuffle work (serialization, compression, merges) still
     * happens. A 100 TB deployment with shuffle > RAM keeps real disks
     * via either override above.
+    *
+    * tmpfs capacity caveat (measured r19): tmpfs pages compete with
+    * the JVM heap for the same RAM, and shuffle files persist until
+    * the ContextCleaner GCs their ShuffleDependency — a LARGE local
+    * scale-factor campaign that loops a heavy query WITHOUT any
+    * System.gc() between runs accumulates them (an sf100
+    * q_dedup_groups loop reached 63 GB and the 4th run was OOM-killed
+    * at 64g heap). The driver's bench (sf0.1, settle gc per boundary)
+    * totals ~1-2 GB and is far inside margin; sf10+ harness campaigns
+    * should export SPARK_GRAFT_LOCAL_DIR=/tmp (or gc between runs, as
+    * Bench does).
     */
   private[graft] def scratchDir(
       env: Map[String, String] = sys.env,
