@@ -49,6 +49,38 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(r.size === 3)
   }
 
+  test("tail re-run policy v2: within-query disagreement still triggers") {
+    // the original r19 criterion (spread > best) is unchanged
+    assert(Bench.needsTailRun(best = 1.0, spread = 1.5, nTimed = 2, nRuns = 2,
+      suiteNoisy = false, maxStealTicks = 0))
+    // spread == best stays quiet (strict >)
+    assert(!Bench.needsTailRun(1.0, 1.0, 2, 2, suiteNoisy = false, maxStealTicks = 0))
+  }
+
+  test("tail re-run policy v2: a noisy suite arms every heavy query") {
+    // the whole-window stall leaves runs AGREEING at the wrong value
+    // (spread ~0), so only the suite verdict can arm the escape
+    assert(Bench.needsTailRun(9.5, 0.2, 2, 2, suiteNoisy = true, maxStealTicks = 0))
+    // light queries stay out even on a noisy suite (0.5 s floor)
+    assert(!Bench.needsTailRun(0.49, 0.0, 2, 2, suiteNoisy = true, maxStealTicks = 0))
+    // a quiet suite with agreeing runs re-runs nothing — steady-state
+    // suites pay zero tail cost
+    assert(!Bench.needsTailRun(9.5, 0.2, 2, 2, suiteNoisy = false, maxStealTicks = 0))
+  }
+
+  test("tail re-run policy v2: a per-query steal burst arms the escape alone") {
+    // > 10 USER_HZ ticks (0.1 cpu-s); quiet runs log 0-5
+    assert(Bench.needsTailRun(1.2, 0.1, 2, 2, suiteNoisy = false, maxStealTicks = 11))
+    assert(!Bench.needsTailRun(1.2, 0.1, 2, 2, suiteNoisy = false, maxStealTicks = 10))
+  }
+
+  test("tail re-run policy v2: single-run configs and failures never re-run") {
+    // explicit nRuns=1 quick passes stay one run per query
+    assert(!Bench.needsTailRun(9.5, 0.0, 1, 1, suiteNoisy = true, maxStealTicks = 99))
+    // a failed query (best = -1) is reported as -1, not re-run
+    assert(!Bench.needsTailRun(-1.0, 0.0, 2, 2, suiteNoisy = true, maxStealTicks = 99))
+  }
+
   test("calibration workload returns a positive, repeatable wall") {
     val runs = (1 to 3).map(_ => Bench.calibrateOnce())
     assert(runs.forall(_ > 0))
