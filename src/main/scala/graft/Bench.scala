@@ -400,8 +400,9 @@ object Bench {
     // exists: if the run is still in flight at max(3x best, best+2 s)
     // it dumps every thread (ThreadMXBean with lock-owner info, the
     // jcmd Thread.print equivalent — guide 7.3) plus the jit line, and
-    // samples again 3 s later — the stack that does not move between
-    // the two samples is the stall. Post-run stage dumps
+    // samples again 2 s later — the stack that does not move between
+    // the two samples is the stall, and the STALLCPU ranking divides
+    // per-thread cpu deltas by that 2000 ms window. Post-run stage dumps
     // (SPARK_GRAFT_BENCH_STAGEPROF) stay complementary: they say WHERE
     // the time landed, the watchdog says WHO was holding it up.
     def dumpThreads(tag: String, prevCpu: Map[Long, Long] = Map.empty): Map[Long, Long] = {
@@ -410,7 +411,21 @@ object Bench {
       val cpu = infos.map(ti => ti.getThreadId -> mx.getThreadCpuTime(ti.getThreadId)).toMap
       System.err.println(
         s"[bench] STALLDUMP $tag threads=${infos.length} ${jitLine()}")
-      infos.foreach(ti => System.err.print("[bench] " + ti.toString))
+      // formatted by hand, NOT ThreadInfo.toString: on JDK 17 toString
+      // truncates each stack at 8 frames ("...") — the 16 frames
+      // dumpAllThreads collected were being discarded, and the
+      // committed r19 I/O-stall dumps show exactly the 8-frame cut.
+      // Depth 9-16 is where e.g. the operator above a DiskBlockObject-
+      // Writer/LZ4 frame lives, i.e. the attribution this dump is for.
+      infos.foreach { ti =>
+        val lock = Option(ti.getLockName).map { l =>
+          s" on $l" + Option(ti.getLockOwnerName)
+            .map(o => s""" owned by "$o" Id=${ti.getLockOwnerId}""").getOrElse("")
+        }.getOrElse("")
+        System.err.println(
+          s"""[bench] "${ti.getThreadName}" Id=${ti.getThreadId} ${ti.getThreadState}$lock""")
+        ti.getStackTrace.foreach(f => System.err.println(s"[bench]     at $f"))
+      }
       // when a first sample exists, rank threads by CPU burned BETWEEN
       // the two samples — the stall's active party regardless of where
       // any single snapshot caught it

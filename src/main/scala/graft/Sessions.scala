@@ -69,17 +69,37 @@ object Sessions {
     * at 64g heap). The driver's bench (sf0.1, settle gc per boundary)
     * totals ~1-2 GB and is far inside margin; sf10+ harness campaigns
     * should export SPARK_GRAFT_LOCAL_DIR=/tmp (or gc between runs, as
-    * Bench does).
+    * Bench does). A kill -9'd JVM also leaves its spark-* scratch dirs
+    * holding RAM-backed pages until manually removed (Spark's cleanup
+    * is a shutdown hook), so campaigns that hard-kill JVMs should
+    * rm -rf /dev/shm/graft-spark-local between runs or use the /tmp
+    * override.
     */
+  /** Floor on /dev/shm usable bytes before it is trusted as shuffle
+    * scratch (r19 review finding): a writability check alone would pick
+    * the Docker-default 64 MB /dev/shm, where the first shuffle write
+    * past that fails mid-query with ENOSPC on a workload the JVM-tmpdir
+    * default handled fine. 8 GiB clears the driver's bench (~1-2 GB of
+    * live scratch with per-boundary gc) with margin while rejecting
+    * every constrained-container default; smaller-but-real tmpfs hosts
+    * can still opt in explicitly via SPARK_GRAFT_LOCAL_DIR=/dev/shm/...
+    */
+  private[graft] val minShmUsableBytes: Long = 8L << 30
+
   private[graft] def scratchDir(
       env: Map[String, String] = sys.env,
       shmWritable: => Boolean = {
         val f = new java.io.File("/dev/shm"); f.isDirectory && f.canWrite
-      }): Option[String] =
+      },
+      shmUsableBytes: => Long = new java.io.File("/dev/shm").getUsableSpace)
+      : Option[String] =
     if (env.contains("SPARK_LOCAL_DIRS")) None
     else env.get("SPARK_GRAFT_LOCAL_DIR") match {
       case Some(d) => Some(d).filter(_.nonEmpty)
-      case None => if (shmWritable) Some("/dev/shm/graft-spark-local") else None
+      case None =>
+        if (shmWritable && shmUsableBytes >= minShmUsableBytes)
+          Some("/dev/shm/graft-spark-local")
+        else None
     }
 
   /** Drop every CacheManager entry AND every persisted RDD's blocks,

@@ -32,7 +32,13 @@ private[operators] object CpuSpread {
     * means the estimate only ever UNDER-counts by a few partitions;
     * the guard compares against core count, where that precision is
     * irrelevant. None when the frame has no file scan leaf (in-memory
-    * test frames) — callers fall back to the planned count. For join
+    * test frames, checkpoint-derived frames) — what happens then is the
+    * CALLER's choice via [[spread]]'s `plannedFallback`: Multimodal
+    * passes true (its r8 behavior — force planning and read the real
+    * count, so an unsplit in-memory frame still spreads before the
+    * per-byte decode kernels), the r19 text/dedup sites pass false (a
+    * producer-chosen partitioning is respected; spreading the corpus
+    * pipeline's post-gate survivors measured net-negative). For join
     * products the sum-of-leaf-estimates can under-count a post-shuffle
     * layout; the only consequence is a spurious small-corpus exchange,
     * and at scale the leaf estimate alone already clears the core
@@ -65,20 +71,30 @@ private[operators] object CpuSpread {
     * guard per query (r19) and so a deployment that KNOWS its scans
     * are wide can pin the no-op without relying on the estimate.
     */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[operators] def spread(
+      df: DataFrame, plannedFallback: Boolean = false): DataFrame = {
     if (!df.sparkSession.conf.get("spark.graft.cpuSpread.enabled", "true").toBoolean)
       return df
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // FILE-BACKED frames only (r19 A/B): a frame with no file-scan leaf
-    // is an upstream operator's output (checkpoint, join product over
-    // checkpoints) whose partitioning the producer already chose — the
-    // composed corpus pipeline feeds its post-gate SURVIVORS (a few
-    // hundred rows at sf0.1) into the dedup operators, and spreading
-    // those cost q_corpus_clean_full ~0.2 s of pure 32-task overhead
-    // in the interleaved A/B while buying nothing (the survivors'
-    // kernel work already sits behind the stage-1 spread).
-    scanPartitionEstimate(df) match {
-      case Some(est) if est < par => df.repartition(par)
+    // Default: FILE-BACKED frames only (r19 A/B): a frame with no
+    // file-scan leaf is an upstream operator's output (checkpoint, join
+    // product over checkpoints) whose partitioning the producer already
+    // chose — the composed corpus pipeline feeds its post-gate
+    // SURVIVORS (a few hundred rows at sf0.1) into the dedup operators,
+    // and spreading those cost q_corpus_clean_full ~0.2 s of pure
+    // 32-task overhead in the interleaved A/B while buying nothing (the
+    // survivors' kernel work already sits behind the stage-1 spread).
+    // plannedFallback=true (Multimodal) keeps that caller's pre-r19
+    // semantics instead: when the estimate is undefined, force planning
+    // and use the real partition count, because a 1-partition in-memory
+    // frame would otherwise pin the per-byte decode kernels to one task
+    // (the SCALING_r8 11.75x pathology the guard exists to prevent).
+    val est = scanPartitionEstimate(df) match {
+      case None if plannedFallback => Some(df.rdd.getNumPartitions)
+      case o => o
+    }
+    est match {
+      case Some(e) if e < par => df.repartition(par)
       case _ => df
     }
   }

@@ -56,9 +56,15 @@ object Multimodal {
   /** Low-parallelism guard for the CPU-bound batched stages — the
     * shared [[CpuSpread]] (its r8-r10 adjudication history lives in
     * that object's scaladoc; extracted r19 so the text/dedup pipelines
-    * reuse the identical guard).
+    * reuse the identical guard). plannedFallback=true preserves this
+    * caller's pre-extraction semantics: a frame with no file-scan leaf
+    * falls back to the PLANNED partition count (r8's
+    * `df.rdd.getNumPartitions`), so a 1-partition in-memory frame still
+    * spreads before the per-byte decode kernels instead of pinning them
+    * to one task.
     */
-  private def cpuSpread(df: DataFrame): DataFrame = CpuSpread.spread(df)
+  private def cpuSpread(df: DataFrame): DataFrame =
+    CpuSpread.spread(df, plannedFallback = true)
 
   /** Decoded-media metadata row. `bit_depth` is the parsed bits-per-
     * channel/pixel for payloads that structurally parse as a real

@@ -66,11 +66,27 @@ class SessionsSpec extends AnyFunSuite {
       === Some("/mnt/fast"))
     assert(Sessions.scratchDir(
       Map("SPARK_GRAFT_LOCAL_DIR" -> ""), shmWritable = true).isEmpty)
-    // default: tmpfs when present (the r19 shuffle-I/O stall fix),
-    // JVM tmpdir otherwise
-    assert(Sessions.scratchDir(Map.empty, shmWritable = true)
-      === Some("/dev/shm/graft-spark-local"))
+    // default: tmpfs when present AND big enough (the r19 shuffle-I/O
+    // stall fix), JVM tmpdir otherwise — capacity pinned explicitly so
+    // the assertion doesn't depend on this host's real /dev/shm
+    assert(Sessions.scratchDir(Map.empty, shmWritable = true,
+      shmUsableBytes = 126L << 30) === Some("/dev/shm/graft-spark-local"))
     assert(Sessions.scratchDir(Map.empty, shmWritable = false).isEmpty)
+    // a writable-but-tiny /dev/shm (Docker's 64 MB default) must NOT be
+    // picked: the first shuffle write past it dies with ENOSPC where
+    // the JVM-tmpdir default worked (r19 review finding). Boundary: the
+    // floor itself qualifies, one byte under does not.
+    assert(Sessions.scratchDir(Map.empty, shmWritable = true,
+      shmUsableBytes = 64L << 20).isEmpty)
+    assert(Sessions.scratchDir(Map.empty, shmWritable = true,
+      shmUsableBytes = Sessions.minShmUsableBytes)
+      === Some("/dev/shm/graft-spark-local"))
+    assert(Sessions.scratchDir(Map.empty, shmWritable = true,
+      shmUsableBytes = Sessions.minShmUsableBytes - 1).isEmpty)
+    // the explicit override is exempt from the capacity gate by design
+    // (a deployment that KNOWS its tmpfs fits may point there)
+    assert(Sessions.scratchDir(Map("SPARK_GRAFT_LOCAL_DIR" -> "/dev/shm/x"),
+      shmWritable = true, shmUsableBytes = 0L) === Some("/dev/shm/x"))
   }
 
   test("a small shuffle coalesces below the initial partition count") {
