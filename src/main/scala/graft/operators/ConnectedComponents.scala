@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-dup pair list: pairs → canonical
@@ -74,6 +74,41 @@ object ConnectedComponents {
     * RDD's lineage is truncated, so unpersisted blocks cannot be
     * recomputed.
     */
+  /** The star loop's 5-component edge-set fingerprint aggregates,
+    * shared (r20) between the per-round aggregate job and the initial
+    * checkpoint-job observation so both compute identical values:
+    * edge count, two INDEPENDENT order-invariant 64-bit XOR checksums,
+    * and the exact DECIMAL sums of both endpoint columns.
+    * bit_xor: order-independent and overflow-free under ANSI mode.
+    * The two checksum streams come from DIFFERENT hash families —
+    * xxhash64 and a 64-bit pack of two Murmur3 words (Spark's `hash`)
+    * with swapped argument order — so a collision class structural to
+    * one family does not carry to the other (a same-function second
+    * stream distinguished only by a seed prefix would not give that).
+    * No precise joint bound is claimed; with the exact count and the
+    * exact DECIMAL coordinate sums alongside, a false fixpoint needs a
+    * simultaneous collision across five structurally different
+    * aggregates of the same edge set. Exact sums are DECIMAL because a
+    * 1e9-edge sum of 64-bit ids overflows int64.
+    */
+  private def fingerprintExprs: Seq[Column] = Seq(
+    count(lit(1)).as("fp_n"),
+    coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("fp_x1"),
+    coalesce(bit_xor(
+      shiftleft(hash(col("u"), col("v")).cast("long"), 32)
+        .bitwiseOR(hash(col("v"), col("u")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))),
+      lit(0L)).as("fp_x2"),
+    sum(col("u").cast("decimal(38,0)")).as("fp_su"),
+    sum(col("v").cast("decimal(38,0)")).as("fp_sv"))
+
+  /** [[fingerprintExprs]] values out of an Observation's metric map. */
+  private def fingerprintOf(
+      m: Map[String, Any]): (Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal) =
+    (m("fp_n").asInstanceOf[Long], m("fp_x1").asInstanceOf[Long],
+      m("fp_x2").asInstanceOf[Long],
+      m("fp_su").asInstanceOf[java.math.BigDecimal],
+      m("fp_sv").asInstanceOf[java.math.BigDecimal])
+
   private def dropCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
@@ -143,19 +178,24 @@ object ConnectedComponents {
     math.max(floor, math.min(floor * 64L, (bytes + target - 1) / target).toInt)
   }
 
-  private[graft] def buildEdges(p: DataFrame): DataFrame = {
+  private[graft] def buildEdges(p: DataFrame): DataFrame =
+    // standalone form (specs): one stored-block count job; the wired
+    // loop passes the count it observed during p's checkpoint instead
+    buildEdges(p, p.count())
+
+  private[graft] def buildEdges(p: DataFrame, nPairs: Long): DataFrame = {
     // The cached exchange is sized EXPLICITLY (r17): AQE cannot re-plan
     // inside a persisted plan (canChangeCachedPlanOutputPartitioning
     // stays false precisely so the rounds can RIDE this cache — flipped
     // true, PlanAuditSpec measured the round join re-exchanging the
     // edge cache every round), and a bare repartition(col) would take
     // whatever initialPartitionNum a cluster deployment sets — tiny
-    // 16-byte-row cache partitions re-joined every round. p is
-    // materialized by every caller's flow (dupGroups checkpoints it
-    // eagerly), so the count() is a stored-block scan, not a
-    // recomputation.
+    // 16-byte-row cache partitions re-joined every round. nPairs comes
+    // from dupGroups' checkpoint-job observation (r20) — the separate
+    // stored-block count() job it replaces was one of the loop's four
+    // fixed construction jobs.
     val floor = p.sparkSession.sparkContext.defaultParallelism
-    val nParts = edgeParts(p.count(), floor)
+    val nParts = edgeParts(nPairs, floor)
     p.union(p.select(col("dst"), col("src")))
       .repartition(nParts, col("src"))
       .sortWithinPartitions("src")
@@ -199,7 +239,13 @@ object ConnectedComponents {
     // construction-time job this adds is the same work the first
     // action paid anyway — callers keep their lazy semantics minus
     // the race.
+    // r20: the pair COUNT (edge-cache sizing) rides the checkpoint job
+    // as an observed metric instead of a separate stored-block count()
+    // job — same value, one driver action fewer. Observation metrics
+    // are delivered when the eager checkpoint's action completes.
+    val pObs = Observation()
     val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .observe(pObs, count(lit(1)).as("n"))
       .localCheckpoint(eager = true)
     // EAGER (r16 audit): round 1's labelSum job reads labels through
     // TWO unordered branches (the neighbor join and the self union) —
@@ -207,15 +253,20 @@ object ConnectedComponents {
     // vertex distinct (bounded — p's blocks are already stored — but
     // a full vertex exchange per loser). One small job at
     // construction, after the eager p job above, buys it out.
-    val edges = buildEdges(p)
+    val edges = buildEdges(p, pObs.get("n").asInstanceOf[Long])
+    // r20: the initial label sum (the convergence invariant's seed)
+    // likewise rides the labels checkpoint job as an observed metric —
+    // previously a separate labelSum job over the fresh checkpoint.
+    val lObs = Observation()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
+      .observe(lObs, sum(col("label").cast("decimal(38,0)")).as("s"))
       .localCheckpoint(eager = true)
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
-    var prevSum = labelSum(labels)
+    var prevSum = lObs.get("s").asInstanceOf[java.math.BigDecimal]
     // an empty pair set has no components: sum(empty) is SQL NULL, and
     // looping on it would NPE — return the (empty) labeling directly
     if (prevSum == null) {
@@ -338,10 +389,15 @@ object ConnectedComponents {
     // store and each loser re-runs the distinct over p's stored
     // blocks. Later rounds read the PREVIOUS round's checkpoint, which
     // the round's own fingerprint action has already materialized.
+    // r20: the INITIAL fingerprint rides this checkpoint job as
+    // observed metrics (the same five aggregate expressions) instead
+    // of a separate post-checkpoint aggregate job.
+    val eObs = Observation()
     var edges = p.select(greatest(col("pa"), col("pb")).as("u"),
         least(col("pa"), col("pb")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .observe(eObs, fingerprintExprs.head, fingerprintExprs.tail: _*)
       .localCheckpoint(eager = true)
 
     // The textbook large-star works on the SYMMETRIC edge set (2|e|
@@ -385,31 +441,13 @@ object ConnectedComponents {
     }
 
     def fingerprint(e: DataFrame): (Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal) = {
-      val r = e.agg(
-        count(lit(1)),
-        // bit_xor: order-independent and overflow-free under ANSI mode.
-        // The two checksum streams come from DIFFERENT hash families —
-        // xxhash64 and a 64-bit pack of two Murmur3 words (Spark's
-        // `hash`) with swapped argument order — so a collision class
-        // structural to one family does not carry to the other (a
-        // same-function second stream distinguished only by a seed
-        // prefix would not give that). No precise joint bound is
-        // claimed; with the exact count and the exact DECIMAL
-        // coordinate sums alongside, a false fixpoint needs a
-        // simultaneous collision across five structurally different
-        // aggregates of the same edge set.
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
-        coalesce(bit_xor(
-          shiftleft(hash(col("u"), col("v")).cast("long"), 32)
-            .bitwiseOR(hash(col("v"), col("u")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))),
-          lit(0L)),
-        // exact sums (a 1e9-edge sum of 64-bit ids overflows int64)
-        sum(col("u").cast("decimal(38,0)")),
-        sum(col("v").cast("decimal(38,0)"))).head()
+      val r = e.agg(fingerprintExprs.head, fingerprintExprs.tail: _*).head()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3), r.getDecimal(4))
     }
 
-    var prev = fingerprint(edges) // materializes p and edges
+    // the eager checkpoint above materialized p and edges and delivered
+    // the initial fingerprint's metrics (r20 — one aggregate job fewer)
+    var prev = fingerprintOf(eObs.get)
     // verts reads p's stored partitions (one tiny distinct job); after
     // that nothing references p and its blocks can be freed
     verts.count()

@@ -42,9 +42,21 @@ object CorpusPipeline {
     */
   private final case class Stages(scored: DataFrame, canonical: DataFrame, cleaned: DataFrame)
 
+  /** @param needScored whether the caller reads `Stages.scored` as its
+    *   own frame (stageReport's quality-gate count). cleanCorpus does
+    *   NOT — its only consumer of stage 1 is stage 2's lineage — so the
+    *   scored checkpoint there was one full materialization job whose
+    *   blocks were read exactly once, by the very next job (r20, guide
+    *   §1.2: don't store what has a single consumer). With it elided,
+    *   the kernel chain (redact → gopher → quality) still evaluates
+    *   exactly once — inside stage 2's eager checkpoint job, fused with
+    *   the fingerprint window's exchange — and stage 2's checkpoint
+    *   remains the multi-consumer barrier it always was.
+    */
   private def build(
       documents: DataFrame, minQuality: Double, jaccardThreshold: Double,
-      redactPii: Boolean = false, gopherRules: Boolean = false): Stages = {
+      redactPii: Boolean = false, gopherRules: Boolean = false,
+      needScored: Boolean = true): Stages = {
     // CPU-spread guard (r19, shared [[CpuSpread]]): stage 1 fuses the
     // round's heaviest per-row kernels (redaction, Gopher stats,
     // quality, fingerprint) into the scan stage — on an unsplittable
@@ -76,11 +88,13 @@ object CorpusPipeline {
     // 1. per-row quality gate — a pure projection + filter inside the
     // scan stage (qualityExpr attaches the score without the join a
     // (doc_id → score) lookup would need)
-    val scored = input
+    val scoredPlan = input
       .select(col("doc_id"), col("text"),
         TextOps.qualityExpr(col("text")).as("quality_score"))
       .filter(col("quality_score") >= minQuality)
-      .localCheckpoint(true)
+    // the stage-1 checkpoint exists for stageReport's second consumer;
+    // with one consumer (cleanCorpus) it is elided — see `needScored`
+    val scored = if (needScored) scoredPlan.localCheckpoint(true) else scoredPlan
     // 2. exact dedup — keep the canonical (min doc_id) of each group.
     // The min-id window rides the single fingerprint shuffle; joining
     // exactDups back by doc_id would move the text a second time.
@@ -114,7 +128,8 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.8,
       redactPii: Boolean = false,
       gopherRules: Boolean = false): DataFrame =
-    build(documents, minQuality, jaccardThreshold, redactPii, gopherRules).cleaned
+    build(documents, minQuality, jaccardThreshold, redactPii, gopherRules,
+      needScored = false).cleaned
 
   /** Per-stage survivor counts — the pipeline's audit trail (silent
     * shrinkage is how corpus bugs ship). Shares the staged build with

@@ -23,30 +23,53 @@ import org.apache.spark.sql.DataFrame
   */
 private[operators] object CpuSpread {
 
-  /** Estimated scan partition count for a file-backed frame WITHOUT
-    * forcing physical planning (r9: `df.rdd.getNumPartitions` planned
-    * every multimodal query twice): reproduces Spark's
-    * `FilePartition.maxSplitBytes` sizing from the analyzed plan's
-    * `HadoopFsRelation` file index — total bytes and file count are
-    * footer-free metadata the index already holds. Bin-packing slack
-    * means the estimate only ever UNDER-counts by a few partitions;
-    * the guard compares against core count, where that precision is
-    * irrelevant. None when the frame has no file scan leaf (in-memory
-    * test frames, checkpoint-derived frames) — what happens then is the
-    * CALLER's choice via [[spread]]'s `plannedFallback`: Multimodal
-    * passes true (its r8 behavior — force planning and read the real
-    * count, so an unsplit in-memory frame still spreads before the
-    * per-byte decode kernels), the r19 text/dedup sites pass false (a
-    * producer-chosen partitioning is respected; spreading the corpus
-    * pipeline's post-gate survivors measured net-negative). For join
-    * products the sum-of-leaf-estimates can under-count a post-shuffle
-    * layout; the only consequence is a spurious small-corpus exchange,
-    * and at scale the leaf estimate alone already clears the core
-    * count.
+  /** Floor (bytes, compressed file size) below which a file-backed
+    * frame is never spread; `spark.graft.cpuSpread.minBytes` overrides
+    * (r20, verdict item 2 — SIZED FROM THE MEASUREMENT EVIDENCE, not
+    * the verdict's suggested 128 MiB: every r19 spread winner fires on
+    * a 0.5–11 MB single-row-group local file, so a one-partition-worth
+    * floor would disable all 12 measured wins. The break-even is
+    * kernel-bound, not split-bound — the heaviest measured kernel
+    * chain runs ~1.7 ms per input KiB, so the ~0.1–0.2 s 32-task
+    * exchange only amortizes above roughly 64–128 KiB of input; below
+    * that, 32 tasks of a few KiB each are pure task-launch overhead
+    * for ANY kernel, the same failure mode the r19 corpus A/B measured
+    * on 153-row non-file frames).
     */
-  private[operators] def scanPartitionEstimate(df: DataFrame): Option[Int] = {
+  private[operators] val MinSpreadBytesDefault: Long = 64L << 10
+
+  /** (estimated scan partition count, data bytes) for a file-backed
+    * frame WITHOUT forcing physical planning (r9:
+    * `df.rdd.getNumPartitions` planned every multimodal query twice):
+    * reproduces Spark's `FilePartition.maxSplitBytes` sizing from the
+    * analyzed plan's `HadoopFsRelation` file index — total bytes and
+    * file count are footer-free metadata the index already holds.
+    * Bin-packing slack means the estimate only ever UNDER-counts by a
+    * few partitions; the guard compares against core count, where that
+    * precision is irrelevant. None when the frame has no file scan
+    * leaf (in-memory test frames, checkpoint-derived frames) — what
+    * happens then is the CALLER's choice via [[spread]]'s
+    * `plannedFallback`: Multimodal passes true (its r8 behavior —
+    * force planning and read the real count, so an unsplit in-memory
+    * frame still spreads before the per-byte decode kernels), the r19
+    * text/dedup sites pass false (a producer-chosen partitioning is
+    * respected; spreading the corpus pipeline's post-gate survivors
+    * measured net-negative). For join products the
+    * sum-of-leaf-estimates can under-count a post-shuffle layout; the
+    * only consequence is a spurious small-corpus exchange, and at
+    * scale the leaf estimate alone already clears the core count.
+    *
+    * Million-file tables (r20, verdict "what's wrong" #5): when a
+    * relation's data bytes ALONE already guarantee ≥ parallelism scan
+    * partitions (bytes ≥ par × maxPartitionBytes — openCost padding
+    * only raises the estimate), the O(files) `inputFiles`
+    * materialization is skipped entirely; a 100 TB table answers the
+    * `est < par` question from its file-index `sizeInBytes` long.
+    */
+  private[operators] def scanInfo(df: DataFrame): Option[(Int, Long)] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val conf = df.sparkSession.sessionState.conf
+    val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
     val rels = df.queryExecution.analyzed.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         lr.relation.asInstanceOf[HadoopFsRelation]
@@ -54,15 +77,21 @@ private[operators] object CpuSpread {
     if (rels.isEmpty) None
     else Some(rels.map { rel =>
       val openCost = conf.filesOpenCostInBytes
-      val nFiles = math.max(1L, rel.location.inputFiles.length.toLong)
-      val totalBytes = rel.location.sizeInBytes + nFiles * openCost
-      val bytesPerCore =
-        totalBytes / math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-      val maxSplit =
-        math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
-      ((totalBytes + maxSplit - 1) / maxSplit).toInt
-    }.sum)
+      val dataBytes = rel.location.sizeInBytes
+      if (dataBytes >= par.toLong * conf.filesMaxPartitionBytes) (par, dataBytes)
+      else {
+        val nFiles = math.max(1L, rel.location.inputFiles.length.toLong)
+        val totalBytes = dataBytes + nFiles * openCost
+        val bytesPerCore = totalBytes / par
+        val maxSplit =
+          math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+        (((totalBytes + maxSplit - 1) / maxSplit).toInt, dataBytes)
+      }
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2)))
   }
+
+  private[operators] def scanPartitionEstimate(df: DataFrame): Option[Int] =
+    scanInfo(df).map(_._1)
 
   /** One round-robin exchange when the scan cannot feed the cores;
     * no-op otherwise. See object doc. `spark.graft.cpuSpread.enabled`
@@ -89,12 +118,19 @@ private[operators] object CpuSpread {
     // and use the real partition count, because a 1-partition in-memory
     // frame would otherwise pin the per-byte decode kernels to one task
     // (the SCALING_r8 11.75x pathology the guard exists to prevent).
-    val est = scanPartitionEstimate(df) match {
-      case None if plannedFallback => Some(df.rdd.getNumPartitions)
-      case o => o
-    }
-    est match {
-      case Some(e) if e < par => df.repartition(par)
+    scanInfo(df) match {
+      // r20 size floor (see [[MinSpreadBytesDefault]]): a frame whose
+      // whole compressed payload is a few KiB cannot amortize the
+      // 32-task exchange whatever its kernel — skip it. The floor
+      // applies to the FILE-BACKED branch only: the plannedFallback
+      // branch (Multimodal, in-memory frames) has no cheap byte
+      // estimate and keeps its r8 semantics unchanged.
+      case Some((e, bytes)) =>
+        val minBytes = df.sparkSession.conf
+          .get("spark.graft.cpuSpread.minBytes", MinSpreadBytesDefault.toString).toLong
+        if (e < par && bytes >= minBytes) df.repartition(par) else df
+      case None if plannedFallback && df.rdd.getNumPartitions < par =>
+        df.repartition(par)
       case _ => df
     }
   }

@@ -54,13 +54,18 @@ object Dedup {
     * caller passing DUPLICATE doc_ids would get duplicate index rows
     * (the old distinct absorbed them); no wired producer does.
     */
-  private[graft] def shingleIndex(documents: DataFrame): DataFrame = {
+  private[graft] def shingleIndex(
+      documents: DataFrame, spread: Boolean = true): DataFrame = {
     graft.functions.ShingleGenerator.register(documents.sparkSession)
     // CpuSpread (r19): the generator is the scan stage's CPU — an
     // unsplittable single-file local table pins it to one task; no-op
-    // on many-file corpora (see CpuSpread's scaladoc)
-    CpuSpread.spread(documents)
-      .selectExpr("doc_id", "shingles_distinct(text) AS shingle")
+    // on many-file corpora (see CpuSpread's scaladoc). `spread = false`
+    // (r20) is the per-site opt-out for callers whose input is small BY
+    // CONSTRUCTION rather than by scale factor — Decontaminate's eval
+    // side reads the same file-backed table as the winners, so no byte
+    // floor can tell them apart; only the caller knows.
+    val in = if (spread) CpuSpread.spread(documents) else documents
+    in.selectExpr("doc_id", "shingles_distinct(text) AS shingle")
   }
 
   /** The signature-space backbone: the same inverted index with the

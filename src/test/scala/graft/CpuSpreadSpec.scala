@@ -38,17 +38,52 @@ class CpuSpreadSpec extends AnyFunSuite {
       .rdd.getNumPartitions === par)
   }
 
+  /** Run `body` with a session conf key set, restoring the PRE-test
+    * value (or unset) afterwards — r19 ADVICE: restoring a literal
+    * leaves the shared session's conf explicitly set for later suites.
+    */
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("a single-file scan spreads to the cores under the default policy") {
     val dir = java.nio.file.Files.createTempDirectory("cpuspread").toString
     narrow().write.mode("overwrite").parquet(dir)
     val scan = spark.read.parquet(dir)
     val par = spark.sparkContext.defaultParallelism
-    assert(CpuSpread.spread(scan).rdd.getNumPartitions === par)
+    // the test file is a few KiB — under the r20 byte floor by design,
+    // so the spread behavior itself is gated with the floor disabled
+    withConf("spark.graft.cpuSpread.minBytes", "0") {
+      assert(CpuSpread.spread(scan).rdd.getNumPartitions === par)
+    }
+  }
+
+  test("r20 size floor: a sub-floor file-backed frame is NOT spread") {
+    val dir = java.nio.file.Files.createTempDirectory("cpuspread_floor").toString
+    narrow().write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val (est, bytes) = CpuSpread.scanInfo(scan).get
+    assert(bytes > 0 && bytes < CpuSpread.MinSpreadBytesDefault,
+      s"test premise: the tiny parquet ($bytes B) sits under the floor")
+    assert(est < spark.sparkContext.defaultParallelism)
+    // default floor: no exchange added despite est < par
+    assert(CpuSpread.spread(scan).rdd.getNumPartitions ===
+      scan.rdd.getNumPartitions)
+    // conf override re-arms the spread (deployment escape hatch)
+    withConf("spark.graft.cpuSpread.minBytes", "1") {
+      assert(CpuSpread.spread(scan).rdd.getNumPartitions ===
+        spark.sparkContext.defaultParallelism)
+    }
   }
 
   test("the escape hatch pins the no-op for both policies") {
-    spark.conf.set("spark.graft.cpuSpread.enabled", "false")
-    try {
+    withConf("spark.graft.cpuSpread.enabled", "false") {
       val df = narrow()
       assert(CpuSpread.spread(df, plannedFallback = true)
         .rdd.getNumPartitions === 1)
@@ -56,6 +91,6 @@ class CpuSpreadSpec extends AnyFunSuite {
       df.write.mode("overwrite").parquet(dir)
       assert(CpuSpread.spread(spark.read.parquet(dir))
         .rdd.getNumPartitions === 1)
-    } finally spark.conf.set("spark.graft.cpuSpread.enabled", "true")
+    }
   }
 }
