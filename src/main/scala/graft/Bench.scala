@@ -231,6 +231,21 @@ object Bench {
     nRuns >= 2 && nTimed >= 2 && best >= 0.5 &&
       (spread > best || suiteNoisy || maxStealTicks > 10)
 
+  /** Cap the tail phase (r20, the r19 verdict's item 8): a fully
+    * contaminated window arms [[needsTailRun]] for every heavy query —
+    * r19's side e fired 19 tail re-runs, ~+40 s of bench process cost —
+    * so an unbounded tail phase can nearly double suite cost exactly
+    * when the host is at its worst. Keep the top `cap` candidates by
+    * suite best (ties by name, so identical measurements select
+    * identically): the displaced re-run recovers the most absolute wall
+    * on the most expensive suspects, and the sentinel still flags the
+    * window for everything below the cut. Pure, spec-gated.
+    */
+  private[graft] def tailRunSelect(
+      candidates: Seq[(String, Double)], cap: Int = 12): Set[String] =
+    candidates.sortBy { case (name, best) => (-best, name) }
+      .take(math.max(0, cap)).map(_._1).toSet
+
   /** The noisy-host decision, pure so BenchNoiseSpec can gate the
     * thresholds (see the object doc's sentinel section for why each
     * signal exists). Returns the trip reasons; empty = quiet.
@@ -401,8 +416,11 @@ object Bench {
     // it dumps every thread (ThreadMXBean with lock-owner info, the
     // jcmd Thread.print equivalent — guide 7.3) plus the jit line, and
     // samples again 2 s later — the stack that does not move between
-    // the two samples is the stall, and the STALLCPU ranking divides
-    // per-thread cpu deltas by that 2000 ms window. Post-run stage dumps
+    // the two samples is the stall, and the STALLCPU ranking orders
+    // threads by the RAW cpu-ms each burned across that ~2 s window
+    // (no normalization — a delta near 2000 ms reads as a pegged
+    // core; r19 ADVICE fixed this comment, the code always printed
+    // raw deltas). Post-run stage dumps
     // (SPARK_GRAFT_BENCH_STAGEPROF) stay complementary: they say WHERE
     // the time landed, the watchdog says WHO was holding it up.
     def dumpThreads(tag: String, prevCpu: Map[Long, Long] = Map.empty): Map[Long, Long] = {
@@ -425,6 +443,14 @@ object Bench {
         System.err.println(
           s"""[bench] "${ti.getThreadName}" Id=${ti.getThreadId} ${ti.getThreadState}$lock""")
         ti.getStackTrace.foreach(f => System.err.println(s"[bench]     at $f"))
+        // HELD locks, not just the waited-on one (r19 ADVICE): the
+        // dumpAllThreads(true, true, ...) call collects them and the
+        // hand-rolled formatter was dropping them — lock ATTRIBUTION
+        // (who blocks whom) is half of what this dump exists for
+        ti.getLockedMonitors.foreach(m => System.err.println(
+          s"[bench]     holds monitor $m (at frame ${m.getLockedStackDepth})"))
+        ti.getLockedSynchronizers.foreach(s => System.err.println(
+          s"[bench]     holds synchronizer $s"))
       }
       // when a first sample exists, rank threads by CPU burned BETWEEN
       // the two samples — the stall's active party regardless of where
@@ -592,8 +618,20 @@ object Bench {
     // Floored at 0.5 s best and gated on nRuns >= 2 like the other
     // robustness passes.
     val fnByName = selected.toMap
+    // r20: bound the tail phase (see [[tailRunSelect]]) — a fully
+    // contaminated window otherwise re-runs every heavy query
+    val tailCandidates = results.collect {
+      case (name, v, s, n)
+          if needsTailRun(v, s, n, nRuns, noisy, stealMaxByQuery.getOrElse(name, 0L)) =>
+        (name, v)
+    }
+    val tailSet = tailRunSelect(tailCandidates)
+    if (tailCandidates.size > tailSet.size)
+      System.err.println(
+        s"[bench] tail re-runs capped: ${tailCandidates.size} candidates, " +
+          s"re-running top ${tailSet.size} by suite best")
     val finalResults = results.map { case r @ (name, v, s, n) =>
-      if (!needsTailRun(v, s, n, nRuns, noisy, stealMaxByQuery.getOrElse(name, 0L))) r
+      if (!tailSet.contains(name)) r
       else {
         settleBetweenQueries()
         timedRun(fnByName(name), name, Some(v)) match {

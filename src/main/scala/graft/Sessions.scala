@@ -102,6 +102,21 @@ object Sessions {
         else None
     }
 
+  /** The one stderr line naming the chosen shuffle scratch (r20, the
+    * r19 verdict's "what's wrong" item 2): the tmpfs default picks a
+    * capacity-at-the-margin risk SILENTLY — a host passing the 8 GiB
+    * gate whose job later shuffles more than free shm dies ENOSPC
+    * where the disk default survived. Naming the choice and the
+    * override puts the first ENOSPC reader one log line from the fix.
+    * Pure so SessionsSpec gates both shapes.
+    */
+  private[graft] def scratchLine(chosen: Option[String]): String = chosen match {
+    case Some(d) =>
+      s"[graft] shuffle scratch: $d (override: SPARK_GRAFT_LOCAL_DIR=/tmp or SPARK_LOCAL_DIRS)"
+    case None =>
+      "[graft] shuffle scratch: Spark default (JVM tmpdir or SPARK_LOCAL_DIRS)"
+  }
+
   /** Drop every CacheManager entry AND every persisted RDD's blocks,
     * blocking until the frees complete. The one cache-hygiene primitive
     * the harnesses share (Bench between/before timed runs, Verify
@@ -207,7 +222,9 @@ object Sessions {
       .config("spark.ui.enabled", "false")
     // see [[scratchDir]]: tmpfs shuffle scratch by default on this
     // class of host, standard overrides preserved
-    val spark = scratchDir()
+    val chosen = scratchDir()
+    System.err.println(scratchLine(chosen))
+    val spark = chosen
       .foldLeft(builder)((b, d) => b.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -81,6 +81,20 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(!Bench.needsTailRun(-1.0, 0.0, 2, 2, suiteNoisy = true, maxStealTicks = 99))
   }
 
+  test("tail re-run cap keeps the top candidates by suite best (r20)") {
+    val cands = (1 to 19).map(i => (s"q$i", i.toDouble))
+    val sel = Bench.tailRunSelect(cands)
+    assert(sel.size === 12, "19 candidates cap at 12 (r19 side e fired 19)")
+    // the kept set is the 12 most expensive — the displaced re-run
+    // recovers the most absolute wall there
+    assert(sel === (8 to 19).map(i => s"q$i").toSet)
+    // under the cap: everything re-runs (quiet-window behavior intact)
+    assert(Bench.tailRunSelect(cands.take(5)).size === 5)
+    // deterministic tie-break by name
+    assert(Bench.tailRunSelect(
+      Seq(("b", 1.0), ("a", 1.0), ("c", 1.0)), cap = 2) === Set("a", "b"))
+  }
+
   test("calibration workload returns a positive, repeatable wall") {
     val runs = (1 to 3).map(_ => Bench.calibrateOnce())
     assert(runs.forall(_ > 0))

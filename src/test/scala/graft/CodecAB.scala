@@ -54,6 +54,11 @@ object CodecAB {
       run() // warm at the target scale, untimed
       val walls = (1 to n).map { i =>
         if (i == n) { // meter exactly one steady run's bytes/cpu
+          // drain BEFORE the reset too (r19 ADVICE): listener events
+          // are async, so late onStageCompleted events from run n-1
+          // landing after the reset would inflate the metered run's
+          // bytes/cpu — the very numbers that carry the codec decision
+          Thread.sleep(500)
           shufW.set(0); shufR.set(0); cpuMs.set(0)
         }
         run()

@@ -89,6 +89,16 @@ class SessionsSpec extends AnyFunSuite {
       shmWritable = true, shmUsableBytes = 0L) === Some("/dev/shm/x"))
   }
 
+  test("the session announces its chosen shuffle scratch (r20)") {
+    // the tmpfs default picks a capacity-at-the-margin risk; the line
+    // names the choice and the override so an ENOSPC reader is one log
+    // line from the fix. Both shapes gated; session build emits it.
+    assert(Sessions.scratchLine(Some("/dev/shm/graft-spark-local"))
+      === "[graft] shuffle scratch: /dev/shm/graft-spark-local " +
+        "(override: SPARK_GRAFT_LOCAL_DIR=/tmp or SPARK_LOCAL_DIRS)")
+    assert(Sessions.scratchLine(None).contains("Spark default"))
+  }
+
   test("a small shuffle coalesces below the initial partition count") {
     import spark.implicits._
     val out = (1 to 1000).toDF("x")
